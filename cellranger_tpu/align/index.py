@@ -1,0 +1,237 @@
+"""Genome index for the TPU seed-and-extend aligner.
+
+Replaces the reference's in-process STAR suffix-array aligner
+(lib/rust/cr_lib/src/stages/align_and_count.rs:588 StarReference,
+aligner.rs:396 align_read) with a TPU-friendly design:
+
+  * The *text* is the 2-bit-coded concatenation of all chromosomes plus one
+    mini-contig per annotated splice junction (donor flank + acceptor flank,
+    STAR's sjdb insertion idea): a read spanning an annotated junction aligns
+    *contiguously* to the junction contig, so the device kernel never needs
+    data-dependent gap placement for splices. Coordinate maps translate
+    junction-contig hits back to genomic (chrom, pos, gap) triplets on host.
+  * The index is a sorted array of (kmer, position): k=16 so a seed packs
+    into uint32 (JAX default x64-off friendly); lookup on device is a
+    vectorized binary search returning a position range per seed. Positions
+    are sampled every `stride` bases to bound HBM (seeds are extracted at
+    every read offset, so any alignment still yields ~(L-k)/stride hits).
+  * Everything is plain numpy on host, uploaded once with jax.device_put and
+    shared by all batches (the analog of STAR's mmap-shared index).
+
+Host build cost is O(G log G) numpy sorts — minutes for human-scale, and
+cacheable to .npz (mkref analog, lib/python/cellranger/reference_builder.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io import gtf as gtf_mod
+from ..io.gtf import Transcriptome
+from ..ops import encode
+
+DEFAULT_K = 16
+DEFAULT_STRIDE = 1
+INDEX_VERSION = 1
+
+
+@dataclass
+class GenomeIndex:
+    """Device-uploadable genome + kmer index (host numpy arrays)."""
+
+    # text: concatenated chrom sequences then junction contigs
+    text: np.ndarray          # uint8 [G] 2-bit codes (N -> 0)
+    text_valid: np.ndarray    # bool [G] false at N bases and contig boundaries pad
+    chrom_names: list[str]
+    chrom_starts: np.ndarray  # int64 [C+1] offsets into text (genome part)
+    genome_len: int           # length of the pure-genome prefix of text
+    # junction contigs (appended after genome_len)
+    sj_contig_start: np.ndarray  # int64 [J] offset of each contig in text
+    sj_overhang: int             # flank length per side
+    sj_chrom: np.ndarray         # int32 [J] chromosome index
+    sj_donor_end: np.ndarray     # int64 [J] genomic end of donor exon (exclusive)
+    sj_acceptor_start: np.ndarray  # int64 [J] genomic start of acceptor exon
+    # kmer index
+    k: int
+    stride: int
+    kmer_keys: np.ndarray     # uint32 [P] sorted packed kmers
+    kmer_pos: np.ndarray      # uint32 [P] text position of each key (grouped by key)
+
+    @property
+    def n_junctions(self) -> int:
+        return len(self.sj_contig_start)
+
+    # ---------- position mapping ----------
+    def pos_to_genomic(self, pos: np.ndarray, aln_len: np.ndarray):
+        """Map text positions of alignments back to genomic coordinates.
+
+        pos: int64 [N] start offset in text; aln_len: alignment span in text.
+        Returns dict of arrays: chrom int32, gpos int64 (genomic start),
+        spliced bool, intron_len int64 (0 if unspliced), junc_idx int32 (-1),
+        donor_off int32 (bases of the alignment before the junction; only for
+        spliced rows).
+        """
+        pos = np.asarray(pos, np.int64)
+        aln_len = np.asarray(aln_len, np.int64)
+        n = len(pos)
+        chrom = np.zeros(n, np.int32)
+        gpos = np.zeros(n, np.int64)
+        spliced = pos >= self.genome_len
+        intron = np.zeros(n, np.int64)
+        junc_idx = np.full(n, -1, np.int32)
+        donor_off = np.zeros(n, np.int32)
+
+        g = ~spliced
+        if g.any():
+            ci = np.searchsorted(self.chrom_starts, pos[g], side="right") - 1
+            chrom[g] = ci
+            gpos[g] = pos[g] - self.chrom_starts[ci]
+        if spliced.any():
+            sj = np.searchsorted(self.sj_contig_start, pos[spliced], side="right") - 1
+            junc_idx[spliced] = sj
+            off = pos[spliced] - self.sj_contig_start[sj]  # offset in contig
+            ov = self.sj_overhang
+            chrom[spliced] = self.sj_chrom[sj]
+            # contig layout: [donor_end-ov, donor_end) ++ [acc_start, acc_start+ov)
+            before = np.maximum(ov - off, 0)  # bases before junction point
+            donor_off[spliced] = np.minimum(before, aln_len[spliced]).astype(np.int32)
+            crosses = (off < ov) & (off + aln_len[spliced] > ov)
+            starts_in_donor = off < ov
+            gstart = np.where(
+                starts_in_donor,
+                self.sj_donor_end[sj] - ov + off,
+                self.sj_acceptor_start[sj] + (off - ov),
+            )
+            # sj_donor_end/sj_acceptor_start are absolute text coords; make
+            # gpos chromosome-relative like the unspliced branch.
+            gpos[spliced] = gstart - self.chrom_starts[self.sj_chrom[sj]]
+            intron[spliced] = np.where(
+                crosses, self.sj_acceptor_start[sj] - self.sj_donor_end[sj], 0)
+        return dict(chrom=chrom, gpos=gpos, spliced=spliced, intron_len=intron,
+                    junc_idx=junc_idx, donor_off=donor_off)
+
+    # ---------- construction ----------
+    @staticmethod
+    def build(seqs: dict[str, bytes], transcriptome: Transcriptome | None,
+              k: int = DEFAULT_K, stride: int = DEFAULT_STRIDE,
+              sj_overhang: int = 120) -> "GenomeIndex":
+        chrom_names = list(seqs)
+        chrom_codes = []
+        chrom_valid = []
+        starts = [0]
+        for name in chrom_names:
+            codes, valid = encode.encode_seqs(
+                np.frombuffer(seqs[name], dtype=np.uint8))
+            chrom_codes.append(codes)
+            chrom_valid.append(valid)
+            starts.append(starts[-1] + len(codes))
+        genome = np.concatenate(chrom_codes) if chrom_codes else np.zeros(0, np.uint8)
+        gvalid = np.concatenate(chrom_valid) if chrom_valid else np.zeros(0, bool)
+        chrom_starts = np.asarray(starts, np.int64)
+        genome_len = len(genome)
+        cidx = {n: i for i, n in enumerate(chrom_names)}
+
+        # Junction contigs from annotated introns.
+        sj_keys = sorted(transcriptome.junctions()) if transcriptome else []
+        sj_chrom, sj_donor, sj_acc, contigs, contig_valid = [], [], [], [], []
+        for (chrom, donor_end, acc_start) in sj_keys:
+            if chrom not in cidx:
+                continue
+            ci = cidx[chrom]
+            c0 = chrom_starts[ci]
+            clen = chrom_starts[ci + 1] - c0
+            ov = sj_overhang
+            d_lo, d_hi = max(0, donor_end - ov), donor_end
+            a_lo, a_hi = acc_start, min(clen, acc_start + ov)
+            if d_hi <= d_lo or a_hi <= a_lo or acc_start <= donor_end:
+                continue
+            left = genome[c0 + d_lo:c0 + d_hi]
+            right = genome[c0 + a_lo:c0 + a_hi]
+            lv = gvalid[c0 + d_lo:c0 + d_hi]
+            rv = gvalid[c0 + a_lo:c0 + a_hi]
+            # pad flanks to exactly ov so contig offsets are uniform
+            if len(left) < ov:
+                left = np.concatenate([np.zeros(ov - len(left), np.uint8), left])
+                lv = np.concatenate([np.zeros(ov - len(lv), bool), lv])
+            if len(right) < ov:
+                right = np.concatenate([right, np.zeros(ov - len(right), np.uint8)])
+                rv = np.concatenate([rv, np.zeros(ov - len(rv), bool)])
+            contigs.append(np.concatenate([left, right]))
+            contig_valid.append(np.concatenate([lv, rv]))
+            sj_chrom.append(ci)
+            sj_donor.append(c0 + donor_end)   # absolute text coords of genome copy
+            sj_acc.append(c0 + acc_start)
+
+        n_j = len(contigs)
+        contig_len = 2 * sj_overhang
+        sj_contig_start = genome_len + contig_len * np.arange(n_j, dtype=np.int64)
+        text = np.concatenate([genome] + contigs) if n_j else genome
+        text_valid = np.concatenate([gvalid] + contig_valid) if n_j else gvalid
+
+        # kmer index over the full text.
+        keys, pos = _build_kmer_table(text, text_valid, k, stride)
+        return GenomeIndex(
+            text=text, text_valid=text_valid, chrom_names=chrom_names,
+            chrom_starts=chrom_starts, genome_len=genome_len,
+            sj_contig_start=sj_contig_start, sj_overhang=sj_overhang,
+            sj_chrom=np.asarray(sj_chrom, np.int32),
+            sj_donor_end=np.asarray(sj_donor, np.int64),
+            sj_acceptor_start=np.asarray(sj_acc, np.int64),
+            k=k, stride=stride, kmer_keys=keys, kmer_pos=pos,
+        )
+
+    def save(self, path: str):
+        np.savez_compressed(
+            path, text=self.text, text_valid=np.packbits(self.text_valid),
+            text_len=len(self.text),
+            chrom_starts=self.chrom_starts, genome_len=self.genome_len,
+            sj_contig_start=self.sj_contig_start, sj_overhang=self.sj_overhang,
+            sj_chrom=self.sj_chrom, sj_donor_end=self.sj_donor_end,
+            sj_acceptor_start=self.sj_acceptor_start,
+            k=self.k, stride=self.stride,
+            kmer_keys=self.kmer_keys, kmer_pos=self.kmer_pos,
+            chrom_names=np.asarray(self.chrom_names),
+            version=INDEX_VERSION,
+        )
+
+    @staticmethod
+    def load(path: str) -> "GenomeIndex":
+        z = np.load(path, allow_pickle=False)
+        tlen = int(z["text_len"])
+        return GenomeIndex(
+            text=z["text"], text_valid=np.unpackbits(z["text_valid"])[:tlen].astype(bool),
+            chrom_names=[str(x) for x in z["chrom_names"]],
+            chrom_starts=z["chrom_starts"], genome_len=int(z["genome_len"]),
+            sj_contig_start=z["sj_contig_start"], sj_overhang=int(z["sj_overhang"]),
+            sj_chrom=z["sj_chrom"], sj_donor_end=z["sj_donor_end"],
+            sj_acceptor_start=z["sj_acceptor_start"],
+            k=int(z["k"]), stride=int(z["stride"]),
+            kmer_keys=z["kmer_keys"], kmer_pos=z["kmer_pos"],
+        )
+
+
+def _build_kmer_table(text: np.ndarray, valid: np.ndarray, k: int, stride: int):
+    """All (kmer, pos) at stride over text where all k bases are valid;
+    sorted by kmer (ties by position). Vectorized rolling pack."""
+    G = len(text)
+    if G < k:
+        return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+    n = G - k + 1
+    # rolling pack: kmer[p] = sum text[p+i] << 2*(k-1-i)
+    km = np.zeros(n, np.uint64)
+    for i in range(k):
+        km = (km << np.uint64(2)) | text[i:i + n].astype(np.uint64)
+    ok = np.ones(n, bool)
+    vv = valid.astype(np.uint8)
+    # valid window = all k positions valid: use cumsum
+    cs = np.concatenate([[0], np.cumsum(vv)])
+    ok = (cs[k:] - cs[:-k]) == k
+    pos = np.arange(0, n, stride, dtype=np.uint32)
+    pos = pos[ok[::stride][:len(pos)]]
+    keys = km[pos].astype(np.uint32)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], pos[order]

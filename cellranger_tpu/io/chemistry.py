@@ -1,0 +1,118 @@
+"""Chemistry registry: read-component geometry for 10x assay chemistries.
+
+Re-expresses the factual geometry constants of the reference's chemistry
+registry (lib/rust/cr_types/src/chemistry/chemistry_defs.json and enum
+ChemistryName at cr_types/src/chemistry/mod.rs:175) in our own model:
+a chemistry is a set of typed spans over the physical reads (R1/R2/I1/I2),
+naming where the cell barcode, UMI, and cDNA ("rna") live, which whitelist
+constrains the barcode, and library strandedness/endedness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Span:
+    """A located component on a physical read. length None = to end of read."""
+
+    read: str  # "R1" | "R2" | "I1" | "I2"
+    offset: int
+    length: int | None
+    min_length: int | None = None
+
+
+@dataclass(frozen=True)
+class BarcodeSegment:
+    span: Span
+    whitelist: str  # named whitelist (resolved by io.whitelist)
+    kind: str = "gel_bead"  # gel_bead | overhang | probe (RTL sample bc)
+
+
+@dataclass(frozen=True)
+class Chemistry:
+    name: str
+    description: str
+    barcode: tuple[BarcodeSegment, ...]
+    umi: Span
+    rna: Span
+    rna2: Span | None = None  # paired-end cDNA mate (5' PE)
+    strandedness: str = "+"  # read orientation vs transcript: + sense, - antisense
+    endedness: str = "three_prime"  # three_prime | five_prime
+
+    @property
+    def barcode_length(self) -> int:
+        return sum(b.span.length for b in self.barcode)
+
+    @property
+    def umi_length(self) -> int:
+        return self.umi.length
+
+    @property
+    def umi_min_length(self) -> int:
+        return self.umi.min_length if self.umi.min_length is not None else self.umi.length
+
+
+def _gb(whitelist: str, length: int = 16, read: str = "R1", offset: int = 0):
+    return (BarcodeSegment(Span(read, offset, length), whitelist),)
+
+
+_R = "737K-august-2016"  # 3'v2 + 5' gel-bead whitelist
+_V3 = "3M-february-2018"  # 3'v3
+_V4 = "3M-3pgex-may-2023"  # 3'v4
+_FRP = "737K-fixed-rna-profiling"  # RTL
+_ARC = "737K-arc-v1"  # multiome GEX
+
+# Geometry facts per chemistry_defs.json; field-by-field semantics match the
+# reference (barcode/umi/rna spans, whitelist names, strandedness, endedness).
+CHEMISTRY_DEFS: dict[str, Chemistry] = {}
+
+
+def _reg(c: Chemistry):
+    CHEMISTRY_DEFS[c.name] = c
+    return c
+
+
+_reg(Chemistry("SC3Pv2", "Single Cell 3' v2", _gb(_R),
+               umi=Span("R1", 16, 10), rna=Span("R2", 0, None), strandedness="+"))
+_reg(Chemistry("SC3Pv3", "Single Cell 3' v3", _gb(_V3),
+               umi=Span("R1", 16, 12, 10), rna=Span("R2", 0, None), strandedness="+"))
+_reg(Chemistry("SC3Pv3LT", "Single Cell 3' v3 LT", _gb("9K-LT-march-2021"),
+               umi=Span("R1", 16, 12, 10), rna=Span("R2", 0, None), strandedness="+"))
+_reg(Chemistry("SC3Pv3HT", "Single Cell 3' v3 HT", _gb("3M-february-2018"),
+               umi=Span("R1", 16, 12, 10), rna=Span("R2", 0, None), strandedness="+"))
+_reg(Chemistry("SC3Pv4", "Single Cell 3' v4", _gb(_V4),
+               umi=Span("R1", 16, 12, 10), rna=Span("R2", 0, None), strandedness="+"))
+_reg(Chemistry("SC5P-PE", "Single Cell 5' PE", _gb(_R),
+               umi=Span("R1", 16, 10), rna=Span("R1", 26, None),
+               rna2=Span("R2", 0, None), strandedness="+", endedness="five_prime"))
+_reg(Chemistry("SC5P-R2", "Single Cell 5' R2-only", _gb(_R),
+               umi=Span("R1", 16, 10), rna=Span("R2", 0, None),
+               strandedness="-", endedness="five_prime"))
+_reg(Chemistry("SC5P-R1", "Single Cell 5' R1-only", _gb(_R),
+               umi=Span("R1", 16, 10), rna=Span("R1", 26, None),
+               strandedness="+", endedness="five_prime"))
+_reg(Chemistry("SC-FB", "Single Cell 3' v2 or 5' Feature Barcode", _gb(_R),
+               umi=Span("R1", 16, 10), rna=Span("R2", 0, None),
+               strandedness="-", endedness="five_prime"))
+_reg(Chemistry("SFRP", "Fixed RNA Profiling (Singleplex)", _gb(_FRP),
+               umi=Span("R1", 16, 12, 10), rna=Span("R2", 0, 50, 30),
+               strandedness="-", endedness="three_prime"))
+_reg(Chemistry("ARC-v1", "Multiome GEX", _gb(_ARC),
+               umi=Span("R1", 16, 12, 10), rna=Span("R2", 0, None), strandedness="+"))
+_reg(Chemistry("SCVDJ", "Single Cell V(D)J", _gb(_R),
+               umi=Span("R1", 16, 10), rna=Span("R1", 41, None),
+               rna2=Span("R2", 0, None), strandedness="+", endedness="five_prime"))
+_reg(Chemistry("SCVDJ-R2", "Single Cell V(D)J R2-only", _gb(_R),
+               umi=Span("R1", 16, 10), rna=Span("R2", 0, None),
+               strandedness="-", endedness="five_prime"))
+
+
+def get_chemistry(name: str) -> Chemistry:
+    try:
+        return CHEMISTRY_DEFS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown chemistry {name!r}; known: {sorted(CHEMISTRY_DEFS)}"
+        ) from None

@@ -1,0 +1,239 @@
+"""Host-side FASTQ ingestion: parse gzip FASTQs into fixed-shape numpy
+batches with chemistry-driven barcode/UMI/cDNA extraction.
+
+TPU-first design: the device pipeline consumes *fixed-shape* batches
+(ReadBatch), so this module owns all ragged-to-rectangular conversion:
+reads are clipped/padded to a static length, short/empty slots masked.
+Mirrors the semantics of the reference's read model (RnaRead extraction per
+ChemistryDef, lib/rust/cr_types/src/rna_read.rs:276,525) without its
+per-read object model: everything is columnar numpy, ready for
+jax.device_put.
+
+The gzip decode + line split here is pure Python/numpy; a zlib C++ reader
+(cellranger_tpu/native) can be slotted under `iter_fastq_records` later
+without changing consumers.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from ..ops import encode
+from .chemistry import Chemistry, Span
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        # 1 MiB decompression buffering; dominates pure-python readline cost.
+        return gzip.open(path, "rb")
+    return open(path, "rb", buffering=1 << 20)
+
+
+def iter_fastq_records(path: str) -> Iterator[tuple[bytes, bytes, bytes]]:
+    """Yield (name, seq, qual) byte tuples from a (gzipped) FASTQ."""
+    with _open(path) as f:
+        reader = _io.BufferedReader(f, buffer_size=1 << 20) if path.endswith(".gz") else f
+        while True:
+            name = reader.readline()
+            if not name:
+                return
+            seq = reader.readline().rstrip(b"\n")
+            plus = reader.readline()
+            qual = reader.readline().rstrip(b"\n")
+            if not qual and not seq:
+                return
+            yield name[1:].split(b" ", 1)[0].rstrip(b"\n"), seq, qual
+
+
+@dataclass
+class ReadBatch:
+    """A fixed-shape batch of extracted reads (host numpy, columnar).
+
+    All arrays share leading dim B = batch size; `n_reads` <= B rows are
+    real, the rest are padding (mask semantics: slot_valid).
+    """
+
+    # barcode
+    bc_packed: np.ndarray        # uint32 [B] 2-bit packed (MSB-first)
+    bc_qual: np.ndarray          # uint8 [B, bc_len] phred+33
+    bc_exact: np.ndarray         # bool [B] all-ACGT barcode bases
+    # umi
+    umi_packed: np.ndarray       # uint32 [B]
+    umi_valid: np.ndarray        # bool [B] no-N and not homopolymer (umi/src/lib.rs:57-62)
+    umi_qual: np.ndarray         # uint8 [B, umi_len]
+    # cDNA
+    rna: np.ndarray              # uint8 [B, L] 2-bit codes (0 where pad/N)
+    rna_nmask: np.ndarray        # bool [B, L] true where real ACGT base
+    rna_len: np.ndarray          # int32 [B] clipped length
+    rna_qual: np.ndarray         # uint8 [B, L]
+    # bookkeeping
+    slot_valid: np.ndarray       # bool [B] row holds a real read
+    read_id: np.ndarray          # int64 [B] global ordinal of the read
+    n_reads: int
+
+    @property
+    def batch_size(self) -> int:
+        return len(self.bc_packed)
+
+
+def _extract_span(seqs: np.ndarray, quals: np.ndarray, lens: np.ndarray, span: Span,
+                  max_len: int | None = None):
+    """Slice a Span out of rectangularized read arrays.
+
+    seqs/quals: uint8 [B, Lmax] ASCII; lens: actual lengths.
+    Returns (ascii uint8 [B, n], qual uint8 [B, n], span_len int32 [B]).
+    """
+    if span.length is not None:
+        n = span.length
+    else:
+        n = seqs.shape[1] - span.offset
+        if max_len is not None:
+            n = min(n, max_len)
+    sl = seqs[:, span.offset:span.offset + n]
+    ql = quals[:, span.offset:span.offset + n]
+    span_len = np.clip(lens - span.offset, 0, n).astype(np.int32)
+    return sl, ql, span_len
+
+
+def _rectangularize(records: list[tuple[bytes, bytes]], width: int):
+    """[(seq, qual)] -> ascii uint8 [B, width] (0-padded), quals, lens."""
+    B = len(records)
+    seqs = np.zeros((B, width), dtype=np.uint8)
+    quals = np.full((B, width), ord("!"), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, (s, q) in enumerate(records):
+        L = min(len(s), width)
+        lens[i] = L
+        seqs[i, :L] = np.frombuffer(s[:L], dtype=np.uint8)
+        quals[i, :L] = np.frombuffer(q[:L], dtype=np.uint8)
+    return seqs, quals, lens
+
+
+def extract_batch(chem: Chemistry, r1: list[tuple[bytes, bytes]],
+                  r2: list[tuple[bytes, bytes]] | None,
+                  read_len: int, batch_size: int,
+                  start_read_id: int = 0) -> ReadBatch:
+    """Extract barcode/UMI/cDNA planes from raw R1 (+R2) records.
+
+    Pads to `batch_size` rows; cDNA clipped/padded to `read_len`.
+    """
+    n = len(r1)
+    assert n <= batch_size
+    bc_span = chem.barcode[0].span
+    umi_span = chem.umi
+    need_r1 = max(bc_span.offset + bc_span.length,
+                  umi_span.offset + umi_span.length,
+                  (chem.rna.offset + read_len) if chem.rna.read == "R1" else 0)
+    r1seq, r1qual, r1len = _rectangularize(r1, need_r1)
+
+    reads = {"R1": (r1seq, r1qual, r1len)}
+    if r2 is not None:
+        reads["R2"] = _rectangularize(r2, read_len + chem.rna.offset
+                                      if chem.rna.read == "R2" else read_len)
+
+    def span_arrays(span: Span, max_len=None):
+        s, q, l = reads[span.read]
+        return _extract_span(s, q, l, span, max_len=max_len)
+
+    # Barcode
+    bseq, bqual, blen = span_arrays(bc_span)
+    bcodes, bvalid = encode.encode_seqs(bseq)
+    bc_exact = bvalid.all(axis=1) & (blen == bc_span.length)
+    bc_packed = encode.pack_codes_np(bcodes, bc_span.length)
+
+    # UMI
+    useq, uqual, ulen = span_arrays(umi_span)
+    ucodes, uvalid_b = encode.encode_seqs(useq)
+    min_u = chem.umi_min_length
+    umi_len_arr = np.asarray(ulen)
+    # bases beyond actual length are pad: treat as invalid
+    pos = np.arange(umi_span.length)[None, :]
+    in_len = pos < umi_len_arr[:, None]
+    has_bad = ((~uvalid_b) & in_len).any(axis=1)
+    long_enough = umi_len_arr >= min_u
+    # homopolymer check over the real span
+    first = ucodes[:, :1]
+    homo = np.logical_or.reduce(
+        [(ucodes == first).all(axis=1)]) if umi_span.length > 1 else np.ones(n, bool)
+    same = (ucodes == first) | ~in_len
+    homo = same.all(axis=1)
+    umi_valid = (~has_bad) & long_enough & (~homo)
+    # pack with pad bases zeroed (A); length-12 packing of shorter UMIs keeps
+    # the real bases in the high bits.
+    umi_packed = encode.pack_codes_np(np.where(in_len, ucodes, 0), umi_span.length)
+
+    # cDNA
+    cseq, cqual, clen = span_arrays(chem.rna, max_len=read_len)
+    ccodes, cvalid = encode.encode_seqs(cseq)
+    W = cseq.shape[1]
+    if W < read_len:
+        padw = read_len - W
+        ccodes = np.pad(ccodes, ((0, 0), (0, padw)))
+        cvalid = np.pad(cvalid, ((0, 0), (0, padw)))
+        cqual = np.pad(cqual, ((0, 0), (0, padw)), constant_values=ord("!"))
+    cpos = np.arange(read_len)[None, :]
+    nmask = cvalid & (cpos < clen[:, None])
+
+    def padb(a, fill=0):
+        if len(a) == batch_size:
+            return a
+        pad_shape = (batch_size - len(a),) + a.shape[1:]
+        return np.concatenate([a, np.full(pad_shape, fill, dtype=a.dtype)])
+
+    slot_valid = np.zeros(batch_size, bool)
+    slot_valid[:n] = True
+    return ReadBatch(
+        bc_packed=padb(bc_packed), bc_qual=padb(bqual), bc_exact=padb(bc_exact.astype(bool)),
+        umi_packed=padb(umi_packed), umi_valid=padb(umi_valid.astype(bool)),
+        umi_qual=padb(uqual),
+        rna=padb(ccodes[:, :read_len]), rna_nmask=padb(nmask[:, :read_len]),
+        rna_len=padb(clen), rna_qual=padb(cqual[:, :read_len]),
+        slot_valid=slot_valid,
+        read_id=padb(np.arange(start_read_id, start_read_id + n, dtype=np.int64), -1),
+        n_reads=n,
+    )
+
+
+def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
+                        batch_size: int, read_len: int) -> Iterator[ReadBatch]:
+    """Stream ReadBatches from a (R1, R2) FASTQ pair."""
+    it1 = iter_fastq_records(r1_path)
+    it2 = iter_fastq_records(r2_path) if r2_path else None
+    next_id = 0
+    while True:
+        r1, r2 = [], ([] if it2 else None)
+        for rec in it1:
+            r1.append((rec[1], rec[2]))
+            if it2 is not None:
+                rec2 = next(it2, None)
+                if rec2 is None:
+                    raise ValueError("R1/R2 FASTQ length mismatch")
+                r2.append((rec2[1], rec2[2]))
+            if len(r1) == batch_size:
+                break
+        if not r1:
+            return
+        yield extract_batch(chem, r1, r2, read_len, batch_size, next_id)
+        next_id += len(r1)
+        if len(r1) < batch_size:
+            return
+
+
+def find_fastqs(directory: str, sample: str | None = None):
+    """Discover Illumina bcl2fastq-style FASTQ pairs in a directory
+    (mirrors cr_wrap/src/fastqs.rs discovery: <sample>_S*_L*_R{1,2}_*.fastq.gz)."""
+    out = []
+    for fn in sorted(os.listdir(directory)):
+        if "_R1_" in fn and (fn.endswith(".fastq.gz") or fn.endswith(".fastq")):
+            if sample and not fn.startswith(sample + "_"):
+                continue
+            r2 = fn.replace("_R1_", "_R2_")
+            r2p = os.path.join(directory, r2)
+            out.append((os.path.join(directory, fn), r2p if os.path.exists(r2p) else None))
+    return out

@@ -1,0 +1,116 @@
+"""Device barcode ops: whitelist membership + posterior Hamming-1 correction.
+
+TPU-native formulation of the reference's barcode machinery:
+  * membership (barcode/src/whitelist.rs:494 check_and_update) becomes a
+    vectorized binary search of packed uint32 barcodes against the sorted
+    whitelist resident in HBM — O(log W) per read, fully batched;
+  * correction (barcode/src/corrector.rs:111-164, the `Posterior` strategy)
+    becomes a dense [B, L, 3] candidate tensor: every 1-Hamming mutant is
+    bc ^ (d << shift) for d in {1,2,3} in 2-bit code space, scored by
+    P(error|qual) * (count+1) with Laplace smoothing, accepted when
+    best/total >= 0.975 (corrector.rs:83). Ties on likelihood resolve to the
+    lexicographically larger barcode, matching the reference's
+    max((likelihood, bc)) tuple ordering (corrector.rs:144-148).
+
+All shapes static; everything under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    BARCODE_CONFIDENCE_THRESHOLD,
+    BC_MAX_QV,
+    ILLUMINA_QUAL_OFFSET,
+)
+
+
+def whitelist_lookup(packed: jnp.ndarray, wl_sorted: jnp.ndarray):
+    """Binary-search membership of packed barcodes in a sorted whitelist.
+
+    packed: uint32 [...]; wl_sorted: uint32 [W] ascending.
+    Returns (is_member bool [...], index int32 [...] into wl_sorted; -1 miss).
+    """
+    idx = jnp.searchsorted(wl_sorted, packed)
+    idx_c = jnp.minimum(idx, wl_sorted.shape[0] - 1).astype(jnp.int32)
+    hit = wl_sorted[idx_c] == packed
+    return hit, jnp.where(hit, idx_c, -1)
+
+
+def qual_error_prob(qual: jnp.ndarray) -> jnp.ndarray:
+    """Phred ASCII qual -> error probability, capped at QV 66
+    (corrector.rs:8,127,169-173)."""
+    q = jnp.minimum(qual, BC_MAX_QV).astype(jnp.float32)
+    return jnp.power(10.0, -(q - ILLUMINA_QUAL_OFFSET) / 10.0)
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def correct_barcodes(
+    packed: jnp.ndarray,      # uint32 [B] observed (invalid) barcodes
+    quals: jnp.ndarray,       # uint8 [B, length] phred+33 quality values
+    wl_sorted: jnp.ndarray,   # uint32 [W]
+    wl_counts: jnp.ndarray,   # int32/float32 [W] observed valid-bc counts
+    length: int,
+):
+    """Posterior 1-Hamming correction of a batch of non-whitelist barcodes.
+
+    Returns (corrected_packed uint32 [B], corrected_idx int32 [B],
+    accepted bool [B]). Unaccepted rows return the input barcode and idx -1.
+    """
+    B = packed.shape[0]
+    # Candidate mutants: bc ^ (d << (2*(length-1-pos))) for d in 1..3.
+    pos = jnp.arange(length, dtype=jnp.uint32)
+    shifts = (2 * (length - 1 - pos)).astype(jnp.uint32)  # [L]
+    d = jnp.arange(1, 4, dtype=jnp.uint32)  # [3]
+    xor = (d[None, :] << shifts[:, None]).astype(jnp.uint32)  # [L, 3]
+    cands = packed[:, None, None] ^ xor[None, :, :]  # [B, L, 3]
+
+    is_member, idx = whitelist_lookup(cands, wl_sorted)  # [B, L, 3]
+    counts = jnp.where(is_member, wl_counts[jnp.maximum(idx, 0)], 0)
+
+    prob_edit = qual_error_prob(quals)  # [B, L]
+    # Laplace smoothing: likelihood = P(err) * (count + 1), members only.
+    like = jnp.where(
+        is_member, prob_edit[:, :, None] * (counts.astype(jnp.float32) + 1.0), 0.0
+    )  # [B, L, 3]
+
+    flat_like = like.reshape(B, -1)
+    flat_cand = cands.reshape(B, -1)
+    flat_idx = idx.reshape(B, -1)
+    total = jnp.sum(flat_like, axis=1)
+
+    # argmax over (likelihood, candidate value): strictly-greater likelihood
+    # wins; equal likelihood resolves to larger packed barcode.
+    max_like = jnp.max(flat_like, axis=1, keepdims=True)
+    at_max = flat_like >= max_like
+    best_cand_val = jnp.max(
+        jnp.where(at_max, flat_cand, jnp.uint32(0)), axis=1
+    )
+    best_pos = jnp.argmax(
+        jnp.where(at_max & (flat_cand == best_cand_val[:, None]), 1, 0), axis=1
+    )
+    take = lambda a: jnp.take_along_axis(a, best_pos[:, None], axis=1)[:, 0]
+    best_like = take(flat_like)
+    best_idx = take(flat_idx)
+    best_cand = take(flat_cand)
+
+    accepted = (total > 0) & (
+        best_like / jnp.maximum(total, 1e-30) >= BARCODE_CONFIDENCE_THRESHOLD
+    )
+    out_bc = jnp.where(accepted, best_cand, packed)
+    out_idx = jnp.where(accepted, best_idx, -1)
+    return out_bc, out_idx, accepted
+
+
+def count_valid_barcodes(idx: jnp.ndarray, valid: jnp.ndarray, wl_size: int):
+    """Histogram whitelist indices of valid reads -> int32 [W] counts.
+    Device scatter-add (the 'bc_counts' prior for correction,
+    corrector.rs:14-16)."""
+    contrib = valid.astype(jnp.int32)
+    return jnp.zeros((wl_size,), jnp.int32).at[jnp.maximum(idx, 0)].add(
+        jnp.where(idx >= 0, contrib, 0)
+    )
