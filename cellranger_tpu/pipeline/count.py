@@ -1,0 +1,272 @@
+"""The `count` pipeline: FASTQ -> filtered feature x barcode matrix.
+
+In-process TPU-native re-design of the reference's counting pipeline
+(mro/rna/_slfe_matrix_computer.mro:25 + _basic_sc_rna_counter.mro:12).
+Instead of Martian stages communicating via shardio files on disk, the run
+is two streaming passes of fixed-shape device batches plus one global
+device dedup:
+
+  pass 1 (== MAKE_SHARD, make_shard.rs:169): extract + whitelist-count the
+      valid barcodes (the correction prior);
+  pass 2 (== BARCODE_CORRECTION + ALIGN_AND_COUNT): one fused jit step per
+      batch — posterior barcode correction, seed/extend alignment,
+      annotation — emitting per-read molecule keys;
+  dedup (== the per-barcode DupMarker, mark_dups.rs): one global sorted
+      dedup over all conf-mapped reads;
+  outputs: raw/filtered matrix h5 + MEX, cell calls, metrics JSON.
+
+Multi-chip: batches shard over the mesh data axis; the whitelist count
+histogram and molecule table merge with psum/all-gather (see parallel/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..align.aligner import DeviceIndex, make_aligner
+from ..align.annotate import AnnotationIndex, make_annotator, REGION_EXONIC, \
+    REGION_INTRONIC, REGION_INTERGENIC
+from ..align.index import GenomeIndex
+from ..analysis import cell_calling
+from ..io.chemistry import Chemistry, get_chemistry
+from ..io.fastq import ReadBatch, batches_from_fastqs, find_fastqs
+from ..io.matrix_io import CountMatrix, FeatureReference
+from ..io.reference import ReferencePackage
+from ..io.whitelist import Whitelist
+from ..ops import barcode as bcops
+from ..ops.dedup import dedup_molecules
+from ..ops import encode
+
+
+@dataclass
+class CountConfig:
+    fastq_pairs: list[tuple[str, str | None]]
+    reference_path: str
+    whitelist_path: str | None = None
+    chemistry: str = "SC3Pv3"
+    read_len: int = 91
+    batch_size: int = 8192
+    recovered_cells: int | None = None
+    force_cells: int | None = None
+    sample_id: str = "sample"
+    gem_group: int = 1
+
+
+@dataclass
+class CountMetrics:
+    total_reads: int = 0
+    valid_barcode_reads: int = 0
+    corrected_barcode_reads: int = 0
+    valid_umi_reads: int = 0
+    mapped_reads: int = 0
+    conf_mapped_reads: int = 0
+    exonic_reads: int = 0
+    intronic_reads: int = 0
+    intergenic_reads: int = 0
+    antisense_reads: int = 0
+    usable_reads: int = 0  # valid bc + valid umi + conf mapped
+    total_molecules: int = 0
+
+    def to_dict(self, extra: dict | None = None) -> dict:
+        d = dict(self.__dict__)
+        t = max(self.total_reads, 1)
+        d["valid_barcode_frac"] = self.valid_barcode_reads / t
+        d["valid_umi_frac"] = self.valid_umi_reads / t
+        d["mapped_frac"] = self.mapped_reads / t
+        d["conf_mapped_frac"] = self.conf_mapped_reads / t
+        d["antisense_frac"] = self.antisense_reads / t
+        d["sequencing_saturation"] = (
+            1.0 - self.total_molecules / self.usable_reads
+            if self.usable_reads else 0.0)
+        if extra:
+            d.update(extra)
+        return d
+
+
+def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
+               chem: Chemistry, read_len: int):
+    """Fused jit step: correct barcodes + align + annotate one batch."""
+    align = make_aligner(didx, read_len)
+    annotate = make_annotator(ann_idx, didx.genome_len, didx.sj_overhang,
+                              chem.strandedness)
+    bc_len = chem.barcode_length
+
+    @jax.jit
+    def step(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
+             rna, rna_nmask, slot_valid, wl_sorted, wl_counts):
+        hit, idx = bcops.whitelist_lookup(bc_packed, wl_sorted)
+        corr_bc, corr_idx, corrected = bcops.correct_barcodes(
+            bc_packed, bc_qual, wl_sorted, wl_counts, bc_len)
+        bc_ok = (hit | corrected) & slot_valid
+        bc_idx = jnp.where(hit, idx, corr_idx)
+
+        aln = align(rna, rna_nmask)
+        ann = annotate(aln["pos"], aln["aln_len"], aln["strand"],
+                       aln["mapq"], aln["mapped"])
+
+        conf_ok = (ann["conf_mapped"] & bc_ok & umi_valid & slot_valid)
+        mapped = aln["mapped"] & slot_valid
+        m = dict(
+            n_valid_bc=jnp.sum((hit & slot_valid).astype(jnp.int32)),
+            n_corrected=jnp.sum((corrected & ~hit & slot_valid).astype(jnp.int32)),
+            n_valid_umi=jnp.sum((umi_valid & slot_valid).astype(jnp.int32)),
+            n_mapped=jnp.sum(mapped.astype(jnp.int32)),
+            n_conf=jnp.sum((ann["conf_mapped"] & slot_valid).astype(jnp.int32)),
+            n_exonic=jnp.sum((mapped & (ann["region"] == REGION_EXONIC)).astype(jnp.int32)),
+            n_intronic=jnp.sum((mapped & (ann["region"] == REGION_INTRONIC)).astype(jnp.int32)),
+            n_intergenic=jnp.sum((mapped & (ann["region"] == REGION_INTERGENIC)).astype(jnp.int32)),
+            n_antisense=jnp.sum((mapped & ann["antisense"]).astype(jnp.int32)),
+            n_usable=jnp.sum(conf_ok.astype(jnp.int32)),
+        )
+        return dict(
+            bc_idx=bc_idx.astype(jnp.uint32),
+            gene=jnp.maximum(ann["gene"], 0).astype(jnp.uint32),
+            umi=umi_packed,
+            conf_ok=conf_ok,
+            pos=aln["pos"], mapq=aln["mapq"], strand=aln["strand"],
+            aln_len=aln["aln_len"], aln_start=aln["aln_start"],
+            region=ann["region"], antisense=ann["antisense"],
+            corrected_bc=corr_bc, bc_ok=bc_ok,
+            metrics=m,
+        )
+
+    return step
+
+
+def _pow2_pad(n: int, minimum: int = 1024) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def run_count(cfg: CountConfig, out_dir: str,
+              whitelist: Whitelist | None = None) -> dict:
+    """Run the full count pipeline; writes outputs into out_dir and returns
+    the metrics dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+    chem = get_chemistry(cfg.chemistry)
+    ref = ReferencePackage.load(cfg.reference_path)
+    if whitelist is None:
+        whitelist = Whitelist.load(cfg.whitelist_path)
+
+    gi = ref.genome_index
+    didx = DeviceIndex.from_host(gi)
+    ann_idx = AnnotationIndex.build(ref.transcriptome, gi)
+    features = FeatureReference.from_transcriptome(
+        ref.transcriptome.gene_ids, ref.transcriptome.gene_names,
+        ref.genome_name)
+    step = _make_step(didx, ann_idx, whitelist.size, chem, cfg.read_len)
+    wl_sorted = jnp.asarray(whitelist.sorted_seqs)
+
+    # ---- pass 1: extract + count valid barcodes (the correction prior) ----
+    cached: list[ReadBatch] = []
+    wl_counts = jnp.zeros((whitelist.size,), jnp.int32)
+    for (r1, r2) in cfg.fastq_pairs:
+        for batch in batches_from_fastqs(chem, r1, r2, cfg.batch_size, cfg.read_len):
+            hit, idx = bcops.whitelist_lookup(jnp.asarray(batch.bc_packed), wl_sorted)
+            wl_counts = wl_counts + bcops.count_valid_barcodes(
+                idx, jnp.asarray(batch.slot_valid), whitelist.size)
+            cached.append(batch)
+
+    # ---- pass 2: fused correct/align/annotate ----
+    metrics = CountMetrics()
+    mol_bc, mol_gene, mol_umi = [], [], []
+    per_read = []  # for BAM writing later
+    for batch in cached:
+        out = step(jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
+                   jnp.asarray(batch.bc_exact), jnp.asarray(batch.umi_packed),
+                   jnp.asarray(batch.umi_valid), jnp.asarray(batch.rna),
+                   jnp.asarray(batch.rna_nmask), jnp.asarray(batch.slot_valid),
+                   wl_sorted, wl_counts)
+        m = {k: int(v) for k, v in out["metrics"].items()}
+        metrics.total_reads += batch.n_reads
+        metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
+        metrics.corrected_barcode_reads += m["n_corrected"]
+        metrics.valid_umi_reads += m["n_valid_umi"]
+        metrics.mapped_reads += m["n_mapped"]
+        metrics.conf_mapped_reads += m["n_conf"]
+        metrics.exonic_reads += m["n_exonic"]
+        metrics.intronic_reads += m["n_intronic"]
+        metrics.intergenic_reads += m["n_intergenic"]
+        metrics.antisense_reads += m["n_antisense"]
+        metrics.usable_reads += m["n_usable"]
+        conf = np.asarray(out["conf_ok"])
+        mol_bc.append(np.asarray(out["bc_idx"])[conf])
+        mol_gene.append(np.asarray(out["gene"])[conf])
+        mol_umi.append(np.asarray(out["umi"])[conf])
+
+    # ---- global dedup ----
+    bc_all = np.concatenate(mol_bc) if mol_bc else np.zeros(0, np.uint32)
+    gene_all = np.concatenate(mol_gene) if mol_gene else np.zeros(0, np.uint32)
+    umi_all = np.concatenate(mol_umi) if mol_umi else np.zeros(0, np.uint32)
+    N = _pow2_pad(max(len(bc_all), 1))
+    pad = N - len(bc_all)
+    dd = dedup_molecules(
+        jnp.asarray(np.pad(bc_all, (0, pad))),
+        jnp.asarray(np.pad(gene_all, (0, pad))),
+        jnp.asarray(np.pad(umi_all, (0, pad))),
+        jnp.asarray(np.pad(np.ones(len(bc_all), bool), (0, pad))),
+        chem.umi_length)
+    valid = np.asarray(dd["mol_valid"])
+    mbc = np.asarray(dd["mol_bc"])[valid]
+    mgene = np.asarray(dd["mol_gene"])[valid]
+    mumi = np.asarray(dd["mol_umi"])[valid]
+    mreads = np.asarray(dd["mol_reads"])[valid]
+    metrics.total_molecules = int(len(mbc))
+
+    # ---- matrix assembly over the full whitelist barcode space ----
+    suffix = f"-{cfg.gem_group}".encode()
+    barcodes = [encode.decode_codes(encode.unpack_np(s, whitelist.length)) + suffix
+                for s in whitelist.sorted_seqs]
+    raw = CountMatrix.from_molecules(mbc.astype(np.int64), mgene.astype(np.int64),
+                                     barcodes, features)
+    raw.save_h5(os.path.join(out_dir, "raw_feature_bc_matrix.h5"),
+                chemistry_description=chem.description)
+    raw.save_mex(os.path.join(out_dir, "raw_feature_bc_matrix"))
+
+    # ---- cell calling ----
+    umis_per_bc = raw.counts_per_bc()
+    cells_idx, call_metrics = cell_calling.call_cells(
+        raw.m, umis_per_bc, cfg.chemistry,
+        recovered_cells=cfg.recovered_cells, force_cells=cfg.force_cells)
+    filtered = raw.select_barcodes(cells_idx)
+    filtered.save_h5(os.path.join(out_dir, "filtered_feature_bc_matrix.h5"),
+                     chemistry_description=chem.description)
+    filtered.save_mex(os.path.join(out_dir, "filtered_feature_bc_matrix"))
+
+    # ---- summary metrics ----
+    cell_mask = np.zeros(whitelist.size, bool)
+    cell_mask[cells_idx] = True
+    in_cell = cell_mask[mbc]
+    umis_in_cells = raw.counts_per_bc()[cells_idx]
+    genes_per_cell = np.asarray((filtered.m > 0).sum(axis=0)).ravel()
+    extra = dict(call_metrics)
+    extra.update({
+        "estimated_cells": int(len(cells_idx)),
+        "mean_reads_per_cell": float(metrics.total_reads / max(len(cells_idx), 1)),
+        "median_umis_per_cell": float(np.median(umis_in_cells)) if len(cells_idx) else 0.0,
+        "median_genes_per_cell": float(np.median(genes_per_cell)) if len(cells_idx) else 0.0,
+        "total_genes_detected": int((raw.counts_per_feature() > 0).sum()),
+        "reads_in_cells_frac": float(mreads[in_cell].sum() / max(mreads.sum(), 1)),
+        "wall_time_s": time.time() - t0,
+        "sample_id": cfg.sample_id,
+        "chemistry": cfg.chemistry,
+    })
+    summary = metrics.to_dict(extra)
+    with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+
+    # filtered barcodes csv (reference: filtered_barcodes.csv)
+    with open(os.path.join(out_dir, "filtered_barcodes.csv"), "w") as f:
+        for b in filtered.barcodes:
+            f.write(ref.genome_name + "," + b.decode() + "\n")
+    return summary

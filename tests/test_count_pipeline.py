@@ -1,0 +1,139 @@
+"""End-to-end count pipeline on a synthetic run with known ground truth."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cellranger_tpu.io.gtf import write_fasta
+from cellranger_tpu.io.matrix_io import CountMatrix
+from cellranger_tpu.io.reference import ReferencePackage
+from cellranger_tpu.io.whitelist import Whitelist
+from cellranger_tpu.pipeline.count import CountConfig, run_count
+
+from util import random_genome, revcomp, make_two_gene_gtf
+
+READ_LEN = 91
+
+
+@pytest.fixture(scope="module")
+def synthetic_run(tmp_path_factory):
+    """Genome + reference package + FASTQs with known per-cell truth."""
+    root = tmp_path_factory.mktemp("run")
+    rng = np.random.default_rng(99)
+    genome = random_genome(rng, 12_000)
+    write_fasta(str(root / "genome.fa"), {"chr1": genome})
+    make_two_gene_gtf(str(root / "genes.gtf"))
+    ref = ReferencePackage.build(str(root / "genome.fa"), str(root / "genes.gtf"),
+                                 str(root / "ref"), genome_name="testg")
+
+    wl_seqs = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(420)})[:400]
+    wl_path = str(root / "wl.txt")
+    with open(wl_path, "w") as f:
+        f.writelines(s + "\n" for s in wl_seqs)
+
+    # ground truth: 30 cells x both genes; ambient barcodes with 1-2 reads
+    cells = wl_seqs[:30]
+    ambient = wl_seqs[30:230]
+    truth = {}  # (bc, gene_idx) -> umi count
+    reads = []  # (bc, umi, cdna)
+
+    def gene_a_read():
+        # exon1 [1000,1400): sense = fwd strand read
+        p = int(rng.integers(1000, 1400 - READ_LEN))
+        return genome[p:p + READ_LEN].decode()
+
+    def gene_a_spliced_read():
+        left = int(rng.integers(30, 60))
+        return (genome[1400 - left:1400] + genome[2200:2200 + READ_LEN - left]).decode()
+
+    def gene_b_read():
+        # GeneB strand '-': sense read is revcomp of genomic segment
+        p = int(rng.integers(5000, 5800 - READ_LEN))
+        return revcomp(genome[p:p + READ_LEN]).decode()
+
+    def fresh_umis(n, used):
+        """n random 12bp UMIs pairwise Hamming>=2 apart within a barcode so
+        dedup must not merge them (dedup behavior itself is covered by
+        test_dedup.py against the spec oracle)."""
+        out = []
+        while len(out) < n:
+            u = "".join(rng.choice(list("ACGT"), 12))
+            if len(set(u)) == 1:
+                continue
+            ok = all(sum(a != b for a, b in zip(u, v)) >= 2 for v in used)
+            if ok:
+                used.append(u)
+                out.append(u)
+        return out
+
+    for ci, bc in enumerate(cells):
+        n_a = int(rng.integers(8, 20))
+        n_b = int(rng.integers(5, 15))
+        truth[(bc, 0)] = n_a
+        truth[(bc, 1)] = n_b
+        used = []
+        for u, umi in enumerate(fresh_umis(n_a, used)):
+            maker = gene_a_spliced_read if u % 3 == 0 else gene_a_read
+            for _ in range(int(rng.integers(1, 4))):  # 1-3 dup reads per umi
+                reads.append((bc, umi, maker()))
+        for umi in fresh_umis(n_b, used):
+            for _ in range(int(rng.integers(1, 4))):
+                reads.append((bc, umi, gene_b_read()))
+    for ai, bc in enumerate(ambient):
+        umi = "".join(rng.choice(list("ACGT"), 12))
+        reads.append((bc, umi, gene_a_read()))
+
+    order = rng.permutation(len(reads))
+    r1p, r2p = str(root / "S_S1_L001_R1_001.fastq.gz"), str(root / "S_S1_L001_R2_001.fastq.gz")
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        for i in order:
+            bc, umi, cdna = reads[i]
+            f1.write(f"@r{i}\n{bc}{umi}\n+\n{'F' * 28}\n")
+            f2.write(f"@r{i}\n{cdna}\n+\n{'F' * len(cdna)}\n")
+
+    return dict(root=root, ref=str(root / "ref"), wl=wl_path, r1=r1p, r2=r2p,
+                truth=truth, cells=cells, ambient=ambient, wl_seqs=wl_seqs,
+                n_reads=len(reads))
+
+
+def test_count_end_to_end(synthetic_run, tmp_path):
+    s = synthetic_run
+    out = str(tmp_path / "out")
+    cfg = CountConfig(fastq_pairs=[(s["r1"], s["r2"])], reference_path=s["ref"],
+                      whitelist_path=s["wl"], chemistry="SC3Pv3",
+                      read_len=READ_LEN, batch_size=2048)
+    summary = run_count(cfg, out)
+
+    assert summary["total_reads"] == s["n_reads"]
+    assert summary["valid_barcode_frac"] == 1.0
+    assert summary["mapped_frac"] > 0.99
+    assert summary["conf_mapped_frac"] > 0.95
+
+    raw = CountMatrix.load_h5(os.path.join(out, "raw_feature_bc_matrix.h5"))
+    assert raw.features.ids == ["GA", "GB"]
+    bc_to_col = {b: i for i, b in enumerate(raw.barcodes)}
+    m = raw.m.toarray()
+    errors = []
+    for (bc, g), n in s["truth"].items():
+        col = bc_to_col[bc.encode() + b"-1"]
+        if m[g, col] != n:
+            errors.append((bc, g, int(m[g, col]), n))
+    assert not errors, f"count mismatches: {errors[:10]}"
+
+    # cell calling finds the 30 big cells (ordmag's bootstrap may pull in a
+    # stray ambient barcode or two; that's faithful estimator behavior)
+    filt = CountMatrix.load_h5(os.path.join(out, "filtered_feature_bc_matrix.h5"))
+    called = {b.decode()[:-2] for b in filt.barcodes}
+    assert called >= set(s["cells"])
+    assert len(called) <= 32
+
+    # metrics file exists and is self-consistent
+    with open(os.path.join(out, "metrics_summary.json")) as f:
+        mj = json.load(f)
+    assert 30 <= mj["estimated_cells"] <= 32
+    total_truth_umis = sum(s["truth"].values())
+    assert int(raw.m[:, [bc_to_col[c.encode() + b"-1"] for c in s["cells"]]].sum()) \
+        == total_truth_umis
