@@ -1,0 +1,78 @@
+"""Device mesh + sharded execution of the counting step.
+
+Replaces the reference's process/cluster parallelism (SURVEY §2.7: Martian
+chunk fan-out P1, shardio barcode shuffle P2/P3, metric merge trees P5) with
+a jax.sharding mesh:
+
+  * reads are data-parallel across the `data` axis (each chip aligns its own
+    batch slice against a replicated index) — the analog of one Martian
+    ALIGN_AND_COUNT chunk per 15M reads;
+  * the whitelist count histogram and scalar metrics are partial per chip
+    and merged with psum — the analog of join()'s Metric::merge;
+  * the molecule table stays sharded (each chip's conf-mapped reads), and
+    the global dedup runs on re-sharded sorted keys (round 2: all_to_all by
+    barcode range, the shardio shuffle analog).
+
+Everything compiles under jit over the mesh via shard_map, so XLA inserts
+the collectives; no hand-written NCCL-style communication.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def shard_batch_arrays(mesh: Mesh, arrays: dict, axis: str = "data") -> dict:
+    """Place batch arrays sharded on dim 0 across the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+
+
+def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data"):
+    """Wrap the fused count step for SPMD execution: batch dims sharded,
+    whitelist arrays replicated, metrics psummed across chips."""
+
+    def spmd(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
+             rna, rna_nmask, slot_valid, wl_sorted, wl_counts):
+        out = step_fn(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
+                      rna, rna_nmask, slot_valid, wl_sorted, wl_counts)
+        out["metrics"] = jax.tree.map(
+            lambda x: jax.lax.psum(x, axis), out["metrics"])
+        return out
+
+    batch_spec = [P(axis)] * 8 + [P(None), P(None)]
+    out_spec = dict(
+        bc_idx=P(axis), gene=P(axis), umi=P(axis), conf_ok=P(axis),
+        pos=P(axis), mapq=P(axis), strand=P(axis), aln_len=P(axis),
+        aln_start=P(axis), region=P(axis), antisense=P(axis),
+        corrected_bc=P(axis), bc_ok=P(axis),
+        metrics=jax.tree.map(lambda _: P(), dict(
+            n_valid_bc=0, n_corrected=0, n_valid_umi=0, n_mapped=0,
+            n_conf=0, n_exonic=0, n_intronic=0, n_intergenic=0,
+            n_antisense=0, n_usable=0)),
+    )
+    return jax.jit(jax.shard_map(
+        spmd, mesh=mesh, in_specs=tuple(batch_spec), out_specs=out_spec,
+        check_vma=False))
+
+
+def make_sharded_bc_histogram(mesh: Mesh, wl_size: int, axis: str = "data"):
+    """Sharded pass-1 whitelist counting: each chip histograms its batch
+    slice, psum merges (the Metric::merge analog of MAKE_SHARD's join)."""
+    from ..ops.barcode import count_valid_barcodes
+
+    def f(idx, valid):
+        h = count_valid_barcodes(idx, valid, wl_size)
+        return jax.lax.psum(h, axis)
+
+    return jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(P(axis), P(axis)),
+                                 out_specs=P(), check_vma=False))

@@ -38,6 +38,7 @@ from ..analysis import cell_calling
 from ..io.chemistry import Chemistry, get_chemistry
 from ..io.fastq import ReadBatch, batches_from_fastqs, find_fastqs
 from ..io.matrix_io import CountMatrix, FeatureReference
+from ..io.molecule_info import save_molecule_info
 from ..io.reference import ReferencePackage
 from ..io.whitelist import Whitelist
 from ..ops import barcode as bcops
@@ -242,6 +243,16 @@ def run_count(cfg: CountConfig, out_dir: str,
     filtered.save_h5(os.path.join(out_dir, "filtered_feature_bc_matrix.h5"),
                      chemistry_description=chem.description)
     filtered.save_mex(os.path.join(out_dir, "filtered_feature_bc_matrix"))
+
+    # ---- molecule_info.h5 ----
+    save_molecule_info(
+        os.path.join(out_dir, "molecule_info.h5"),
+        barcode_idx=mbc, feature_idx=mgene, umi=mumi, count=mreads,
+        barcodes=barcodes, features=features, gem_group=cfg.gem_group,
+        pass_filter_bc_idx=np.asarray(cells_idx, np.uint64),
+        metrics={"total_reads": metrics.total_reads,
+                 "usable_read_pairs": metrics.usable_reads,
+                 "chemistry": cfg.chemistry, "sample_id": cfg.sample_id})
 
     # ---- summary metrics ----
     cell_mask = np.zeros(whitelist.size, bool)

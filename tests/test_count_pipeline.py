@@ -134,6 +134,19 @@ def test_count_end_to_end(synthetic_run, tmp_path):
     with open(os.path.join(out, "metrics_summary.json")) as f:
         mj = json.load(f)
     assert 30 <= mj["estimated_cells"] <= 32
+
+    # molecule_info.h5 round-trips and agrees with the matrix
+    from cellranger_tpu.io.molecule_info import load_molecule_info
+    mi = load_molecule_info(os.path.join(out, "molecule_info.h5"))
+    assert mi["file_version"] == 6
+    assert len(mi["barcode_idx"]) == mj["total_molecules"]
+    # per-(bc,gene) molecule counts match matrix entries
+    import collections
+    mc = collections.Counter(zip(mi["barcode_idx"].tolist(),
+                                 mi["feature_idx"].tolist()))
+    for (bci, g), n in list(mc.items())[:50]:
+        assert raw.m[g, bci] == n
+    assert (np.diff(mi["barcode_idx"]) >= 0).all(), "molecules sorted by bc"
     total_truth_umis = sum(s["truth"].values())
     assert int(raw.m[:, [bc_to_col[c.encode() + b"-1"] for c in s["cells"]]].sum()) \
         == total_truth_umis
