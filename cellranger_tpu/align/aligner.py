@@ -6,19 +6,20 @@ instead of one C++ suffix-array walk per read on a CPU thread, we align a
 whole fixed-shape batch at once:
 
   1. rolling 2-bit k-mer extraction at static seed offsets (fwd + revcomp);
-  2. vectorized binary search of seeds against the sorted k-mer index in HBM;
-  3. diagonal voting (sort + rank counting) to shortlist candidate loci;
-  4. ungapped local extension (Kadane max-substring via cummax/cummin over a
-     +match/-mismatch profile) against gathered genome windows — splice
-     handling comes free from the index's junction contigs;
+  2. k-mer lookup via a bucket-prefix table (top 22 bits -> row range) plus a
+     short in-bucket binary search — ~4 HBM gathers per seed instead of a
+     25-step global binary search;
+  3. diagonal voting: per-read sort of candidate diagonals + scan-based
+     run-length counting (no second search), top-k by multiplicity;
+  4. ungapped local extension against genome windows gathered as packed
+     32-bit words (16 bases/word, 13x fewer HBM touches than byte gathers),
+     scored with Kadane max-substring via prefix scans — splice handling
+     comes free from the index's junction contigs;
   5. canonicalized tie counting -> STAR MAPQ semantics
      (unique=255, 2 loci=3, 3-4=1, >4=0; rna_read.rs:32 HIGH_CONF_MAPQ).
 
-Indels are refined by the banded Smith-Waterman Pallas kernel (align.sw)
-for reads whose ungapped score falls below the accept threshold.
-
 All steps are jnp ops on static shapes — XLA fuses the scoring chain; the
-only sequential structure is log-depth scans. No per-read control flow.
+only sequential structure is log-depth scans and the tiny in-bucket search.
 """
 
 from __future__ import annotations
@@ -37,19 +38,21 @@ from .index import GenomeIndex
 SEED_STRIDE = 6       # extract a seed every N bases of the read
 MAX_HITS_PER_SEED = 4
 MAX_CANDIDATES = 4    # diagonals taken to extension per strand
-WINDOW_PAD = 0        # extra bases gathered around the window (ungapped: 0)
 
 
 @dataclass(frozen=True)
 class DeviceIndex:
     """GenomeIndex uploaded to device (replicated; one copy per chip)."""
 
-    text: jnp.ndarray          # uint8 [G]
-    text_valid: jnp.ndarray    # bool [G]
+    text_words: jnp.ndarray    # uint32 [G/16] packed 2-bit codes, 16/word
+    valid_words: jnp.ndarray   # uint32 [G/16] validity bitmask, 16/word
     kmer_keys: jnp.ndarray     # uint32 [P] sorted
-    kmer_pos: jnp.ndarray      # uint32 [P]
+    kmer_pos: jnp.ndarray      # int32 [P]
+    bucket_starts: jnp.ndarray  # uint32 [2^BUCKET_BITS + 1]
+    bucket_bits: int
     chrom_starts: jnp.ndarray  # int32 [C+1]
     genome_len: int
+    text_len: int
     sj_overhang: int
     sj_donor_abs: jnp.ndarray  # int32 [J] absolute text coord of donor end
     sj_acceptor_abs: jnp.ndarray  # int32 [J]
@@ -59,32 +62,22 @@ class DeviceIndex:
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
         assert len(gi.text) < 2**31, (
             "int32 position space; shard the index for >2Gb genomes")
+        tw, vw = gi.packed_words()
         return DeviceIndex(
-            text=jnp.asarray(gi.text),
-            text_valid=jnp.asarray(gi.text_valid),
+            text_words=jnp.asarray(tw),
+            valid_words=jnp.asarray(vw),
             kmer_keys=jnp.asarray(gi.kmer_keys),
             kmer_pos=jnp.asarray(gi.kmer_pos.astype(np.int32)),
+            bucket_starts=jnp.asarray(gi.bucket_starts),
+            bucket_bits=GenomeIndex.BUCKET_BITS,
             chrom_starts=jnp.asarray(gi.chrom_starts.astype(np.int32)),
             genome_len=int(gi.genome_len),
+            text_len=len(gi.text),
             sj_overhang=int(gi.sj_overhang),
             sj_donor_abs=jnp.asarray(gi.sj_donor_end.astype(np.int32)),
             sj_acceptor_abs=jnp.asarray(gi.sj_acceptor_start.astype(np.int32)),
             k=gi.k,
         )
-
-
-@dataclass
-class AlignmentResult:
-    """Per-read best alignment (all [B] unless noted)."""
-
-    pos: jnp.ndarray        # int32 text position of window start (clip incl.)
-    strand: jnp.ndarray     # int32 0=fwd 1=revcomp
-    score: jnp.ndarray      # int32 best local score
-    aln_start: jnp.ndarray  # int32 read offset of aligned region (fwd-read coords after strand flip)
-    aln_len: jnp.ndarray    # int32 aligned length
-    mapq: jnp.ndarray       # int32
-    mapped: jnp.ndarray     # bool score >= min and any candidate
-    n_best: jnp.ndarray     # int32 number of distinct best-scoring loci
 
 
 def _rolling_kmers(codes: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -104,6 +97,30 @@ def _window_valid(mask: jnp.ndarray, k: int) -> jnp.ndarray:
     return (cs[:, k:] - cs[:, :-k]) == k
 
 
+def _bucket_lookup(idx: "DeviceIndex", km: jnp.ndarray):
+    """km uint32 [...] -> (lo int32, n_exact clamped to H+1). In-bucket binary
+    search over a range bounded by the prefix table (few iterations)."""
+    P = idx.kmer_keys.shape[0]
+    b = (km >> (32 - idx.bucket_bits)).astype(jnp.int32)
+    lo = idx.bucket_starts[b].astype(jnp.int32)
+    hi = idx.bucket_starts[b + 1].astype(jnp.int32)
+    # In-bucket leftmost binary search; bucket sizes are ~P/2^22, so a small
+    # fixed iteration count suffices; 12 handles buckets up to 4096 (rare
+    # denser buckets — e.g. homopolymer prefixes — degrade to missed seeds,
+    # which other seeds of the read compensate for). A fori_loop keeps the
+    # chain opaque: unrolled it gets inlined into downstream sort fusion and
+    # explodes XLA:CPU compile time (>30s vs <1s).
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        v = idx.kmer_keys[jnp.clip(mid, 0, P - 1)]
+        go = (v < km) & (mid < hi)
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 12, body, (lo, hi))
+    return lo
+
+
 def make_aligner(idx: DeviceIndex, read_len: int, score_min: int = DEFAULT_ALIGN_SCORE_MIN):
     """Build the jitted batch alignment function for a static read length."""
     k = idx.k
@@ -112,7 +129,9 @@ def make_aligner(idx: DeviceIndex, read_len: int, score_min: int = DEFAULT_ALIGN
     S = len(seed_offsets)
     H = MAX_HITS_PER_SEED
     D = MAX_CANDIDATES
-    G = int(idx.text.shape[0])
+    G = int(idx.text_len)
+    NW = int(idx.text_words.shape[0])
+    WIN_WORDS = (L + 15) // 16 + 1
     BIG = jnp.int32(2**31 - 1)
 
     contig_len = 2 * idx.sj_overhang
@@ -134,55 +153,74 @@ def make_aligner(idx: DeviceIndex, read_len: int, score_min: int = DEFAULT_ALIGN
                              acc + off - idx.sj_overhang)
         return jnp.where(in_sj, canon_sj, pos)
 
+    def gather_windows(pos):
+        """pos int32 [B, D] -> (codes uint8 [B, D, L], valid bool [B, D, L])
+        via packed-word gathers + local realignment."""
+        w0 = pos >> 4
+        off = (pos & 15).astype(jnp.int32)
+        widx = jnp.clip(w0[..., None] + jnp.arange(WIN_WORDS)[None, None, :],
+                        0, NW - 1)
+        words = idx.text_words[widx]        # [B, D, WIN_WORDS]
+        vwords = idx.valid_words[widx]
+        # unpack each word to 16 codes, MSB-first
+        shifts = (2 * (15 - jnp.arange(16))).astype(jnp.uint32)
+        codes16 = ((words[..., None] >> shifts) & 3).astype(jnp.uint8)
+        vshifts = (15 - jnp.arange(16)).astype(jnp.uint32)
+        valid16 = ((vwords[..., None] >> vshifts) & 1).astype(jnp.bool_)
+        flatc = codes16.reshape(*pos.shape, WIN_WORDS * 16)
+        flatv = valid16.reshape(*pos.shape, WIN_WORDS * 16)
+        li = off[..., None] + jnp.arange(L)[None, None, :]
+        win = jnp.take_along_axis(flatc, li, axis=-1)
+        wok = jnp.take_along_axis(flatv, li, axis=-1)
+        in_bounds = (pos[..., None] + jnp.arange(L)[None, None, :]) < G
+        return win, wok & in_bounds
+
     def align_strand(codes, basemask):
         """codes [B, L] one strand; returns candidate (pos, score, start, len)
-        arrays [B, D] + per-candidate valid."""
+        arrays [B, D]."""
         B = codes.shape[0]
         kms = _rolling_kmers(codes, k)            # [B, L-k+1]
         kvalid = _window_valid(basemask, k)       # [B, L-k+1]
         km = kms[:, seed_offsets]                 # [B, S]
         kv = kvalid[:, seed_offsets]
 
-        lo = jnp.searchsorted(idx.kmer_keys, km.reshape(-1)).reshape(B, S)
-        hi = jnp.searchsorted(idx.kmer_keys, km.reshape(-1), side="right").reshape(B, S)
-        n_hits = hi - lo
+        lo = _bucket_lookup(idx, km)              # [B, S]
         h = jnp.arange(H, dtype=jnp.int32)
-        hit_idx = lo[:, :, None] + h[None, None, :]          # [B, S, H]
-        hit_ok = (h[None, None, :] < n_hits[:, :, None]) & kv[:, :, None]
-        hit_pos = idx.kmer_pos[jnp.clip(hit_idx, 0, idx.kmer_pos.shape[0] - 1)]
-        # diagonal = candidate window start = hit_pos - seed_offset
+        hit_idx = jnp.clip(lo[:, :, None] + h[None, None, :], 0,
+                           idx.kmer_keys.shape[0] - 1)
+        hit_ok = (idx.kmer_keys[hit_idx] == km[:, :, None]) & kv[:, :, None]
+        hit_pos = idx.kmer_pos[hit_idx]
         diag = hit_pos - seed_offsets[None, :, None]
         diag = jnp.where(hit_ok & (diag >= 0), diag, BIG)    # [B, S, H]
 
         flat = jnp.sort(diag.reshape(B, S * H), axis=1)      # [B, S*H]
-        # votes per distinct diagonal via rank difference
-        vs = jax.vmap(lambda a: jnp.searchsorted(a, a, side="right")
-                      - jnp.searchsorted(a, a, side="left"))(flat)
-        first = jnp.concatenate(
+        # run-length votes via prefix scans (no searchsorted)
+        M = S * H
+        pos_i = jnp.arange(M, dtype=jnp.int32)[None, :]
+        new_run = jnp.concatenate(
             [jnp.ones((B, 1), bool), flat[:, 1:] != flat[:, :-1]], axis=1)
-        votes = jnp.where(first & (flat != BIG), vs, 0)
+        run_start = jax.lax.cummax(jnp.where(new_run, pos_i, 0), axis=1)
+        run_end = -jax.lax.cummax(
+            jnp.where(jnp.concatenate(
+                [new_run[:, 1:], jnp.ones((B, 1), bool)], axis=1),
+                -pos_i, -(M - 1)), axis=1, reverse=True)
+        votes = jnp.where(new_run & (flat != BIG),
+                          run_end - run_start + 1, 0)
         top_votes, top_i = jax.lax.top_k(votes, D)           # [B, D]
         cand_pos = jnp.take_along_axis(flat, top_i, axis=1)  # [B, D]
         cand_ok = top_votes > 0
 
         # --- ungapped local extension (Kadane via prefix scans) ---
-        gather_idx = jnp.clip(cand_pos[:, :, None]
-                              + jnp.arange(L, dtype=jnp.int32)[None, None, :], 0, G - 1)
-        win = idx.text[gather_idx]                # [B, D, L]
-        win_ok = idx.text_valid[gather_idx]
-        in_bounds = (cand_pos[:, :, None] + jnp.arange(L)[None, None, :]) < G
-        m = (win == codes[:, None, :]) & win_ok & in_bounds & basemask[:, None, :]
-        active = basemask[:, None, :] & in_bounds
+        win, wok = gather_windows(jnp.where(cand_ok, cand_pos, 0))
+        m = (win == codes[:, None, :]) & wok & basemask[:, None, :]
+        active = basemask[:, None, :] & wok
         contrib = jnp.where(active, jnp.where(m, 1, -1), 0).astype(jnp.int32)
         cs = jnp.cumsum(contrib, axis=2)
-        run_min = jax.lax.cummax(jnp.zeros_like(cs) - jnp.pad(
-            cs, ((0, 0), (0, 0), (1, 0)))[:, :, :-1], axis=2)  # = -min prefix
+        pref = jnp.pad(cs, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+        run_min = jax.lax.cummax(-pref, axis=2)   # = -min prefix
         best_at = cs + run_min                    # [B, D, L] best sum ending at i
         score = jnp.max(best_at, axis=2)          # [B, D]
         end_i = jnp.argmax(best_at, axis=2)       # inclusive end index
-        # start index: position after the minimizing prefix
-        pref = jnp.pad(cs, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
-        # index of min prefix among 0..end_i: recompute via masked argmin
         li = jnp.arange(L, dtype=jnp.int32)[None, None, :]
         pref_masked = jnp.where(li <= end_i[:, :, None], pref, BIG)
         start_i = jnp.argmin(pref_masked, axis=2)
@@ -192,7 +230,7 @@ def make_aligner(idx: DeviceIndex, read_len: int, score_min: int = DEFAULT_ALIGN
 
     @jax.jit
     def align_batch(rna, nmask):
-        """rna uint8 [B, L], nmask bool [B, L] -> AlignmentResult arrays."""
+        """rna uint8 [B, L], nmask bool [B, L] -> alignment dict."""
         B = rna.shape[0]
         rc = (3 - rna[:, ::-1]).astype(jnp.uint8)
         rc_mask = nmask[:, ::-1]

@@ -61,6 +61,39 @@ class GenomeIndex:
     kmer_keys: np.ndarray     # uint32 [P] sorted packed kmers
     kmer_pos: np.ndarray      # uint32 [P] text position of each key (grouped by key)
 
+    # bucket prefix table for O(1)+short-search device lookup: bucket of a
+    # kmer is its top BUCKET_BITS bits; bucket_starts[b] = first row in
+    # kmer_keys whose bucket >= b.
+    BUCKET_BITS = 22
+
+    @property
+    def bucket_starts(self) -> np.ndarray:
+        if not hasattr(self, "_bucket_starts"):
+            nb = 1 << self.BUCKET_BITS
+            buckets = (self.kmer_keys >> np.uint32(32 - self.BUCKET_BITS))
+            self._bucket_starts = np.searchsorted(
+                buckets, np.arange(nb + 1, dtype=np.uint64)).astype(np.uint32)
+        return self._bucket_starts
+
+    def packed_words(self):
+        """(text_words u32, valid_words u32): 16 bases per word, MSB-first
+        codes in text_words, validity bitmask (bit 15-i for base i) in
+        valid_words. Used by the aligner's extension gather."""
+        if not hasattr(self, "_words"):
+            G = len(self.text)
+            W = (G + 15) // 16
+            padded = np.zeros(W * 16, np.uint8)
+            padded[:G] = self.text
+            vpadded = np.zeros(W * 16, bool)
+            vpadded[:G] = self.text_valid
+            tw = np.zeros(W, np.uint32)
+            vw = np.zeros(W, np.uint32)
+            for i in range(16):
+                tw = (tw << np.uint32(2)) | padded[i::16].astype(np.uint32)
+                vw = (vw << np.uint32(1)) | vpadded[i::16].astype(np.uint32)
+            self._words = (tw, vw)
+        return self._words
+
     @property
     def n_junctions(self) -> int:
         return len(self.sj_contig_start)

@@ -76,6 +76,7 @@ class ReadBatch:
     slot_valid: np.ndarray       # bool [B] row holds a real read
     read_id: np.ndarray          # int64 [B] global ordinal of the read
     n_reads: int
+    names: list[bytes] | None = None  # read names (BAM output only)
 
     @property
     def batch_size(self) -> int:
@@ -118,7 +119,8 @@ def _rectangularize(records: list[tuple[bytes, bytes]], width: int):
 def extract_batch(chem: Chemistry, r1: list[tuple[bytes, bytes]],
                   r2: list[tuple[bytes, bytes]] | None,
                   read_len: int, batch_size: int,
-                  start_read_id: int = 0) -> ReadBatch:
+                  start_read_id: int = 0,
+                  names: list[bytes] | None = None) -> ReadBatch:
     """Extract barcode/UMI/cDNA planes from raw R1 (+R2) records.
 
     Pads to `batch_size` rows; cDNA clipped/padded to `read_len`.
@@ -196,20 +198,24 @@ def extract_batch(chem: Chemistry, r1: list[tuple[bytes, bytes]],
         rna_len=padb(clen), rna_qual=padb(cqual[:, :read_len]),
         slot_valid=slot_valid,
         read_id=padb(np.arange(start_read_id, start_read_id + n, dtype=np.int64), -1),
-        n_reads=n,
+        n_reads=n, names=names,
     )
 
 
 def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
-                        batch_size: int, read_len: int) -> Iterator[ReadBatch]:
+                        batch_size: int, read_len: int,
+                        keep_names: bool = False) -> Iterator[ReadBatch]:
     """Stream ReadBatches from a (R1, R2) FASTQ pair."""
     it1 = iter_fastq_records(r1_path)
     it2 = iter_fastq_records(r2_path) if r2_path else None
     next_id = 0
     while True:
         r1, r2 = [], ([] if it2 else None)
+        names = [] if keep_names else None
         for rec in it1:
             r1.append((rec[1], rec[2]))
+            if keep_names:
+                names.append(rec[0])
             if it2 is not None:
                 rec2 = next(it2, None)
                 if rec2 is None:
@@ -219,7 +225,8 @@ def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
                 break
         if not r1:
             return
-        yield extract_batch(chem, r1, r2, read_len, batch_size, next_id)
+        yield extract_batch(chem, r1, r2, read_len, batch_size, next_id,
+                            names=names)
         next_id += len(r1)
         if len(r1) < batch_size:
             return

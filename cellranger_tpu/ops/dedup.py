@@ -190,4 +190,9 @@ def dedup_molecules(bc, gene, umi, valid, umi_len: int):
         mol_bc=fb, mol_gene=fg, mol_umi=fu,
         mol_reads=mol_reads[fid], mol_valid=mol_valid,
         n_molecules=mol_valid.sum(),
+        # raw-triple view (sorted by (bc, gene, raw umi)): the correction map
+        # and low-support flags per distinct raw key, used downstream for BAM
+        # UB tags and xf dup marking.
+        raw_bc=bc_s, raw_gene=gene_s, raw_umi=umi_s,
+        raw_corr_umi=corr_umi, raw_low=low_support, raw_is_repr=is_repr,
     )

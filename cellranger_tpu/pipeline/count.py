@@ -58,6 +58,7 @@ class CountConfig:
     force_cells: int | None = None
     sample_id: str = "sample"
     gem_group: int = 1
+    write_bam: bool = False
 
 
 @dataclass
@@ -132,6 +133,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             umi=umi_packed,
             conf_ok=conf_ok,
             pos=aln["pos"], mapq=aln["mapq"], strand=aln["strand"],
+            mapped=mapped,
             aln_len=aln["aln_len"], aln_start=aln["aln_start"],
             region=ann["region"], antisense=ann["antisense"],
             corrected_bc=corr_bc, bc_ok=bc_ok,
@@ -172,7 +174,8 @@ def run_count(cfg: CountConfig, out_dir: str,
     cached: list[ReadBatch] = []
     wl_counts = jnp.zeros((whitelist.size,), jnp.int32)
     for (r1, r2) in cfg.fastq_pairs:
-        for batch in batches_from_fastqs(chem, r1, r2, cfg.batch_size, cfg.read_len):
+        for batch in batches_from_fastqs(chem, r1, r2, cfg.batch_size,
+                                         cfg.read_len, keep_names=cfg.write_bam):
             hit, idx = bcops.whitelist_lookup(jnp.asarray(batch.bc_packed), wl_sorted)
             wl_counts = wl_counts + bcops.count_valid_barcodes(
                 idx, jnp.asarray(batch.slot_valid), whitelist.size)
@@ -181,7 +184,10 @@ def run_count(cfg: CountConfig, out_dir: str,
     # ---- pass 2: fused correct/align/annotate ----
     metrics = CountMetrics()
     mol_bc, mol_gene, mol_umi = [], [], []
-    per_read = []  # for BAM writing later
+    bam_collector = None
+    if cfg.write_bam:
+        from .bam_out import BamCollector
+        bam_collector = BamCollector(gi, ref.transcriptome)
     for batch in cached:
         out = step(jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
                    jnp.asarray(batch.bc_exact), jnp.asarray(batch.umi_packed),
@@ -204,6 +210,8 @@ def run_count(cfg: CountConfig, out_dir: str,
         mol_bc.append(np.asarray(out["bc_idx"])[conf])
         mol_gene.append(np.asarray(out["gene"])[conf])
         mol_umi.append(np.asarray(out["umi"])[conf])
+        if bam_collector is not None:
+            bam_collector.add_batch(batch, out)
 
     # ---- global dedup ----
     bc_all = np.concatenate(mol_bc) if mol_bc else np.zeros(0, np.uint32)
@@ -243,6 +251,13 @@ def run_count(cfg: CountConfig, out_dir: str,
     filtered.save_h5(os.path.join(out_dir, "filtered_feature_bc_matrix.h5"),
                      chemistry_description=chem.description)
     filtered.save_mex(os.path.join(out_dir, "filtered_feature_bc_matrix"))
+
+    # ---- BAM output ----
+    if bam_collector is not None:
+        bam_collector.write(
+            os.path.join(out_dir, "possorted_genome_bam.bam"),
+            {k: np.asarray(v) for k, v in dd.items()},
+            chem.barcode_length, chem.umi_length, gem_group=cfg.gem_group)
 
     # ---- molecule_info.h5 ----
     save_molecule_info(
