@@ -62,7 +62,8 @@ def main():
     wl_arr = np.unique(rng.integers(0, 2**32, N_WL, dtype=np.uint64).astype(np.uint32))
     wl = Whitelist(np.sort(wl_arr), 16, "bench")
     step = _make_step(didx, ann, wl.size, chem, READ_LEN)
-    wl_sorted = jnp.asarray(wl.sorted_seqs)
+    from cellranger_tpu.ops.lookup import SortedTable
+    wl_sorted = SortedTable.build(wl.sorted_seqs)
     wl_counts = jnp.ones(wl.size, jnp.int32)
 
     # synthetic batch: reads drawn from the genome with 2 errors each
@@ -85,10 +86,12 @@ def main():
         wl_sorted, wl_counts,
     )
 
+    print(f"bench: index built ({t_index:.0f}s), compiling...", file=sys.stderr)
     t0 = time.time()
     out = step(*args)
     jax.block_until_ready(out)
     t_compile = time.time() - t0
+    print(f"bench: compiled in {t_compile:.0f}s, timing...", file=sys.stderr)
 
     for _ in range(WARMUP_ITERS):
         jax.block_until_ready(step(*args))

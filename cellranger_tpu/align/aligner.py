@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DEFAULT_ALIGN_SCORE_MIN
+from ..ops.lookup import SortedTable
 from .index import GenomeIndex
 
 # Tunables (static); see align_and_count.rs:63 for the score floor.
@@ -46,10 +47,8 @@ class DeviceIndex:
 
     text_words: jnp.ndarray    # uint32 [G/16] packed 2-bit codes, 16/word
     valid_words: jnp.ndarray   # uint32 [G/16] validity bitmask, 16/word
-    kmer_keys: jnp.ndarray     # uint32 [P] sorted
+    kmer_table: SortedTable    # sorted kmer keys + bucket prefix
     kmer_pos: jnp.ndarray      # int32 [P]
-    bucket_starts: jnp.ndarray  # uint32 [2^BUCKET_BITS + 1]
-    bucket_bits: int
     chrom_starts: jnp.ndarray  # int32 [C+1]
     genome_len: int
     text_len: int
@@ -66,10 +65,8 @@ class DeviceIndex:
         return DeviceIndex(
             text_words=jnp.asarray(tw),
             valid_words=jnp.asarray(vw),
-            kmer_keys=jnp.asarray(gi.kmer_keys),
+            kmer_table=SortedTable.build(gi.kmer_keys),
             kmer_pos=jnp.asarray(gi.kmer_pos.astype(np.int32)),
-            bucket_starts=jnp.asarray(gi.bucket_starts),
-            bucket_bits=GenomeIndex.BUCKET_BITS,
             chrom_starts=jnp.asarray(gi.chrom_starts.astype(np.int32)),
             genome_len=int(gi.genome_len),
             text_len=len(gi.text),
@@ -97,28 +94,6 @@ def _window_valid(mask: jnp.ndarray, k: int) -> jnp.ndarray:
     return (cs[:, k:] - cs[:, :-k]) == k
 
 
-def _bucket_lookup(idx: "DeviceIndex", km: jnp.ndarray):
-    """km uint32 [...] -> (lo int32, n_exact clamped to H+1). In-bucket binary
-    search over a range bounded by the prefix table (few iterations)."""
-    P = idx.kmer_keys.shape[0]
-    b = (km >> (32 - idx.bucket_bits)).astype(jnp.int32)
-    lo = idx.bucket_starts[b].astype(jnp.int32)
-    hi = idx.bucket_starts[b + 1].astype(jnp.int32)
-    # In-bucket leftmost binary search; bucket sizes are ~P/2^22, so a small
-    # fixed iteration count suffices; 12 handles buckets up to 4096 (rare
-    # denser buckets — e.g. homopolymer prefixes — degrade to missed seeds,
-    # which other seeds of the read compensate for). A fori_loop keeps the
-    # chain opaque: unrolled it gets inlined into downstream sort fusion and
-    # explodes XLA:CPU compile time (>30s vs <1s).
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) >> 1
-        v = idx.kmer_keys[jnp.clip(mid, 0, P - 1)]
-        go = (v < km) & (mid < hi)
-        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, 12, body, (lo, hi))
-    return lo
 
 
 def make_aligner(idx: DeviceIndex, read_len: int, score_min: int = DEFAULT_ALIGN_SCORE_MIN):
@@ -184,11 +159,11 @@ def make_aligner(idx: DeviceIndex, read_len: int, score_min: int = DEFAULT_ALIGN
         km = kms[:, seed_offsets]                 # [B, S]
         kv = kvalid[:, seed_offsets]
 
-        lo = _bucket_lookup(idx, km)              # [B, S]
+        lo = idx.kmer_table.lower_bound(km)       # [B, S]
         h = jnp.arange(H, dtype=jnp.int32)
         hit_idx = jnp.clip(lo[:, :, None] + h[None, None, :], 0,
-                           idx.kmer_keys.shape[0] - 1)
-        hit_ok = (idx.kmer_keys[hit_idx] == km[:, :, None]) & kv[:, :, None]
+                           idx.kmer_table.keys.shape[0] - 1)
+        hit_ok = (idx.kmer_table.keys[hit_idx] == km[:, :, None]) & kv[:, :, None]
         hit_pos = idx.kmer_pos[hit_idx]
         diag = hit_pos - seed_offsets[None, :, None]
         diag = jnp.where(hit_ok & (diag >= 0), diag, BIG)    # [B, S, H]
@@ -235,16 +210,17 @@ def make_aligner(idx: DeviceIndex, read_len: int, score_min: int = DEFAULT_ALIGN
         rc = (3 - rna[:, ::-1]).astype(jnp.uint8)
         rc_mask = nmask[:, ::-1]
 
-        pos_f, sc_f, st_f, ln_f = align_strand(rna, nmask)
-        pos_r, sc_r, st_r, ln_r = align_strand(rc, rc_mask)
+        # both strands as ONE [2B] batch: better fusion and one kernel chain
+        both = jnp.concatenate([rna, rc], axis=0)
+        bmask = jnp.concatenate([nmask, rc_mask], axis=0)
+        pos2, sc2, st2, ln2 = align_strand(both, bmask)      # [2B, D]
 
-        pos = jnp.concatenate([pos_f, pos_r], axis=1)        # [B, 2D]
-        score = jnp.concatenate([sc_f, sc_r], axis=1)
-        start = jnp.concatenate([st_f, st_r], axis=1)
-        alen = jnp.concatenate([ln_f, ln_r], axis=1)
+        pos = jnp.concatenate([pos2[:B], pos2[B:]], axis=1)  # [B, 2D]
+        score = jnp.concatenate([sc2[:B], sc2[B:]], axis=1)
+        start = jnp.concatenate([st2[:B], st2[B:]], axis=1)
+        alen = jnp.concatenate([ln2[:B], ln2[B:]], axis=1)
         strand = jnp.concatenate(
-            [jnp.zeros((B, pos_f.shape[1]), jnp.int32),
-             jnp.ones((B, pos_r.shape[1]), jnp.int32)], axis=1)
+            [jnp.zeros((B, D), jnp.int32), jnp.ones((B, D), jnp.int32)], axis=1)
 
         best_score = jnp.max(score, axis=1)                  # [B]
         is_best = score == best_score[:, None]

@@ -61,20 +61,6 @@ class GenomeIndex:
     kmer_keys: np.ndarray     # uint32 [P] sorted packed kmers
     kmer_pos: np.ndarray      # uint32 [P] text position of each key (grouped by key)
 
-    # bucket prefix table for O(1)+short-search device lookup: bucket of a
-    # kmer is its top BUCKET_BITS bits; bucket_starts[b] = first row in
-    # kmer_keys whose bucket >= b.
-    BUCKET_BITS = 22
-
-    @property
-    def bucket_starts(self) -> np.ndarray:
-        if not hasattr(self, "_bucket_starts"):
-            nb = 1 << self.BUCKET_BITS
-            buckets = (self.kmer_keys >> np.uint32(32 - self.BUCKET_BITS))
-            self._bucket_starts = np.searchsorted(
-                buckets, np.arange(nb + 1, dtype=np.uint64)).astype(np.uint32)
-        return self._bucket_starts
-
     def packed_words(self):
         """(text_words u32, valid_words u32): 16 bases per word, MSB-first
         codes in text_words, validity bitmask (bit 15-i for base i) in

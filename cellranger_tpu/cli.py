@@ -1,0 +1,158 @@
+"""cellranger-tpu CLI — the cr_wrap analog (lib/rust/cr_wrap/src/bin/
+cellranger.rs:72-130), argparse-based, in-process (no Martian runtime):
+
+    python -m cellranger_tpu count --id S --fastqs DIR --reference REF \
+        --whitelist WL [--chemistry SC3Pv3] [--expect-cells N] [--bam]
+    python -m cellranger_tpu mkref --genome NAME --fasta F --genes G --out DIR
+    python -m cellranger_tpu testrun --out DIR   (synthetic end-to-end smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_count(args):
+    from .io.fastq import find_fastqs
+    from .pipeline.count import CountConfig, run_count
+
+    pairs = find_fastqs(args.fastqs, sample=args.sample)
+    if not pairs:
+        sys.exit(f"error: no FASTQs found in {args.fastqs}"
+                 + (f" for sample {args.sample}" % () if args.sample else ""))
+    cfg = CountConfig(
+        fastq_pairs=pairs,
+        reference_path=args.reference,
+        whitelist_path=args.whitelist,
+        chemistry=args.chemistry,
+        read_len=args.read_len,
+        batch_size=args.batch_size,
+        recovered_cells=args.expect_cells,
+        force_cells=args.force_cells,
+        sample_id=args.id,
+        write_bam=args.bam,
+    )
+    out_dir = os.path.join(args.output_dir or ".", args.id, "outs")
+    summary = run_count(cfg, out_dir)
+    print(json.dumps({k: summary[k] for k in
+                      ["total_reads", "valid_barcode_frac", "mapped_frac",
+                       "conf_mapped_frac", "estimated_cells",
+                       "total_molecules", "median_umis_per_cell"]}, indent=2))
+    print(f"outputs: {out_dir}")
+
+
+def _cmd_mkref(args):
+    from .io.reference import ReferencePackage
+
+    ref = ReferencePackage.build(args.fasta, args.genes, args.out,
+                                 genome_name=args.genome)
+    print(json.dumps(ref.metadata, indent=2))
+
+
+def _cmd_testrun(args):
+    """Synthetic end-to-end smoke test (the `cellranger testrun` analog,
+    cr_wrap/src/bin/cellranger.rs:579-639) — generates a miniature run and
+    counts it."""
+    import gzip
+
+    import numpy as np
+
+    from .io.gtf import write_fasta
+    from .io.reference import ReferencePackage
+    from .pipeline.count import CountConfig, run_count
+
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = bases[rng.integers(0, 4, 50_000)].tobytes()
+    write_fasta(os.path.join(out, "genome.fa"), {"chr1": genome})
+    with open(os.path.join(out, "genes.gtf"), "w") as f:
+        f.write('chr1\tt\texon\t1001\t2000\t.\t+\t.\t'
+                'gene_id "G1"; transcript_id "T1"; gene_name "GeneOne";\n')
+        f.write('chr1\tt\texon\t30001\t31000\t.\t-\t.\t'
+                'gene_id "G2"; transcript_id "T2"; gene_name "GeneTwo";\n')
+    ReferencePackage.build(os.path.join(out, "genome.fa"),
+                           os.path.join(out, "genes.gtf"),
+                           os.path.join(out, "ref"))
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(256)})
+    with open(os.path.join(out, "wl.txt"), "w") as f:
+        f.writelines(s + "\n" for s in wl)
+
+    def rc(s):
+        return s.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+
+    r1 = gzip.open(os.path.join(out, "t_S1_L001_R1_001.fastq.gz"), "wt")
+    r2 = gzip.open(os.path.join(out, "t_S1_L001_R2_001.fastq.gz"), "wt")
+    n = 0
+    for ci in range(25):
+        for u in range(12):
+            umi = "".join(rng.choice(list("ACGT"), 12))
+            if u % 2 == 0:
+                p = int(rng.integers(1000, 2000 - 91))
+                cdna = genome[p:p + 91].decode()
+            else:
+                p = int(rng.integers(30000, 31000 - 91))
+                cdna = rc(genome[p:p + 91]).decode()
+            r1.write(f"@t{n}\n{wl[ci]}{umi}\n+\n{'F' * 28}\n")
+            r2.write(f"@t{n}\n{cdna}\n+\n{'F' * 91}\n")
+            n += 1
+    r1.close(); r2.close()
+
+    cfg = CountConfig(
+        fastq_pairs=[(os.path.join(out, "t_S1_L001_R1_001.fastq.gz"),
+                      os.path.join(out, "t_S1_L001_R2_001.fastq.gz"))],
+        reference_path=os.path.join(out, "ref"),
+        whitelist_path=os.path.join(out, "wl.txt"),
+        chemistry="SC3Pv3", read_len=91, batch_size=512, write_bam=True)
+    summary = run_count(cfg, os.path.join(out, "outs"))
+    ok = (summary["total_reads"] == n
+          and summary["mapped_frac"] > 0.99
+          and summary["estimated_cells"] in range(24, 28))
+    print(f"testrun: {'PASS' if ok else 'FAIL'} — "
+          f"{summary['total_reads']} reads, "
+          f"{summary['estimated_cells']} cells, "
+          f"mapped {summary['mapped_frac']:.3f}")
+    sys.exit(0 if ok else 1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cellranger-tpu",
+                                description="TPU-native single-cell engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("count", help="count GEX reads from FASTQs")
+    c.add_argument("--id", required=True, help="run id (output dir name)")
+    c.add_argument("--fastqs", required=True, help="directory with FASTQs")
+    c.add_argument("--sample", help="sample name prefix filter")
+    c.add_argument("--reference", required=True, help="reference package dir")
+    c.add_argument("--whitelist", required=True, help="barcode whitelist file")
+    c.add_argument("--chemistry", default="SC3Pv3")
+    c.add_argument("--expect-cells", type=int, dest="expect_cells")
+    c.add_argument("--force-cells", type=int, dest="force_cells")
+    c.add_argument("--read-len", type=int, default=91, dest="read_len")
+    c.add_argument("--batch-size", type=int, default=8192, dest="batch_size")
+    c.add_argument("--bam", action="store_true", help="write possorted BAM")
+    c.add_argument("--output-dir", dest="output_dir")
+    c.set_defaults(fn=_cmd_count)
+
+    m = sub.add_parser("mkref", help="build a reference package")
+    m.add_argument("--genome", required=True)
+    m.add_argument("--fasta", required=True)
+    m.add_argument("--genes", required=True)
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=_cmd_mkref)
+
+    t = sub.add_parser("testrun", help="synthetic end-to-end smoke test")
+    t.add_argument("--out", required=True)
+    t.set_defaults(fn=_cmd_testrun)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -2,8 +2,9 @@
 
 TPU-native formulation of the reference's barcode machinery:
   * membership (barcode/src/whitelist.rs:494 check_and_update) becomes a
-    vectorized binary search of packed uint32 barcodes against the sorted
-    whitelist resident in HBM — O(log W) per read, fully batched;
+    bucketed lookup (ops.lookup.SortedTable) of packed uint32 barcodes
+    against the sorted whitelist resident in HBM — a few HBM gathers per
+    read, fully batched;
   * correction (barcode/src/corrector.rs:111-164, the `Posterior` strategy)
     becomes a dense [B, L, 3] candidate tensor: every 1-Hamming mutant is
     bc ^ (d << shift) for d in {1,2,3} in 2-bit code space, scored by
@@ -27,17 +28,20 @@ from ..constants import (
     BC_MAX_QV,
     ILLUMINA_QUAL_OFFSET,
 )
+from .lookup import SortedTable
 
 
-def whitelist_lookup(packed: jnp.ndarray, wl_sorted: jnp.ndarray):
-    """Binary-search membership of packed barcodes in a sorted whitelist.
+def whitelist_lookup(packed: jnp.ndarray, wl: SortedTable | jnp.ndarray):
+    """Membership of packed barcodes in the whitelist.
 
-    packed: uint32 [...]; wl_sorted: uint32 [W] ascending.
-    Returns (is_member bool [...], index int32 [...] into wl_sorted; -1 miss).
+    wl: SortedTable (preferred) or a raw sorted uint32 array (legacy path,
+    plain binary search). Returns (is_member bool, index int32, -1 miss).
     """
-    idx = jnp.searchsorted(wl_sorted, packed)
-    idx_c = jnp.minimum(idx, wl_sorted.shape[0] - 1).astype(jnp.int32)
-    hit = wl_sorted[idx_c] == packed
+    if isinstance(wl, SortedTable):
+        return wl.membership(packed)
+    idx = jnp.searchsorted(wl, packed)
+    idx_c = jnp.minimum(idx, wl.shape[0] - 1).astype(jnp.int32)
+    hit = wl[idx_c] == packed
     return hit, jnp.where(hit, idx_c, -1)
 
 
@@ -52,7 +56,7 @@ def qual_error_prob(qual: jnp.ndarray) -> jnp.ndarray:
 def correct_barcodes(
     packed: jnp.ndarray,      # uint32 [B] observed (invalid) barcodes
     quals: jnp.ndarray,       # uint8 [B, length] phred+33 quality values
-    wl_sorted: jnp.ndarray,   # uint32 [W]
+    wl: SortedTable,          # whitelist table
     wl_counts: jnp.ndarray,   # int32/float32 [W] observed valid-bc counts
     length: int,
 ):
@@ -69,7 +73,7 @@ def correct_barcodes(
     xor = (d[None, :] << shifts[:, None]).astype(jnp.uint32)  # [L, 3]
     cands = packed[:, None, None] ^ xor[None, :, :]  # [B, L, 3]
 
-    is_member, idx = whitelist_lookup(cands, wl_sorted)  # [B, L, 3]
+    is_member, idx = whitelist_lookup(cands, wl)  # [B, L, 3]
     counts = jnp.where(is_member, wl_counts[jnp.maximum(idx, 0)], 0)
 
     prob_edit = qual_error_prob(quals)  # [B, L]

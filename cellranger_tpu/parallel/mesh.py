@@ -42,9 +42,9 @@ def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data"):
     whitelist arrays replicated, metrics psummed across chips."""
 
     def spmd(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
-             rna, rna_nmask, slot_valid, wl_sorted, wl_counts):
+             rna, rna_nmask, slot_valid, wl_table, wl_counts):
         out = step_fn(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
-                      rna, rna_nmask, slot_valid, wl_sorted, wl_counts)
+                      rna, rna_nmask, slot_valid, wl_table, wl_counts)
         out["metrics"] = jax.tree.map(
             lambda x: jax.lax.psum(x, axis), out["metrics"])
         return out
@@ -52,7 +52,8 @@ def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data"):
     batch_spec = [P(axis)] * 8 + [P(None), P(None)]
     out_spec = dict(
         bc_idx=P(axis), gene=P(axis), umi=P(axis), conf_ok=P(axis),
-        pos=P(axis), mapq=P(axis), strand=P(axis), aln_len=P(axis),
+        pos=P(axis), mapq=P(axis), strand=P(axis), mapped=P(axis),
+        aln_len=P(axis),
         aln_start=P(axis), region=P(axis), antisense=P(axis),
         corrected_bc=P(axis), bc_ok=P(axis),
         metrics=jax.tree.map(lambda _: P(), dict(

@@ -43,6 +43,7 @@ from ..io.reference import ReferencePackage
 from ..io.whitelist import Whitelist
 from ..ops import barcode as bcops
 from ..ops.dedup import dedup_molecules
+from ..ops.lookup import SortedTable
 from ..ops import encode
 
 
@@ -59,6 +60,7 @@ class CountConfig:
     sample_id: str = "sample"
     gem_group: int = 1
     write_bam: bool = False
+    secondary_analysis: bool = True
 
 
 @dataclass
@@ -102,10 +104,10 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
 
     @jax.jit
     def step(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
-             rna, rna_nmask, slot_valid, wl_sorted, wl_counts):
-        hit, idx = bcops.whitelist_lookup(bc_packed, wl_sorted)
+             rna, rna_nmask, slot_valid, wl_table, wl_counts):
+        hit, idx = bcops.whitelist_lookup(bc_packed, wl_table)
         corr_bc, corr_idx, corrected = bcops.correct_barcodes(
-            bc_packed, bc_qual, wl_sorted, wl_counts, bc_len)
+            bc_packed, bc_qual, wl_table, wl_counts, bc_len)
         bc_ok = (hit | corrected) & slot_valid
         bc_idx = jnp.where(hit, idx, corr_idx)
 
@@ -168,7 +170,7 @@ def run_count(cfg: CountConfig, out_dir: str,
         ref.transcriptome.gene_ids, ref.transcriptome.gene_names,
         ref.genome_name)
     step = _make_step(didx, ann_idx, whitelist.size, chem, cfg.read_len)
-    wl_sorted = jnp.asarray(whitelist.sorted_seqs)
+    wl_table = SortedTable.build(whitelist.sorted_seqs)
 
     # ---- pass 1: extract + count valid barcodes (the correction prior) ----
     cached: list[ReadBatch] = []
@@ -176,7 +178,7 @@ def run_count(cfg: CountConfig, out_dir: str,
     for (r1, r2) in cfg.fastq_pairs:
         for batch in batches_from_fastqs(chem, r1, r2, cfg.batch_size,
                                          cfg.read_len, keep_names=cfg.write_bam):
-            hit, idx = bcops.whitelist_lookup(jnp.asarray(batch.bc_packed), wl_sorted)
+            hit, idx = bcops.whitelist_lookup(jnp.asarray(batch.bc_packed), wl_table)
             wl_counts = wl_counts + bcops.count_valid_barcodes(
                 idx, jnp.asarray(batch.slot_valid), whitelist.size)
             cached.append(batch)
@@ -193,7 +195,7 @@ def run_count(cfg: CountConfig, out_dir: str,
                    jnp.asarray(batch.bc_exact), jnp.asarray(batch.umi_packed),
                    jnp.asarray(batch.umi_valid), jnp.asarray(batch.rna),
                    jnp.asarray(batch.rna_nmask), jnp.asarray(batch.slot_valid),
-                   wl_sorted, wl_counts)
+                   wl_table, wl_counts)
         m = {k: int(v) for k, v in out["metrics"].items()}
         metrics.total_reads += batch.n_reads
         metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
@@ -268,6 +270,11 @@ def run_count(cfg: CountConfig, out_dir: str,
         metrics={"total_reads": metrics.total_reads,
                  "usable_read_pairs": metrics.usable_reads,
                  "chemistry": cfg.chemistry, "sample_id": cfg.sample_id})
+
+    # ---- secondary analysis (SC_RNA_ANALYZER analog) ----
+    if cfg.secondary_analysis and len(cells_idx) >= 2:
+        from ..analysis.run import run_secondary_analysis
+        run_secondary_analysis(filtered, os.path.join(out_dir, "analysis"))
 
     # ---- summary metrics ----
     cell_mask = np.zeros(whitelist.size, bool)

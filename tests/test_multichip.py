@@ -26,7 +26,8 @@ def test_sharded_equals_single():
     step, wl, genome, rng = ge._synthetic_setup()
     B = 64 * 8
     batch = ge._synthetic_batch(wl, genome, rng, B)
-    wl_sorted = jnp.asarray(wl.sorted_seqs)
+    from cellranger_tpu.ops.lookup import SortedTable
+    wl_sorted = SortedTable.build(wl.sorted_seqs)
     wl_counts = jnp.ones(wl.size, jnp.int32)
     args = (batch["bc_packed"], batch["bc_qual"], batch["bc_exact"],
             batch["umi_packed"], batch["umi_valid"], batch["rna"],
@@ -53,7 +54,8 @@ def test_sharded_histogram_psum():
     step, wl, genome, rng = ge._synthetic_setup()
     B = 64 * 8
     batch = ge._synthetic_batch(wl, genome, rng, B)
-    wl_sorted = jnp.asarray(wl.sorted_seqs)
+    from cellranger_tpu.ops.lookup import SortedTable
+    wl_sorted = SortedTable.build(wl.sorted_seqs)
     hit, idx = bcops.whitelist_lookup(batch["bc_packed"], wl_sorted)
     expect = np.asarray(bcops.count_valid_barcodes(
         idx, batch["slot_valid"], wl.size))
