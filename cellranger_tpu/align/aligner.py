@@ -96,8 +96,16 @@ def _window_valid(mask: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 
-def make_aligner(idx: DeviceIndex, read_len: int, score_min: int = DEFAULT_ALIGN_SCORE_MIN):
-    """Build the jitted batch alignment function for a static read length."""
+def make_aligner(idx: DeviceIndex, read_len: int,
+                 score_min: int = DEFAULT_ALIGN_SCORE_MIN,
+                 sw_rescue: bool = True):
+    """Build the jitted batch alignment function for a static read length.
+
+    sw_rescue: run the banded Smith-Waterman Pallas kernel on each read's
+    best candidate window; reads whose gapped score clears `score_min` are
+    rescued even when the ungapped pass fell short (indels), and the gapped
+    score/end are reported for CIGAR refinement.
+    """
     k = idx.k
     L = read_len
     seed_offsets = np.arange(0, L - k + 1, SEED_STRIDE, dtype=np.int32)
@@ -128,26 +136,29 @@ def make_aligner(idx: DeviceIndex, read_len: int, score_min: int = DEFAULT_ALIGN
                              acc + off - idx.sj_overhang)
         return jnp.where(in_sj, canon_sj, pos)
 
-    def gather_windows(pos):
-        """pos int32 [B, D] -> (codes uint8 [B, D, L], valid bool [B, D, L])
-        via packed-word gathers + local realignment."""
+    def gather_windows(pos, width=None):
+        """pos int32 [..., ] -> (codes uint8 [..., width], valid bool) via
+        packed-word gathers + local realignment."""
+        width = width or L
+        n_words = (width + 15) // 16 + 1
         w0 = pos >> 4
         off = (pos & 15).astype(jnp.int32)
-        widx = jnp.clip(w0[..., None] + jnp.arange(WIN_WORDS)[None, None, :],
+        extra = (1,) * pos.ndim
+        widx = jnp.clip(w0[..., None] + jnp.arange(n_words).reshape(*extra, -1),
                         0, NW - 1)
-        words = idx.text_words[widx]        # [B, D, WIN_WORDS]
+        words = idx.text_words[widx]        # [..., n_words]
         vwords = idx.valid_words[widx]
         # unpack each word to 16 codes, MSB-first
         shifts = (2 * (15 - jnp.arange(16))).astype(jnp.uint32)
         codes16 = ((words[..., None] >> shifts) & 3).astype(jnp.uint8)
         vshifts = (15 - jnp.arange(16)).astype(jnp.uint32)
         valid16 = ((vwords[..., None] >> vshifts) & 1).astype(jnp.bool_)
-        flatc = codes16.reshape(*pos.shape, WIN_WORDS * 16)
-        flatv = valid16.reshape(*pos.shape, WIN_WORDS * 16)
-        li = off[..., None] + jnp.arange(L)[None, None, :]
+        flatc = codes16.reshape(*pos.shape, n_words * 16)
+        flatv = valid16.reshape(*pos.shape, n_words * 16)
+        li = off[..., None] + jnp.arange(width).reshape(*extra, -1)
         win = jnp.take_along_axis(flatc, li, axis=-1)
         wok = jnp.take_along_axis(flatv, li, axis=-1)
-        in_bounds = (pos[..., None] + jnp.arange(L)[None, None, :]) < G
+        in_bounds = (pos[..., None] + jnp.arange(width).reshape(*extra, -1)) < G
         return win, wok & in_bounds
 
     def align_strand(codes, basemask):
@@ -238,15 +249,32 @@ def make_aligner(idx: DeviceIndex, read_len: int, score_min: int = DEFAULT_ALIGN
         pick = jnp.argmin(order_key, axis=1)
         take = lambda a: jnp.take_along_axis(a, pick[:, None], axis=1)[:, 0]
 
-        mapped = (best_score >= score_min) & (n_best >= 1)
+        best_pos = take(pos)
+        best_strand = take(strand)
+        out = dict(
+            pos=best_pos, strand=best_strand, score=best_score,
+            aln_start=take(start), aln_len=take(alen), n_best=n_best,
+        )
+
+        if sw_rescue:
+            from .sw import BAND, banded_sw
+            codes_b = jnp.where(best_strand[:, None] == 1, rc, rna)
+            mask_b = jnp.where(best_strand[:, None] == 1, rc_mask, nmask)
+            win_start = jnp.maximum(best_pos - BAND // 2, 0)
+            win, wok = gather_windows(win_start, width=L + BAND)
+            sw_score, sw_ei, sw_ed = banded_sw(codes_b, mask_b, win, wok)
+            eff_score = jnp.maximum(best_score, sw_score)
+            out.update(sw_score=sw_score, sw_end_i=sw_ei, sw_end_d=sw_ed,
+                       sw_win_start=win_start)
+        else:
+            eff_score = best_score
+
+        mapped = (eff_score >= score_min) & (n_best >= 1)
         mapq = jnp.select(
             [n_best <= 1, n_best == 2, n_best <= 4],
             [jnp.int32(255), jnp.int32(3), jnp.int32(1)], jnp.int32(0))
-        mapq = jnp.where(mapped, mapq, 0)
-        return dict(
-            pos=take(pos), strand=take(strand), score=best_score,
-            aln_start=take(start), aln_len=take(alen),
-            mapq=mapq, mapped=mapped, n_best=n_best,
-        )
+        out["mapq"] = jnp.where(mapped, mapq, 0)
+        out["mapped"] = mapped
+        return out
 
     return align_batch

@@ -122,3 +122,17 @@ def test_n_bases_masked(small_index):
     assert not bool(mask[0, 10])
     out = align(codes, mask)
     assert bool(out["mapped"][0]) and int(out["pos"][0]) == p
+
+
+def test_sw_rescue_indel_read(small_index):
+    genome, _, didx = small_index
+    align = make_aligner(didx, READ_LEN)
+    # read with a 4-base deletion in the middle: ungapped best run < 50,
+    # still above score_min, but check the SW fields report a higher score
+    p = 20000
+    read = genome[p:p + 45] + genome[p + 49:p + 49 + (READ_LEN - 45)]
+    codes, mask = codes_batch([read], READ_LEN)
+    out = align(codes, mask)
+    assert bool(out["mapped"][0])
+    assert int(out["sw_score"][0]) > int(out["score"][0])
+    assert int(out["sw_score"][0]) >= READ_LEN - 12  # deletion costs ~8+slack
