@@ -76,8 +76,12 @@ def _sw_kernel(read_ref, rmask_ref, win_ref, wmask_ref,
             sh *= 2
         h_cur = t - gp_d
         h_cur = jnp.where(active, h_cur, 0)
-        row_best = jnp.max(h_cur, axis=0)                 # [T]
-        row_d = jnp.argmax(h_cur, axis=0).astype(jnp.int32)
+        # best-of-row with index: pack d into low bits (Mosaic has no int
+        # argmax); smaller d wins ties
+        packed = h_cur * BAND + (BAND - 1 - d_idx)
+        row_packed = jnp.max(packed, axis=0)              # [T]
+        row_best = row_packed // BAND
+        row_d = (BAND - 1) - (row_packed % BAND)
         better = row_best > best
         best = jnp.where(better, row_best, best)
         bi = jnp.where(better, i, bi)

@@ -22,7 +22,18 @@ def _cmd_count(args):
     pairs = find_fastqs(args.fastqs, sample=args.sample)
     if not pairs:
         sys.exit(f"error: no FASTQs found in {args.fastqs}"
-                 + (f" for sample {args.sample}" % () if args.sample else ""))
+                 + (f" for sample {args.sample}" if args.sample else ""))
+    if args.chemistry == "auto":
+        from .io.whitelist import Whitelist
+        from .pipeline.detect_chemistry import detect_chemistry
+        wl = Whitelist.load(args.whitelist)
+        det = detect_chemistry(pairs[0][0], {wl.name: wl},
+                               candidates=tuple(
+                                   c for c in ("SC3Pv4", "SC3Pv3", "SC3Pv2",
+                                               "SC5P-R2", "SFRP")))
+        args.chemistry = det["chemistry"]
+        print(f"detected chemistry: {args.chemistry} "
+              f"(whitelist hit frac {det['frac']:.3f})")
     cfg = CountConfig(
         fastq_pairs=pairs,
         reference_path=args.reference,
@@ -42,6 +53,26 @@ def _cmd_count(args):
                        "conf_mapped_frac", "estimated_cells",
                        "total_molecules", "median_umis_per_cell"]}, indent=2))
     print(f"outputs: {out_dir}")
+
+
+def _cmd_aggr(args):
+    from .pipeline.aggr import run_aggr
+
+    out_dir = os.path.join(args.output_dir or ".", args.id, "outs")
+    summary = run_aggr(args.csv, out_dir)
+    print(json.dumps(summary, indent=2, default=float))
+    print(f"outputs: {out_dir}")
+
+
+def _cmd_reanalyze(args):
+    from .analysis.run import run_secondary_analysis
+    from .io.matrix_io import CountMatrix
+
+    out_dir = os.path.join(args.output_dir or ".", args.id, "outs")
+    matrix = CountMatrix.load_h5(args.matrix)
+    os.makedirs(out_dir, exist_ok=True)
+    run_secondary_analysis(matrix, os.path.join(out_dir, "analysis"))
+    print(f"outputs: {out_dir}/analysis")
 
 
 def _cmd_mkref(args):
@@ -138,6 +169,18 @@ def main(argv=None):
     c.add_argument("--bam", action="store_true", help="write possorted BAM")
     c.add_argument("--output-dir", dest="output_dir")
     c.set_defaults(fn=_cmd_count)
+
+    a = sub.add_parser("aggr", help="aggregate multiple count runs")
+    a.add_argument("--id", required=True)
+    a.add_argument("--csv", required=True, help="sample_id,molecule_h5 CSV")
+    a.add_argument("--output-dir", dest="output_dir")
+    a.set_defaults(fn=_cmd_aggr)
+
+    r = sub.add_parser("reanalyze", help="re-run secondary analysis on a matrix")
+    r.add_argument("--id", required=True)
+    r.add_argument("--matrix", required=True, help="filtered matrix .h5")
+    r.add_argument("--output-dir", dest="output_dir")
+    r.set_defaults(fn=_cmd_reanalyze)
 
     m = sub.add_parser("mkref", help="build a reference package")
     m.add_argument("--genome", required=True)

