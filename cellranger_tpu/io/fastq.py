@@ -116,28 +116,45 @@ def _rectangularize(records: list[tuple[bytes, bytes]], width: int):
     return seqs, quals, lens
 
 
+def required_widths(chem: Chemistry, read_len: int) -> tuple[int, int]:
+    """(R1 width, R2 width) of the rectangular buffers a chemistry needs."""
+    bc_span = chem.barcode[0].span
+    umi_span = chem.umi
+    r1_w = max(bc_span.offset + bc_span.length,
+               umi_span.offset + umi_span.length,
+               (chem.rna.offset + read_len) if chem.rna.read == "R1" else 0)
+    r2_w = (chem.rna.offset + read_len) if chem.rna.read == "R2" else read_len
+    return r1_w, r2_w
+
+
 def extract_batch(chem: Chemistry, r1: list[tuple[bytes, bytes]],
                   r2: list[tuple[bytes, bytes]] | None,
                   read_len: int, batch_size: int,
                   start_read_id: int = 0,
                   names: list[bytes] | None = None) -> ReadBatch:
-    """Extract barcode/UMI/cDNA planes from raw R1 (+R2) records.
+    """Extract barcode/UMI/cDNA planes from raw R1 (+R2) record lists."""
+    need_r1, need_r2 = required_widths(chem, read_len)
+    r1_arrays = _rectangularize(r1, need_r1)
+    r2_arrays = _rectangularize(r2, need_r2) if r2 is not None else None
+    return extract_batch_arrays(chem, r1_arrays, r2_arrays, read_len,
+                                batch_size, start_read_id, names)
 
-    Pads to `batch_size` rows; cDNA clipped/padded to `read_len`.
-    """
-    n = len(r1)
+
+def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
+                         read_len: int, batch_size: int,
+                         start_read_id: int = 0,
+                         names: list[bytes] | None = None) -> ReadBatch:
+    """Extraction core over rectangular (seqs, quals, lens) arrays — the
+    zero-copy path fed by the native reader."""
+    r1seq, r1qual, r1len = r1_arrays
+    n = len(r1seq)
     assert n <= batch_size
     bc_span = chem.barcode[0].span
     umi_span = chem.umi
-    need_r1 = max(bc_span.offset + bc_span.length,
-                  umi_span.offset + umi_span.length,
-                  (chem.rna.offset + read_len) if chem.rna.read == "R1" else 0)
-    r1seq, r1qual, r1len = _rectangularize(r1, need_r1)
 
     reads = {"R1": (r1seq, r1qual, r1len)}
-    if r2 is not None:
-        reads["R2"] = _rectangularize(r2, read_len + chem.rna.offset
-                                      if chem.rna.read == "R2" else read_len)
+    if r2_arrays is not None:
+        reads["R2"] = r2_arrays
 
     def span_arrays(span: Span, max_len=None):
         s, q, l = reads[span.read]
@@ -204,8 +221,17 @@ def extract_batch(chem: Chemistry, r1: list[tuple[bytes, bytes]],
 
 def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
                         batch_size: int, read_len: int,
-                        keep_names: bool = False) -> Iterator[ReadBatch]:
-    """Stream ReadBatches from a (R1, R2) FASTQ pair."""
+                        keep_names: bool = False,
+                        use_native: bool = True) -> Iterator[ReadBatch]:
+    """Stream ReadBatches from a (R1, R2) FASTQ pair; prefers the native
+    (C++/zlib) reader, falling back to the pure-python parser."""
+    if use_native:
+        try:
+            yield from _batches_native(chem, r1_path, r2_path, batch_size,
+                                       read_len, keep_names)
+            return
+        except RuntimeError:
+            pass  # no toolchain: python fallback
     it1 = iter_fastq_records(r1_path)
     it2 = iter_fastq_records(r2_path) if r2_path else None
     next_id = 0
@@ -230,6 +256,38 @@ def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
         next_id += len(r1)
         if len(r1) < batch_size:
             return
+
+
+def _batches_native(chem: Chemistry, r1_path: str, r2_path: str | None,
+                    batch_size: int, read_len: int,
+                    keep_names: bool) -> Iterator[ReadBatch]:
+    from ..native import NativeFastqReader
+
+    need_r1, need_r2 = required_widths(chem, read_len)
+    rd1 = NativeFastqReader(r1_path, keep_names=keep_names)
+    rd2 = NativeFastqReader(r2_path) if r2_path else None
+    next_id = 0
+    try:
+        while True:
+            s1, q1, l1, names = rd1.read_batch(batch_size, need_r1)
+            n = len(s1)
+            if n == 0:
+                return
+            r2_arrays = None
+            if rd2 is not None:
+                s2, q2, l2, _ = rd2.read_batch(batch_size, need_r2)
+                if len(s2) != n:
+                    raise ValueError("R1/R2 FASTQ length mismatch")
+                r2_arrays = (s2, q2, l2)
+            yield extract_batch_arrays(chem, (s1, q1, l1), r2_arrays,
+                                       read_len, batch_size, next_id, names)
+            next_id += n
+            if n < batch_size:
+                return
+    finally:
+        rd1.close()
+        if rd2 is not None:
+            rd2.close()
 
 
 def find_fastqs(directory: str, sample: str | None = None):
