@@ -370,4 +370,8 @@ def run_count(cfg: CountConfig, out_dir: str,
     with open(os.path.join(out_dir, "filtered_barcodes.csv"), "w") as f:
         for b in filtered.barcodes:
             f.write(ref.genome_name + "," + b.decode() + "\n")
+
+    # web summary (MULTI_REPORTER analog)
+    from .websummary import build_web_summary
+    build_web_summary(out_dir, cfg.sample_id)
     return summary

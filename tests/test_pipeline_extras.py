@@ -113,3 +113,22 @@ def test_aggr_mismatched_features_rejected(synthetic_run, tmp_path):
         f.write(f"b,{bad}\n")
     with pytest.raises(ValueError, match="mismatched feature"):
         run_aggr(csv_path, str(tmp_path / "aggr_bad"))
+
+
+def test_web_summary(synthetic_run, tmp_path):
+    from cellranger_tpu.pipeline.websummary import build_web_summary
+    s = synthetic_run
+    out = str(tmp_path / "ws")
+    run_count(CountConfig(fastq_pairs=[(s["r1"], s["r2"])],
+                          reference_path=s["ref"], whitelist_path=s["wl"],
+                          chemistry="SC3Pv3", read_len=91, batch_size=2048), out)
+    p = os.path.join(out, "web_summary.html")
+    assert os.path.exists(p)
+    content = open(p).read()
+    assert "Estimated cells" in content
+    assert "Barcode rank" in content
+    assert "<svg" in content and "circle" in content  # plots rendered
+    assert "t-SNE" in content
+    # metric values present
+    mj = json.load(open(os.path.join(out, "metrics_summary.json")))
+    assert f"{mj['estimated_cells']:,}" in content
