@@ -59,8 +59,9 @@ class LibraryDef:
 @dataclass
 class CountConfig:
     fastq_pairs: list[tuple[str, str | None]]
-    reference_path: str
+    reference_path: str | None = None
     whitelist_path: str | None = None
+    probe_set_csv: str | None = None   # RTL runs align to probes, not genome
     feature_ref_csv: str | None = None
     libraries: list[LibraryDef] | None = None  # defaults to fastq_pairs as GEX
     chemistry: str = "SC3Pv3"
@@ -170,17 +171,32 @@ def run_count(cfg: CountConfig, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     chem = get_chemistry(cfg.chemistry)
-    ref = ReferencePackage.load(cfg.reference_path)
     if whitelist is None:
         whitelist = Whitelist.load(cfg.whitelist_path)
 
-    gi = ref.genome_index
-    didx = DeviceIndex.from_host(gi)
-    ann_idx = AnnotationIndex.build(ref.transcriptome, gi)
-    n_genes = len(ref.transcriptome.genes)
-    features = FeatureReference.from_transcriptome(
-        ref.transcriptome.gene_ids, ref.transcriptome.gene_names,
-        ref.genome_name)
+    probe_set = None
+    if cfg.probe_set_csv:
+        # RTL run: align to the probe set (Hurtle analog); no genome index
+        from ..io.probe_set import ProbeSet
+        from ..ops.probes import make_probe_aligner
+        probe_set = ProbeSet.from_csv(cfg.probe_set_csv)
+        ref = (ReferencePackage.load(cfg.reference_path)
+               if cfg.reference_path else None)
+        gi = None
+        n_genes = len(probe_set.genes)
+        from ..io.matrix_io import FeatureDef
+        features = FeatureReference(
+            [FeatureDef(g, g, "Gene Expression") for g in probe_set.genes])
+        probe_align = make_probe_aligner(probe_set, cfg.read_len)
+    else:
+        ref = ReferencePackage.load(cfg.reference_path)
+        gi = ref.genome_index
+        didx = DeviceIndex.from_host(gi)
+        ann_idx = AnnotationIndex.build(ref.transcriptome, gi)
+        n_genes = len(ref.transcriptome.genes)
+        features = FeatureReference.from_transcriptome(
+            ref.transcriptome.gene_ids, ref.transcriptome.gene_names,
+            ref.genome_name)
 
     fb_ref = None
     fb_extractors = {}
@@ -197,7 +213,8 @@ def run_count(cfg: CountConfig, out_dir: str,
                 jnp.ones((len(seqs),), jnp.int32))
 
     libraries = cfg.libraries or [LibraryDef(cfg.fastq_pairs, "Gene Expression")]
-    step = _make_step(didx, ann_idx, whitelist.size, chem, cfg.read_len)
+    step = (None if probe_set is not None
+            else _make_step(didx, ann_idx, whitelist.size, chem, cfg.read_len))
     wl_table = SortedTable.build(whitelist.sorted_seqs)
 
     # ---- pass 1: extract + count valid barcodes (the correction prior) ----
@@ -218,12 +235,38 @@ def run_count(cfg: CountConfig, out_dir: str,
     metrics = CountMetrics()
     mol_bc, mol_gene, mol_umi = [], [], []
     bam_collector = None
-    if cfg.write_bam:
+    if cfg.write_bam and gi is not None:
         from .bam_out import BamCollector
         bam_collector = BamCollector(gi, ref.transcriptome)
     for li, batch in cached:
         lib_type = libraries[li].library_type
-        if lib_type == "Gene Expression":
+        if lib_type == "Gene Expression" and probe_set is not None:
+            # RTL: cell-barcode handling + probe alignment
+            hit, idx = bcops.whitelist_lookup(
+                jnp.asarray(batch.bc_packed), wl_table)
+            corr_bc, corr_idx, corrected = bcops.correct_barcodes(
+                jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
+                wl_table, wl_counts, chem.barcode_length)
+            slot = jnp.asarray(batch.slot_valid)
+            bc_ok = (hit | corrected) & slot
+            bc_idx = jnp.where(hit, idx, corr_idx)
+            pa = probe_align(jnp.asarray(batch.rna),
+                             jnp.asarray(batch.rna_nmask))
+            conf = (np.asarray(pa["conf_mapped"]) & np.asarray(bc_ok)
+                    & batch.umi_valid)
+            metrics.total_reads += batch.n_reads
+            metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
+            metrics.corrected_barcode_reads += int(
+                jnp.sum(corrected & ~hit & slot))
+            metrics.valid_umi_reads += int(
+                jnp.sum(jnp.asarray(batch.umi_valid) & slot))
+            metrics.mapped_reads += int(np.asarray(pa["mapped"]).sum())
+            metrics.conf_mapped_reads += int(np.asarray(pa["conf_mapped"]).sum())
+            metrics.usable_reads += int(conf.sum())
+            mol_bc.append(np.asarray(bc_idx).astype(np.uint32)[conf])
+            mol_gene.append(np.asarray(pa["gene"])[conf].astype(np.uint32))
+            mol_umi.append(np.asarray(batch.umi_packed)[conf])
+        elif lib_type == "Gene Expression":
             out = step(jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
                        jnp.asarray(batch.bc_exact), jnp.asarray(batch.umi_packed),
                        jnp.asarray(batch.umi_valid), jnp.asarray(batch.rna),
@@ -367,9 +410,12 @@ def run_count(cfg: CountConfig, out_dir: str,
         json.dump(summary, f, indent=2, default=float)
 
     # filtered barcodes csv (reference: filtered_barcodes.csv)
+    genome_name = ref.genome_name if ref is not None else \
+        (probe_set.metadata.get("reference_genome", "probe")
+         if probe_set else "genome")
     with open(os.path.join(out_dir, "filtered_barcodes.csv"), "w") as f:
         for b in filtered.barcodes:
-            f.write(ref.genome_name + "," + b.decode() + "\n")
+            f.write(genome_name + "," + b.decode() + "\n")
 
     # web summary (MULTI_REPORTER analog)
     from .websummary import build_web_summary
