@@ -55,6 +55,22 @@ def _cmd_count(args):
     print(f"outputs: {out_dir}")
 
 
+def _cmd_vdj(args):
+    from .io.fastq import find_fastqs
+    from .pipeline.vdj import VdjConfig, run_vdj
+
+    pairs = find_fastqs(args.fastqs, sample=args.sample)
+    if not pairs:
+        sys.exit(f"error: no FASTQs found in {args.fastqs}")
+    out_dir = os.path.join(args.output_dir or ".", args.id, "outs")
+    summary = run_vdj(VdjConfig(
+        fastq_pairs=pairs, vdj_reference_fasta=args.reference,
+        whitelist_path=args.whitelist, chemistry=args.chemistry,
+        read_len=args.read_len, sample_id=args.id), out_dir)
+    print(json.dumps(summary, indent=2, default=float))
+    print(f"outputs: {out_dir}")
+
+
 def _cmd_aggr(args):
     from .pipeline.aggr import run_aggr
 
@@ -169,6 +185,17 @@ def main(argv=None):
     c.add_argument("--bam", action="store_true", help="write possorted BAM")
     c.add_argument("--output-dir", dest="output_dir")
     c.set_defaults(fn=_cmd_count)
+
+    v = sub.add_parser("vdj", help="V(D)J contig assembly + clonotypes")
+    v.add_argument("--id", required=True)
+    v.add_argument("--fastqs", required=True)
+    v.add_argument("--sample")
+    v.add_argument("--reference", required=True, help="V(D)J regions.fa")
+    v.add_argument("--whitelist", required=True)
+    v.add_argument("--chemistry", default="SCVDJ-R2")
+    v.add_argument("--read-len", type=int, default=120, dest="read_len")
+    v.add_argument("--output-dir", dest="output_dir")
+    v.set_defaults(fn=_cmd_vdj)
 
     a = sub.add_parser("aggr", help="aggregate multiple count runs")
     a.add_argument("--id", required=True)

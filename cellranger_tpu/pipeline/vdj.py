@@ -1,0 +1,171 @@
+"""V(D)J pipeline: FASTQ -> per-cell contigs, annotations, clonotypes
+(the SC_VDJ_ASSEMBLER_CS analog, mro/rna/sc_vdj_assembler_cs.mro:27 ->
+MAKE_SHARD/BARCODE_CORRECTION -> ASSEMBLE_VDJ -> RUN_ENCLONE chain).
+
+Flow: barcode extraction/correction reuses the count machinery; the
+(barcode, kmer) spectrum is counted on device (vdj.assembly.count_bc_kmers);
+contig assembly walks unitigs per barcode on host; V/J annotation + CDR3 +
+clonotype grouping per vdj.annotate. Cell calling: barcodes with a
+productive, UMI-supported contig (asm_call_cells.rs simplification).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..io.chemistry import get_chemistry
+from ..io.fastq import batches_from_fastqs
+from ..io.gtf import write_fasta
+from ..io.whitelist import Whitelist
+from ..ops import barcode as bcops
+from ..ops import encode
+from ..ops.lookup import SortedTable
+from ..vdj.annotate import annotate_contig, group_clonotypes
+from ..vdj.assembly import assemble_barcode, count_bc_kmers, umi_support
+from ..vdj.reference import VdjReference
+
+MIN_UMIS_PER_CONTIG = 2
+
+
+@dataclass
+class VdjConfig:
+    fastq_pairs: list[tuple[str, str | None]]
+    vdj_reference_fasta: str
+    whitelist_path: str
+    chemistry: str = "SCVDJ-R2"
+    read_len: int = 120
+    batch_size: int = 4096
+    sample_id: str = "vdj_sample"
+
+
+def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    chem = get_chemistry(cfg.chemistry)
+    wl = Whitelist.load(cfg.whitelist_path)
+    wl_table = SortedTable.build(wl.sorted_seqs)
+    ref = VdjReference.from_fasta(cfg.vdj_reference_fasta)
+
+    # pass 1: extract, count valid bcs
+    cached = []
+    wl_counts = jnp.zeros((wl.size,), jnp.int32)
+    for (r1, r2) in cfg.fastq_pairs:
+        for b in batches_from_fastqs(chem, r1, r2, cfg.batch_size, cfg.read_len):
+            hit, idx = bcops.whitelist_lookup(jnp.asarray(b.bc_packed), wl_table)
+            wl_counts = wl_counts + bcops.count_valid_barcodes(
+                idx, jnp.asarray(b.slot_valid), wl.size)
+            cached.append(b)
+
+    # pass 2: correct, collect per-read (bc_idx, umi, seq)
+    all_bc, all_rna, all_nmask = [], [], []
+    reads_by_bc: dict[int, list] = {}
+    total_reads = valid_bc_reads = 0
+    for b in cached:
+        hit, idx = bcops.whitelist_lookup(jnp.asarray(b.bc_packed), wl_table)
+        corr_bc, corr_idx, corrected = bcops.correct_barcodes(
+            jnp.asarray(b.bc_packed), jnp.asarray(b.bc_qual), wl_table,
+            wl_counts, chem.barcode_length)
+        bc_ok = np.asarray((hit | corrected)) & b.slot_valid
+        bc_idx = np.asarray(jnp.where(hit, idx, corr_idx))
+        total_reads += b.n_reads
+        valid_bc_reads += int(bc_ok.sum())
+        sel = bc_ok & b.umi_valid
+        all_bc.append(bc_idx[sel].astype(np.uint32))
+        all_rna.append(b.rna[sel])
+        all_nmask.append(b.rna_nmask[sel])
+        for i in np.flatnonzero(sel):
+            seq = encode.decode_codes(b.rna[i][:b.rna_len[i]],
+                                      b.rna_nmask[i][:b.rna_len[i]]).decode()
+            reads_by_bc.setdefault(int(bc_idx[i]), []).append(
+                (int(b.umi_packed[i]), seq))
+
+    if all_bc and len(np.concatenate(all_bc)):
+        bcs = np.concatenate(all_bc)
+        rna = np.concatenate(all_rna)
+        nmask = np.concatenate(all_nmask)
+        kb, kk, kc = count_bc_kmers(bcs, rna, nmask)
+    else:
+        kb = np.zeros(0, np.uint32)
+
+    # host: per-barcode spectra -> contigs -> annotation
+    contigs_by_bc = {}
+    cells = {}
+    contig_rows = []
+    i = 0
+    while i < len(kb):
+        j = i
+        spectrum = {}
+        while j < len(kb) and kb[j] == kb[i]:
+            spectrum[int(kk[j])] = int(kc[j])
+            j += 1
+        bc = int(kb[i])
+        i = j
+        contigs = assemble_barcode(spectrum)
+        if not contigs:
+            continue
+        reads = reads_by_bc.get(bc, [])
+        anns = []
+        for ci, contig in enumerate(contigs[:10]):
+            umi_support(contig, reads)
+            if contig.n_umis < MIN_UMIS_PER_CONTIG:
+                continue
+            ann = annotate_contig(contig.seq, ref)
+            anns.append((contig, ann))
+        if not anns:
+            continue
+        bc_str = encode.decode_codes(
+            encode.unpack_np(np.uint32(wl.sorted_seqs[bc]), wl.length)
+        ).decode() + "-1"
+        contigs_by_bc[bc_str] = anns
+        productive = [a for _, a in anns if a.productive]
+        if productive:
+            cells[bc_str] = [a for _, a in anns]
+        for ci, (contig, ann) in enumerate(anns):
+            contig_rows.append(dict(
+                barcode=bc_str, contig_id=f"{bc_str}_contig_{ci + 1}",
+                length=len(contig.seq), umis=contig.n_umis,
+                reads=contig.n_reads,
+                chain=ann.chain or "None",
+                v_gene=ann.v.segment.gene_name if ann.v else "None",
+                j_gene=ann.j.segment.gene_name if ann.j else "None",
+                c_gene=ann.c.segment.gene_name if ann.c else "None",
+                cdr3=ann.cdr3_aa or "None", cdr3_nt=ann.cdr3_nt or "None",
+                full_length=ann.full_length, productive=ann.productive,
+                is_cell=bc_str in cells,
+                sequence=contig.seq))
+
+    clonotypes = group_clonotypes(cells)
+
+    # outputs (reference: all_contig_annotations.csv, clonotypes.csv, fasta)
+    with open(os.path.join(out_dir, "all_contig_annotations.csv"), "w") as f:
+        cols = ["barcode", "is_cell", "contig_id", "length", "chain",
+                "v_gene", "j_gene", "c_gene", "cdr3", "cdr3_nt",
+                "reads", "umis", "full_length", "productive"]
+        f.write(",".join(cols) + "\n")
+        for r in contig_rows:
+            f.write(",".join(str(r[c]) for c in cols) + "\n")
+    write_fasta(os.path.join(out_dir, "all_contig.fasta"),
+                {r["contig_id"]: r["sequence"].encode() for r in contig_rows})
+    with open(os.path.join(out_dir, "clonotypes.csv"), "w") as f:
+        f.write("clonotype_id,frequency,proportion,cdr3s_nt\n")
+        for c in clonotypes:
+            cdr3s = ";".join(f"{ch['chain']}:{ch['cdr3_nt']}"
+                             for ch in c["chains"])
+            f.write(f"{c['clonotype_id']},{c['frequency']},"
+                    f"{c['frequency'] / max(len(cells), 1):.4f},{cdr3s}\n")
+
+    summary = dict(
+        total_reads=total_reads,
+        valid_barcode_frac=valid_bc_reads / max(total_reads, 1),
+        barcodes_with_contigs=len(contigs_by_bc),
+        estimated_cells=len(cells),
+        n_clonotypes=len(clonotypes),
+        sample_id=cfg.sample_id,
+    )
+    with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+    return summary

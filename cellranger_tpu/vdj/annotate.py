@@ -1,0 +1,162 @@
+"""Contig annotation: V/J segment hits, CDR3, productivity, clonotypes
+(the vdj_ann + enclone_ranger role, simplified: kmer-prefiltered local
+alignment against the segment reference, CDR3 between the conserved V-end
+cysteine codon and the J FGXG/WGXG motif, productive = in-frame + no stop).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .reference import Segment, VdjReference
+
+KSEED = 16
+CODON = {
+    "TTT": "F", "TTC": "F", "TTA": "L", "TTG": "L", "CTT": "L", "CTC": "L",
+    "CTA": "L", "CTG": "L", "ATT": "I", "ATC": "I", "ATA": "I", "ATG": "M",
+    "GTT": "V", "GTC": "V", "GTA": "V", "GTG": "V", "TCT": "S", "TCC": "S",
+    "TCA": "S", "TCG": "S", "CCT": "P", "CCC": "P", "CCA": "P", "CCG": "P",
+    "ACT": "T", "ACC": "T", "ACA": "T", "ACG": "T", "GCT": "A", "GCC": "A",
+    "GCA": "A", "GCG": "A", "TAT": "Y", "TAC": "Y", "TAA": "*", "TAG": "*",
+    "CAT": "H", "CAC": "H", "CAA": "Q", "CAG": "Q", "AAT": "N", "AAC": "N",
+    "AAA": "K", "AAG": "K", "GAT": "D", "GAC": "D", "GAA": "E", "GAG": "E",
+    "TGT": "C", "TGC": "C", "TGA": "*", "TGG": "W", "CGT": "R", "CGC": "R",
+    "CGA": "R", "CGG": "R", "AGT": "S", "AGC": "S", "AGA": "R", "AGG": "R",
+    "GGT": "G", "GGC": "G", "GGA": "G", "GGG": "G",
+}
+
+
+def translate(nt: str) -> str:
+    return "".join(CODON.get(nt[i:i + 3], "X")
+                   for i in range(0, len(nt) - 2, 3))
+
+
+def _kmers(s: str, k: int = KSEED):
+    return {s[i:i + k] for i in range(len(s) - k + 1)}
+
+
+def local_align(a: str, b: str, match=2, mismatch=-2, gap=-3):
+    """Small host Smith-Waterman; returns (score, a_start, a_end, b_start,
+    b_end)."""
+    n, m = len(a), len(b)
+    H = np.zeros((n + 1, m + 1), np.int32)
+    best = (0, 0, 0)
+    for i in range(1, n + 1):
+        ai = a[i - 1]
+        row = H[i]
+        prev = H[i - 1]
+        for j in range(1, m + 1):
+            s = match if ai == b[j - 1] else mismatch
+            v = max(0, prev[j - 1] + s, prev[j] + gap, row[j - 1] + gap)
+            row[j] = v
+            if v > best[0]:
+                best = (v, i, j)
+    score, bi, bj = best
+    # crude traceback-free start estimate via re-scan
+    i, j = bi, bj
+    while i > 0 and j > 0 and H[i][j] > 0:
+        diag = H[i - 1][j - 1]
+        up = H[i - 1][j]
+        left = H[i][j - 1]
+        if diag >= up and diag >= left:
+            i, j = i - 1, j - 1
+        elif up >= left:
+            i -= 1
+        else:
+            j -= 1
+    return int(score), i, bi, j, bj
+
+
+@dataclass
+class SegmentHit:
+    segment: Segment
+    score: int
+    contig_start: int
+    contig_end: int
+
+
+@dataclass
+class ContigAnnotation:
+    contig_seq: str
+    chain: str | None = None
+    v: SegmentHit | None = None
+    j: SegmentHit | None = None
+    c: SegmentHit | None = None
+    cdr3_nt: str | None = None
+    cdr3_aa: str | None = None
+    productive: bool = False
+    full_length: bool = False
+
+
+def best_hit(contig: str, segments: list[Segment], min_score=40):
+    ck = _kmers(contig)
+    best = None
+    for seg in segments:
+        s = seg.seq.decode()
+        if not (ck & _kmers(s)):
+            continue
+        score, cs, ce, ss, se = local_align(contig, s)
+        if score >= min_score and (best is None or score > best.score):
+            best = SegmentHit(seg, score, cs, ce)
+    return best
+
+
+def find_cdr3(contig: str, v_end: int, j_start: int, j_end: int):
+    """CDR3 = conserved Cys codon near the V end .. FG.G/WG.G motif in J.
+    Returns (nt, aa) or (None, None)."""
+    # candidate conserved-Cys codons near the V end, tried latest-first (the
+    # reference anchors by V reading frame; we try frames until the J motif
+    # agrees)
+    lo = max(0, v_end - 60)
+    cands = [i for i in range(lo, min(v_end + 9, len(contig) - 2))
+             if contig[i:i + 3] in ("TGT", "TGC")]
+    for cys in reversed(cands):
+        # search FG.G / WG.G in the J region, in frame with cys (CDR3 >= 4 aa)
+        for i in range(max(j_start, cys + 9), min(j_end, len(contig) - 11)):
+            if (i - cys) % 3 != 0:
+                continue
+            aa = translate(contig[i:i + 12])
+            if len(aa) >= 4 and aa[0] in "FW" and aa[1] == "G" and aa[3] == "G":
+                nt = contig[cys:i + 3]
+                return nt, translate(nt)
+    return None, None
+
+
+def annotate_contig(contig: str, ref: VdjReference) -> ContigAnnotation:
+    ann = ContigAnnotation(contig_seq=contig)
+    v = best_hit(contig, ref.by_region("V"))
+    j = best_hit(contig, ref.by_region("J"), min_score=24)
+    c = best_hit(contig, ref.by_region("C"), min_score=24)
+    ann.v, ann.j, ann.c = v, j, c
+    if v is not None:
+        ann.chain = v.segment.chain
+    elif j is not None:
+        ann.chain = j.segment.chain
+    if v is not None and j is not None and v.contig_end <= j.contig_end:
+        ann.full_length = True
+        nt, aa = find_cdr3(contig, v.contig_end, j.contig_start, j.contig_end)
+        ann.cdr3_nt, ann.cdr3_aa = nt, aa
+        if aa and "*" not in aa and len(nt) % 3 == 0:
+            ann.productive = True
+    return ann
+
+
+def group_clonotypes(cells: dict[str, list[ContigAnnotation]]):
+    """{barcode: [annotations]} -> list of clonotypes: cells sharing the
+    identical set of (chain, cdr3_nt)."""
+    keyed = {}
+    for bc, anns in cells.items():
+        key = tuple(sorted({(a.chain or "", a.cdr3_nt)
+                            for a in anns if a.productive and a.cdr3_nt}))
+        if not key:
+            continue
+        keyed.setdefault(key, []).append(bc)
+    out = []
+    for key, bcs in sorted(keyed.items(), key=lambda kv: -len(kv[1])):
+        out.append(dict(
+            clonotype_id=f"clonotype{len(out) + 1}",
+            chains=[dict(chain=ch, cdr3_nt=nt) for ch, nt in key],
+            barcodes=sorted(bcs), frequency=len(bcs)))
+    return out

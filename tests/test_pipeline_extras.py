@@ -132,3 +132,42 @@ def test_web_summary(synthetic_run, tmp_path):
     # metric values present
     mj = json.load(open(os.path.join(out, "metrics_summary.json")))
     assert f"{mj['estimated_cells']:,}" in content
+
+
+def test_multi_config_and_run(synthetic_run, tmp_path):
+    from cellranger_tpu.io.multi_config import MultiConfig, run_multi
+    import shutil
+    s = synthetic_run
+    fdir = str(tmp_path / "fq"); os.makedirs(fdir)
+    shutil.copy(s["r1"], os.path.join(fdir, "gex_S1_L001_R1_001.fastq.gz"))
+    shutil.copy(s["r2"], os.path.join(fdir, "gex_S1_L001_R2_001.fastq.gz"))
+    csvp = str(tmp_path / "multi.csv")
+    with open(csvp, "w") as f:
+        f.write(f"""[gene-expression]
+reference,{s['ref']}
+chemistry,SC3Pv3
+
+[libraries]
+fastq_id,fastqs,feature_types
+gex,{fdir},Gene Expression
+""")
+    cfg = MultiConfig.from_csv(csvp)
+    assert cfg.gene_expression["reference"] == s["ref"]
+    assert cfg.libraries[0]["feature_types"] == "Gene Expression"
+
+    summary = run_multi(csvp, str(tmp_path / "mout"), s["wl"],
+                        read_len=91, batch_size=2048)
+    assert summary["count"]["total_reads"] == s["n_reads"]
+    assert os.path.exists(str(tmp_path / "mout" / "count" /
+                              "filtered_feature_bc_matrix.h5"))
+
+    # malformed: unknown section
+    bad = str(tmp_path / "bad.csv")
+    open(bad, "w").write("[nope]\nx,y\n")
+    with pytest.raises(ValueError, match="unknown section"):
+        MultiConfig.from_csv(bad)
+    # malformed: no libraries
+    bad2 = str(tmp_path / "bad2.csv")
+    open(bad2, "w").write("[gene-expression]\nreference,x\n")
+    with pytest.raises(ValueError, match="libraries"):
+        MultiConfig.from_csv(bad2)

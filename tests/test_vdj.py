@@ -1,0 +1,133 @@
+"""V(D)J: assembly from reads, segment annotation, CDR3, clonotypes,
+end-to-end pipeline."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cellranger_tpu.vdj.assembly import assemble_barcode, count_bc_kmers, K
+from cellranger_tpu.vdj.annotate import annotate_contig, translate, find_cdr3
+from cellranger_tpu.vdj.reference import VdjReference
+from cellranger_tpu.io.gtf import write_fasta
+from cellranger_tpu.pipeline.vdj import VdjConfig, run_vdj
+
+RNG = np.random.default_rng(123)
+
+
+def rand_nt(n, rng=RNG):
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+@pytest.fixture(scope="module")
+def vdj_world(tmp_path_factory):
+    """Synthetic TRB-like locus with two known CDR3s."""
+    rng = np.random.default_rng(42)
+    v_seq = rand_nt(147, rng) + "TGT"          # conserved Cys at the V end
+    j_seq = "TTTGGAACAGGG" + rand_nt(38, rng)  # FG.G motif at J start
+    c_seq = rand_nt(90, rng)
+    v2_seq = rand_nt(147, rng) + "TGT"
+    root = tmp_path_factory.mktemp("vdj")
+    fa = str(root / "regions.fa")
+    write_fasta(fa, {
+        "1|TRBV1-1|TRBV1-1|TRBV1-1|L-REGION+V-REGION|TRB|None|00": v_seq.encode(),
+        "2|TRBV2-1|TRBV2-1|TRBV2-1|L-REGION+V-REGION|TRB|None|00": v2_seq.encode(),
+        "3|TRBJ1-1|TRBJ1-1|TRBJ1-1|J-REGION|TRB|None|00": j_seq.encode(),
+        "4|TRBC1|TRBC1|TRBC1|C-REGION|TRB|None|00": c_seq.encode(),
+    })
+    insert_a = "GCTGCAGCG"    # 9nt, no stops
+    insert_b = "GATCGTGAA"
+    tx_a = v_seq + insert_a + j_seq + c_seq
+    tx_b = v_seq + insert_b + j_seq + c_seq
+    cdr3_a = v_seq[147:] + insert_a + "TTT"   # TGT..TTT, 15nt
+    cdr3_b = v_seq[147:] + insert_b + "TTT"
+    return dict(root=root, fa=fa, v=v_seq, j=j_seq, c=c_seq,
+                tx_a=tx_a, tx_b=tx_b, cdr3_a=cdr3_a, cdr3_b=cdr3_b)
+
+
+def reads_from_tx(tx, n_umis, reads_per_umi, rng, read_len=120):
+    out = []
+    for u in range(n_umis):
+        umi = int(rng.integers(0, 1 << 24))
+        for _ in range(reads_per_umi):
+            p = int(rng.integers(0, max(len(tx) - read_len, 1)))
+            out.append((umi, tx[p:p + read_len]))
+    return out
+
+
+def test_translate_and_cdr3(vdj_world):
+    w = vdj_world
+    assert translate("TGTGCTTTT") == "CAF"
+    tx = w["tx_a"]
+    nt, aa = find_cdr3(tx, 150, 156, 156 + 50)
+    assert nt == w["cdr3_a"]
+    assert aa.startswith("C") and aa.endswith("F") and "*" not in aa
+
+
+def test_assembly_recovers_transcript(vdj_world):
+    w = vdj_world
+    rng = np.random.default_rng(7)
+    reads = reads_from_tx(w["tx_a"], 10, 3, rng)
+    spectrum = {}
+    for _, r in reads:
+        km = 0
+        for i, ch in enumerate(r):
+            km = ((km << 2) | "ACGT".index(ch)) & ((1 << (2 * K)) - 1)
+            if i >= K - 1:
+                spectrum[km] = spectrum.get(km, 0) + 1
+    contigs = assemble_barcode(spectrum)
+    assert contigs, "no contigs assembled"
+    top = contigs[0].seq
+    assert len(top) > 0.8 * len(w["tx_a"])
+    assert top in w["tx_a"], "contig should be a substring of the transcript"
+
+
+def test_annotation(vdj_world):
+    w = vdj_world
+    ref = VdjReference.from_fasta(w["fa"])
+    assert len(ref.by_region("V")) == 2
+    ann = annotate_contig(w["tx_a"], ref)
+    assert ann.chain == "TRB"
+    assert ann.v and ann.v.segment.gene_name == "TRBV1-1"
+    assert ann.j and ann.j.segment.gene_name == "TRBJ1-1"
+    assert ann.full_length and ann.productive
+    assert ann.cdr3_nt == w["cdr3_a"]
+
+
+def test_vdj_pipeline_end_to_end(vdj_world, tmp_path):
+    w = vdj_world
+    rng = np.random.default_rng(9)
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(64)})
+    wlp = str(tmp_path / "wl.txt")
+    open(wlp, "w").writelines(s + "\n" for s in wl)
+    # 4 cells with clonotype A, 2 cells with clonotype B
+    r1p = str(tmp_path / "v_S1_L001_R1_001.fastq.gz")
+    r2p = str(tmp_path / "v_S1_L001_R2_001.fastq.gz")
+    n = 0
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        for ci in range(6):
+            tx = w["tx_a"] if ci < 4 else w["tx_b"]
+            bc = wl[ci]
+            for u in range(8):
+                umi = "".join(rng.choice(list("ACGT"), 10))
+                for _ in range(3):
+                    p = int(rng.integers(0, len(tx) - 120))
+                    f1.write(f"@v{n}\n{bc}{umi}\n+\n{'F' * 26}\n")
+                    f2.write(f"@v{n}\n{tx[p:p + 120]}\n+\n{'F' * 120}\n")
+                    n += 1
+    out = str(tmp_path / "vout")
+    summary = run_vdj(VdjConfig(
+        fastq_pairs=[(r1p, r2p)], vdj_reference_fasta=w["fa"],
+        whitelist_path=wlp, chemistry="SCVDJ-R2", read_len=120,
+        batch_size=1024), out)
+    assert summary["total_reads"] == n
+    assert summary["estimated_cells"] == 6
+    assert summary["n_clonotypes"] == 2
+    rows = open(os.path.join(out, "all_contig_annotations.csv")).read().splitlines()
+    assert len(rows) > 6
+    clon = open(os.path.join(out, "clonotypes.csv")).read().splitlines()
+    assert clon[1].startswith("clonotype1,4")  # biggest clonotype has 4 cells
+    assert w["cdr3_a"] in clon[1]
+    assert os.path.exists(os.path.join(out, "all_contig.fasta"))
