@@ -89,6 +89,12 @@ class CountMetrics:
     antisense_reads: int = 0
     usable_reads: int = 0  # valid bc + valid umi + conf mapped
     total_molecules: int = 0
+    q30_bc_bases: int = 0
+    bc_bases: int = 0
+    q30_umi_bases: int = 0
+    umi_bases: int = 0
+    q30_rna_bases: int = 0
+    rna_bases: int = 0
 
     def to_dict(self, extra: dict | None = None) -> dict:
         d = dict(self.__dict__)
@@ -101,6 +107,9 @@ class CountMetrics:
         d["sequencing_saturation"] = (
             1.0 - self.total_molecules / self.usable_reads
             if self.usable_reads else 0.0)
+        d["q30_barcode_frac"] = self.q30_bc_bases / max(self.bc_bases, 1)
+        d["q30_umi_frac"] = self.q30_umi_bases / max(self.umi_bases, 1)
+        d["q30_rna_frac"] = self.q30_rna_bases / max(self.rna_bases, 1)
         if extra:
             d.update(extra)
         return d
@@ -217,6 +226,8 @@ def run_count(cfg: CountConfig, out_dir: str,
             else _make_step(didx, ann_idx, whitelist.size, chem, cfg.read_len))
     wl_table = SortedTable.build(whitelist.sorted_seqs)
 
+    metrics = CountMetrics()
+
     # ---- pass 1: extract + count valid barcodes (the correction prior) ----
     cached: list[tuple[int, ReadBatch]] = []  # (library index, batch)
     wl_counts = jnp.zeros((whitelist.size,), jnp.int32)
@@ -230,9 +241,16 @@ def run_count(cfg: CountConfig, out_dir: str,
                 wl_counts = wl_counts + bcops.count_valid_barcodes(
                     idx, jnp.asarray(batch.slot_valid), whitelist.size)
                 cached.append((li, batch))
+                n = batch.n_reads
+                metrics.q30_bc_bases += int((batch.bc_qual[:n] >= 63).sum())
+                metrics.bc_bases += int(batch.bc_qual[:n].size)
+                metrics.q30_umi_bases += int((batch.umi_qual[:n] >= 63).sum())
+                metrics.umi_bases += int(batch.umi_qual[:n].size)
+                in_len = batch.rna_qual[:n][batch.rna_nmask[:n]]
+                metrics.q30_rna_bases += int((in_len >= 63).sum())
+                metrics.rna_bases += int(in_len.size)
 
     # ---- pass 2: fused correct/align/annotate ----
-    metrics = CountMetrics()
     mol_bc, mol_gene, mol_umi = [], [], []
     bam_collector = None
     if cfg.write_bam and gi is not None:
@@ -408,6 +426,18 @@ def run_count(cfg: CountConfig, out_dir: str,
     summary = metrics.to_dict(extra)
     with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=float)
+
+    # per-barcode metrics (COLLATE_METRICS analog: per_barcode_metrics.csv)
+    if len(mbc):
+        reads_per_bc = np.zeros(whitelist.size, np.int64)
+        np.add.at(reads_per_bc, mbc, mreads)
+        genes_per_bc_all = np.asarray((raw.m > 0).sum(axis=0)).ravel()
+        with open(os.path.join(out_dir, "per_barcode_metrics.csv"), "w") as f:
+            f.write("barcode,is_cell,reads,umis,genes\n")
+            for ci in np.flatnonzero(umis_per_bc):
+                f.write(f"{barcodes[ci].decode()},{int(cell_mask[ci])},"
+                        f"{reads_per_bc[ci]},{int(umis_per_bc[ci])},"
+                        f"{genes_per_bc_all[ci]}\n")
 
     # filtered barcodes csv (reference: filtered_barcodes.csv)
     genome_name = ref.genome_name if ref is not None else \
