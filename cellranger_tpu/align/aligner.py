@@ -25,11 +25,12 @@ only sequential structure is log-depth scans and the tiny in-bucket search.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.tree_util import register_dataclass
 
 from ..constants import DEFAULT_ALIGN_SCORE_MIN
 from ..ops.lookup import SortedTable
@@ -41,21 +42,27 @@ MAX_HITS_PER_SEED = 4
 MAX_CANDIDATES = 4    # diagonals taken to extension per strand
 
 
+@register_dataclass
 @dataclass(frozen=True)
 class DeviceIndex:
-    """GenomeIndex uploaded to device (replicated; one copy per chip)."""
+    """GenomeIndex uploaded to device (replicated; one copy per chip).
+
+    Registered as a jax pytree so the big arrays pass through jit as
+    ARGUMENTS, not closure constants — captured constants get serialized
+    into the compile payload (minutes of compile, and hard request-size
+    limits on remote-compile setups)."""
 
     text_words: jnp.ndarray    # uint32 [G/16] packed 2-bit codes, 16/word
     valid_words: jnp.ndarray   # uint32 [G/16] validity bitmask, 16/word
     kmer_table: SortedTable    # sorted kmer keys + bucket prefix
     kmer_pos: jnp.ndarray      # int32 [P]
     chrom_starts: jnp.ndarray  # int32 [C+1]
-    genome_len: int
-    text_len: int
-    sj_overhang: int
     sj_donor_abs: jnp.ndarray  # int32 [J] absolute text coord of donor end
     sj_acceptor_abs: jnp.ndarray  # int32 [J]
-    k: int
+    genome_len: int = field(metadata=dict(static=True), default=0)
+    text_len: int = field(metadata=dict(static=True), default=0)
+    sj_overhang: int = field(metadata=dict(static=True), default=120)
+    k: int = field(metadata=dict(static=True), default=16)
 
     @staticmethod
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
@@ -68,11 +75,11 @@ class DeviceIndex:
             kmer_table=SortedTable.build(gi.kmer_keys),
             kmer_pos=jnp.asarray(gi.kmer_pos.astype(np.int32)),
             chrom_starts=jnp.asarray(gi.chrom_starts.astype(np.int32)),
+            sj_donor_abs=jnp.asarray(gi.sj_donor_end.astype(np.int32)),
+            sj_acceptor_abs=jnp.asarray(gi.sj_acceptor_start.astype(np.int32)),
             genome_len=int(gi.genome_len),
             text_len=len(gi.text),
             sj_overhang=int(gi.sj_overhang),
-            sj_donor_abs=jnp.asarray(gi.sj_donor_end.astype(np.int32)),
-            sj_acceptor_abs=jnp.asarray(gi.sj_acceptor_start.astype(np.int32)),
             k=gi.k,
         )
 
@@ -119,7 +126,7 @@ def make_aligner(idx: DeviceIndex, read_len: int,
 
     contig_len = 2 * idx.sj_overhang
 
-    def canonical_pos(pos):
+    def canonical_pos(idx, pos):
         """Map a text position to its genomic-equivalent absolute coordinate
         for distinct-locus counting: positions inside a junction contig's
         donor flank map to the same genomic coordinate as the direct genomic
@@ -136,32 +143,44 @@ def make_aligner(idx: DeviceIndex, read_len: int,
                              acc + off - idx.sj_overhang)
         return jnp.where(in_sj, canon_sj, pos)
 
-    def gather_windows(pos, width=None):
-        """pos int32 [..., ] -> (codes uint8 [..., width], valid bool) via
-        packed-word gathers + local realignment."""
+    def gather_windows(idx, pos, width=None):
+        """pos int32 [...,] -> (codes uint8 [..., width], valid bool).
+
+        Packed-word gathers + VARIABLE-SHIFT word realignment: aligned word
+        j = (w[j] << 2*(pos&15)) | (w[j+1] >> 32-2*(pos&15)), so the unpack
+        lands exactly at pos with no per-base take_along_axis (which costs
+        ~12x more than the gather itself on TPU — a [B,D,112]->[B,D,91]
+        gather is scalar-ish HBM traffic, shifts are pure VPU)."""
         width = width or L
         n_words = (width + 15) // 16 + 1
         w0 = pos >> 4
-        off = (pos & 15).astype(jnp.int32)
         extra = (1,) * pos.ndim
         widx = jnp.clip(w0[..., None] + jnp.arange(n_words).reshape(*extra, -1),
                         0, NW - 1)
         words = idx.text_words[widx]        # [..., n_words]
         vwords = idx.valid_words[widx]
-        # unpack each word to 16 codes, MSB-first
+
+        off2 = (2 * (pos & 15)).astype(jnp.uint32)[..., None]
+        hi = words[..., :-1] << off2
+        lo = jnp.where(off2 == 0, jnp.uint32(0),
+                       words[..., 1:] >> jnp.minimum(32 - off2, 31))
+        aligned = hi | lo                    # [..., n_words-1], starts at pos
+        off1 = ((pos & 15).astype(jnp.uint32))[..., None]
+        vhi = (vwords[..., :-1] << off1) & jnp.uint32(0xFFFF)
+        vlo = jnp.where(off1 == 0, jnp.uint32(0),
+                        vwords[..., 1:] >> jnp.minimum(16 - off1, 15))
+        valigned = vhi | vlo
+
         shifts = (2 * (15 - jnp.arange(16))).astype(jnp.uint32)
-        codes16 = ((words[..., None] >> shifts) & 3).astype(jnp.uint8)
+        codes16 = ((aligned[..., None] >> shifts) & 3).astype(jnp.uint8)
         vshifts = (15 - jnp.arange(16)).astype(jnp.uint32)
-        valid16 = ((vwords[..., None] >> vshifts) & 1).astype(jnp.bool_)
-        flatc = codes16.reshape(*pos.shape, n_words * 16)
-        flatv = valid16.reshape(*pos.shape, n_words * 16)
-        li = off[..., None] + jnp.arange(width).reshape(*extra, -1)
-        win = jnp.take_along_axis(flatc, li, axis=-1)
-        wok = jnp.take_along_axis(flatv, li, axis=-1)
+        valid16 = ((valigned[..., None] >> vshifts) & 1).astype(jnp.bool_)
+        win = codes16.reshape(*pos.shape, (n_words - 1) * 16)[..., :width]
+        wok = valid16.reshape(*pos.shape, (n_words - 1) * 16)[..., :width]
         in_bounds = (pos[..., None] + jnp.arange(width).reshape(*extra, -1)) < G
         return win, wok & in_bounds
 
-    def align_strand(codes, basemask):
+    def align_strand(idx, codes, basemask):
         """codes [B, L] one strand; returns candidate (pos, score, start, len)
         arrays [B, D]."""
         B = codes.shape[0]
@@ -197,7 +216,7 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         cand_ok = top_votes > 0
 
         # --- ungapped local extension (Kadane via prefix scans) ---
-        win, wok = gather_windows(jnp.where(cand_ok, cand_pos, 0))
+        win, wok = gather_windows(idx, jnp.where(cand_ok, cand_pos, 0))
         m = (win == codes[:, None, :]) & wok & basemask[:, None, :]
         active = basemask[:, None, :] & wok
         contrib = jnp.where(active, jnp.where(m, 1, -1), 0).astype(jnp.int32)
@@ -215,8 +234,10 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         return cand_pos, score, start_i.astype(jnp.int32), aln_len.astype(jnp.int32)
 
     @jax.jit
-    def align_batch(rna, nmask):
-        """rna uint8 [B, L], nmask bool [B, L] -> alignment dict."""
+    def align_batch_impl(idx, rna, nmask):
+        """rna uint8 [B, L], nmask bool [B, L] -> alignment dict. The index
+        rides as a pytree argument so its arrays are runtime buffers, not
+        compile-time constants."""
         B = rna.shape[0]
         rc = (3 - rna[:, ::-1]).astype(jnp.uint8)
         rc_mask = nmask[:, ::-1]
@@ -224,7 +245,7 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         # both strands as ONE [2B] batch: better fusion and one kernel chain
         both = jnp.concatenate([rna, rc], axis=0)
         bmask = jnp.concatenate([nmask, rc_mask], axis=0)
-        pos2, sc2, st2, ln2 = align_strand(both, bmask)      # [2B, D]
+        pos2, sc2, st2, ln2 = align_strand(idx, both, bmask)      # [2B, D]
 
         pos = jnp.concatenate([pos2[:B], pos2[B:]], axis=1)  # [B, 2D]
         score = jnp.concatenate([sc2[:B], sc2[B:]], axis=1)
@@ -235,7 +256,7 @@ def make_aligner(idx: DeviceIndex, read_len: int,
 
         best_score = jnp.max(score, axis=1)                  # [B]
         is_best = score == best_score[:, None]
-        canon = canonical_pos(jnp.where(pos == BIG, 0, pos)) + start
+        canon = canonical_pos(idx, jnp.where(pos == BIG, 0, pos)) + start
         canon = jnp.where(is_best & (score > -BIG), canon, BIG)
         canon_sorted = jnp.sort(canon, axis=1)
         distinct = jnp.concatenate(
@@ -261,7 +282,7 @@ def make_aligner(idx: DeviceIndex, read_len: int,
             codes_b = jnp.where(best_strand[:, None] == 1, rc, rna)
             mask_b = jnp.where(best_strand[:, None] == 1, rc_mask, nmask)
             win_start = jnp.maximum(best_pos - BAND // 2, 0)
-            win, wok = gather_windows(win_start, width=L + BAND)
+            win, wok = gather_windows(idx, win_start, width=L + BAND)
             sw_score, sw_ei, sw_ed = banded_sw(codes_b, mask_b, win, wok)
             eff_score = jnp.maximum(best_score, sw_score)
             out.update(sw_score=sw_score, sw_end_i=sw_ei, sw_end_d=sw_ed,
@@ -276,5 +297,8 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         out["mapq"] = jnp.where(mapped, mapq, 0)
         out["mapped"] = mapped
         return out
+
+    def align_batch(rna, nmask):
+        return align_batch_impl(idx, rna, nmask)
 
     return align_batch

@@ -25,11 +25,12 @@ status is implied by construction of the contig).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.tree_util import register_dataclass
 
 from ..constants import REGION_MIN_OVERLAP
 from ..io.gtf import Transcriptome
@@ -46,9 +47,11 @@ GENE_NONE = -1
 GENE_MULTI = -2
 
 
+@register_dataclass
 @dataclass(frozen=True)
 class AnnotationIndex:
-    """Device arrays for annotation (absolute text coordinates)."""
+    """Device arrays for annotation (absolute text coordinates).
+    A jax pytree: arrays pass through jit as arguments (n_genes static)."""
 
     # exons sorted by start
     ex_start: jnp.ndarray   # int32 [E]
@@ -65,7 +68,7 @@ class AnnotationIndex:
     # junction contig annotation
     sj_gene: jnp.ndarray    # int32 [J] gene id or GENE_MULTI
     sj_strand: jnp.ndarray  # int32 [J]
-    n_genes: int
+    n_genes: int = field(metadata=dict(static=True), default=0)
 
     @staticmethod
     def build(txome: Transcriptome, gi: GenomeIndex) -> "AnnotationIndex":
@@ -156,7 +159,7 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
     flip = 0 if chemistry_strandedness == "+" else 1
 
     @jax.jit
-    def annotate(pos, aln_len, strand, mapq, mapped):
+    def annotate_impl(ann, pos, aln_len, strand, mapq, mapped):
         B = pos.shape[0]
         s = pos
         e = pos + aln_len
@@ -241,5 +244,8 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
         conf_mapped = mapped & (mapq == 255) & (gene >= 0)
         return dict(gene=gene, region=region, antisense=antisense,
                     conf_mapped=conf_mapped)
+
+    def annotate(pos, aln_len, strand, mapq, mapped):
+        return annotate_impl(ann, pos, aln_len, strand, mapq, mapped)
 
     return annotate
