@@ -33,12 +33,12 @@ import numpy as np
 from jax.tree_util import register_dataclass
 
 from ..constants import DEFAULT_ALIGN_SCORE_MIN
-from ..ops.lookup import SortedTable
+from ..ops.hash_index import PROBE, HashTable
 from .index import GenomeIndex
 
 # Tunables (static); see align_and_count.rs:63 for the score floor.
 SEED_STRIDE = 6       # extract a seed every N bases of the read
-MAX_HITS_PER_SEED = 4
+MAX_HITS_PER_SEED = 4  # hash-probe window = max hits surfaced per seed
 MAX_CANDIDATES = 4    # diagonals taken to extension per strand
 
 
@@ -54,8 +54,7 @@ class DeviceIndex:
 
     text_words: jnp.ndarray    # uint32 [G/16] packed 2-bit codes, 16/word
     valid_words: jnp.ndarray   # uint32 [G/16] validity bitmask, 16/word
-    kmer_table: SortedTable    # sorted kmer keys + bucket prefix
-    kmer_pos: jnp.ndarray      # int32 [P]
+    kmer_hash: HashTable       # open-addressing (kmer -> position) table
     chrom_starts: jnp.ndarray  # int32 [C+1]
     sj_donor_abs: jnp.ndarray  # int32 [J] absolute text coord of donor end
     sj_acceptor_abs: jnp.ndarray  # int32 [J]
@@ -72,8 +71,7 @@ class DeviceIndex:
         return DeviceIndex(
             text_words=jnp.asarray(tw),
             valid_words=jnp.asarray(vw),
-            kmer_table=SortedTable.build(gi.kmer_keys),
-            kmer_pos=jnp.asarray(gi.kmer_pos.astype(np.int32)),
+            kmer_hash=HashTable.build(gi.kmer_keys, gi.kmer_pos),
             chrom_starts=jnp.asarray(gi.chrom_starts.astype(np.int32)),
             sj_donor_abs=jnp.asarray(gi.sj_donor_end.astype(np.int32)),
             sj_acceptor_abs=jnp.asarray(gi.sj_acceptor_start.astype(np.int32)),
@@ -105,7 +103,7 @@ def _window_valid(mask: jnp.ndarray, k: int) -> jnp.ndarray:
 
 def make_aligner(idx: DeviceIndex, read_len: int,
                  score_min: int = DEFAULT_ALIGN_SCORE_MIN,
-                 sw_rescue: bool = True):
+                 sw_rescue: bool = True, bind: bool = True):
     """Build the jitted batch alignment function for a static read length.
 
     sw_rescue: run the banded Smith-Waterman Pallas kernel on each read's
@@ -189,13 +187,10 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         km = kms[:, seed_offsets]                 # [B, S]
         kv = kvalid[:, seed_offsets]
 
-        lo = idx.kmer_table.lower_bound(km)       # [B, S]
-        h = jnp.arange(H, dtype=jnp.int32)
-        hit_idx = jnp.clip(lo[:, :, None] + h[None, None, :], 0,
-                           idx.kmer_table.keys.shape[0] - 1)
-        hit_ok = (idx.kmer_table.keys[hit_idx] == km[:, :, None]) & kv[:, :, None]
-        hit_pos = idx.kmer_pos[hit_idx]
-        diag = hit_pos - seed_offsets[None, :, None]
+        # one contiguous PROBE-window gather per seed (ops.hash_index)
+        probe_hit, hit_pos = idx.kmer_hash.lookup(km, probe=H)  # [B, S, H]
+        hit_ok = probe_hit & kv[:, :, None]
+        diag = hit_pos.astype(jnp.int32) - seed_offsets[None, :, None]
         diag = jnp.where(hit_ok & (diag >= 0), diag, BIG)    # [B, S, H]
 
         flat = jnp.sort(diag.reshape(B, S * H), axis=1)      # [B, S*H]
@@ -272,9 +267,19 @@ def make_aligner(idx: DeviceIndex, read_len: int,
 
         best_pos = take(pos)
         best_strand = take(strand)
+        # second-best DISTINCT locus (for multimapper gene promotion,
+        # read.rs:117-149): smallest (canon, strand) among best-scoring
+        # candidates at a different canonical position
+        canon_best = jnp.take_along_axis(canon, pick[:, None], axis=1)
+        order_key2 = jnp.where(is_best & (canon != canon_best), order_key, BIG)
+        pick2 = jnp.argmin(order_key2, axis=1)
+        take2 = lambda a: jnp.take_along_axis(a, pick2[:, None], axis=1)[:, 0]
         out = dict(
             pos=best_pos, strand=best_strand, score=best_score,
             aln_start=take(start), aln_len=take(alen), n_best=n_best,
+            pos2=take2(pos), strand2=take2(strand),
+            aln_start2=take2(start), aln_len2=take2(alen),
+            has_second=take2(order_key2) < BIG,
         )
 
         if sw_rescue:
@@ -297,6 +302,11 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         out["mapq"] = jnp.where(mapped, mapq, 0)
         out["mapped"] = mapped
         return out
+
+    if not bind:
+        # unbound form: caller passes the index per call, keeping it an
+        # argument (not a constant) of any OUTER jit that inlines this
+        return align_batch_impl
 
     def align_batch(rna, nmask):
         return align_batch_impl(idx, rna, nmask)

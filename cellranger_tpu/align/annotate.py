@@ -152,7 +152,7 @@ def _window_hits(starts, ends, cummax_end, s, e, W):
 
 
 def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
-                   chemistry_strandedness: str = "+"):
+                   chemistry_strandedness: str = "+", bind: bool = True):
     """Build jitted annotate(pos, aln_len, strand, mapq, mapped) -> dict."""
     contig_len = 2 * sj_overhang
     n_sj = int(ann.sj_gene.shape[0])
@@ -244,6 +244,9 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
         conf_mapped = mapped & (mapq == 255) & (gene >= 0)
         return dict(gene=gene, region=region, antisense=antisense,
                     conf_mapped=conf_mapped)
+
+    if not bind:
+        return annotate_impl
 
     def annotate(pos, aln_len, strand, mapq, mapped):
         return annotate_impl(ann, pos, aln_len, strand, mapq, mapped)

@@ -28,16 +28,17 @@ from ..constants import (
     BC_MAX_QV,
     ILLUMINA_QUAL_OFFSET,
 )
+from .hash_index import HashTable
 from .lookup import SortedTable
 
 
-def whitelist_lookup(packed: jnp.ndarray, wl: SortedTable | jnp.ndarray):
+def whitelist_lookup(packed: jnp.ndarray, wl):
     """Membership of packed barcodes in the whitelist.
 
-    wl: SortedTable (preferred) or a raw sorted uint32 array (legacy path,
-    plain binary search). Returns (is_member bool, index int32, -1 miss).
+    wl: HashTable (fastest), SortedTable, or a raw sorted uint32 array
+    (legacy binary search). Returns (is_member bool, index int32, -1 miss).
     """
-    if isinstance(wl, SortedTable):
+    if isinstance(wl, (SortedTable, HashTable)):
         return wl.membership(packed)
     idx = jnp.searchsorted(wl, packed)
     idx_c = jnp.minimum(idx, wl.shape[0] - 1).astype(jnp.int32)

@@ -43,6 +43,7 @@ from ..io.reference import ReferencePackage
 from ..io.whitelist import Whitelist
 from ..ops import barcode as bcops
 from ..ops.dedup import dedup_molecules
+from ..ops.hash_index import HashTable
 from ..ops.lookup import SortedTable
 from ..ops import encode
 
@@ -117,24 +118,44 @@ class CountMetrics:
 
 def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
                chem: Chemistry, read_len: int):
-    """Fused jit step: correct barcodes + align + annotate one batch."""
-    align = make_aligner(didx, read_len)
-    annotate = make_annotator(ann_idx, didx.genome_len, didx.sj_overhang,
-                              chem.strandedness)
+    """Fused jit step: correct barcodes + align + annotate one batch.
+
+    The genome/annotation indices are BOUND AS ARGUMENTS of the returned
+    closure's inner jit — large arrays captured as jit constants get
+    serialized into the compile payload (pathological compile times on
+    remote-compile backends)."""
+    align_impl = make_aligner(didx, read_len, bind=False)
+    annotate_impl = make_annotator(ann_idx, didx.genome_len, didx.sj_overhang,
+                                   chem.strandedness, bind=False)
     bc_len = chem.barcode_length
 
     @jax.jit
-    def step(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
-             rna, rna_nmask, slot_valid, wl_table, wl_counts):
+    def step_impl(didx, ann_idx, bc_packed, bc_qual, bc_exact, umi_packed,
+                  umi_valid, rna, rna_nmask, slot_valid, wl_table, wl_counts):
         hit, idx = bcops.whitelist_lookup(bc_packed, wl_table)
         corr_bc, corr_idx, corrected = bcops.correct_barcodes(
             bc_packed, bc_qual, wl_table, wl_counts, bc_len)
         bc_ok = (hit | corrected) & slot_valid
         bc_idx = jnp.where(hit, idx, corr_idx)
 
-        aln = align(rna, rna_nmask)
-        ann = annotate(aln["pos"], aln["aln_len"], aln["strand"],
-                       aln["mapq"], aln["mapped"])
+        aln = align_impl(didx, rna, rna_nmask)
+        ann = annotate_impl(ann_idx, aln["pos"], aln["aln_len"], aln["strand"],
+                            aln["mapq"], aln["mapped"])
+
+        # multimapper gene promotion (tx_annotation/src/read.rs:117-149):
+        # a 2-locus read whose loci agree on a single gene (the other having
+        # none) is promoted to confidently-mapped with MAPQ 255
+        ann2 = annotate_impl(ann_idx, aln["pos2"], aln["aln_len2"],
+                             aln["strand2"], aln["mapq"], aln["mapped"])
+        g1, g2 = ann["gene"], jnp.where(aln["has_second"], ann2["gene"], -1)
+        mm_gene = jnp.where((g1 >= 0) & ((g2 == g1) | (g2 == -1)), g1,
+                            jnp.where((g2 >= 0) & (g1 == -1), g2, -1))
+        promoted = (aln["mapped"] & (aln["n_best"] == 2) & (mm_gene >= 0)
+                    & ~ann["conf_mapped"])
+        gene_eff = jnp.where(promoted, mm_gene, ann["gene"])
+        conf_eff = ann["conf_mapped"] | promoted
+        mapq_eff = jnp.where(promoted, 255, aln["mapq"])
+        ann = dict(ann, gene=gene_eff, conf_mapped=conf_eff)
 
         conf_ok = (ann["conf_mapped"] & bc_ok & umi_valid & slot_valid)
         mapped = aln["mapped"] & slot_valid
@@ -155,13 +176,16 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             gene=jnp.maximum(ann["gene"], 0).astype(jnp.uint32),
             umi=umi_packed,
             conf_ok=conf_ok,
-            pos=aln["pos"], mapq=aln["mapq"], strand=aln["strand"],
+            pos=aln["pos"], mapq=mapq_eff, strand=aln["strand"],
             mapped=mapped,
             aln_len=aln["aln_len"], aln_start=aln["aln_start"],
             region=ann["region"], antisense=ann["antisense"],
             corrected_bc=corr_bc, bc_ok=bc_ok,
             metrics=m,
         )
+
+    def step(*args):
+        return step_impl(didx, ann_idx, *args)
 
     return step
 

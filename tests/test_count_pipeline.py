@@ -150,3 +150,44 @@ def test_count_end_to_end(synthetic_run, tmp_path):
     total_truth_umis = sum(s["truth"].values())
     assert int(raw.m[:, [bc_to_col[c.encode() + b"-1"] for c in s["cells"]]].sum()) \
         == total_truth_umis
+
+
+def test_multimapper_gene_promotion(tmp_path):
+    """A read mapping equally to two loci where only one is genic gets
+    promoted to conf-mapped (read.rs:117-149 semantics)."""
+    import gzip
+    from cellranger_tpu.io.reference import ReferencePackage
+    rng = np.random.default_rng(55)
+    seg = ("".join(rng.choice(list("ACGT"), 400))).encode()
+    filler1 = ("".join(rng.choice(list("ACGT"), 1000))).encode()
+    filler2 = ("".join(rng.choice(list("ACGT"), 2000))).encode()
+    # duplicate segment: once inside a gene, once intergenic
+    genome = filler1 + seg + filler2 + seg + filler1
+    write_fasta(str(tmp_path / "g.fa"), {"chr1": genome})
+    with open(tmp_path / "g.gtf", "w") as f:
+        # gene covers the FIRST copy only: [1000, 1400) -> GTF 1-based 1001..1400
+        f.write('chr1\tt\texon\t1001\t1400\t.\t+\t.\t'
+                'gene_id "GM"; transcript_id "TM"; gene_name "GM";\n')
+    ReferencePackage.build(str(tmp_path / "g.fa"), str(tmp_path / "g.gtf"),
+                           str(tmp_path / "ref"))
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(40)})
+    open(tmp_path / "wl.txt", "w").writelines(s + "\n" for s in wl)
+    with gzip.open(tmp_path / "m_S1_L001_R1_001.fastq.gz", "wt") as f1, \
+         gzip.open(tmp_path / "m_S1_L001_R2_001.fastq.gz", "wt") as f2:
+        for i in range(20):
+            umi = "".join(rng.choice(list("ACGT"), 12))
+            p = int(rng.integers(0, 400 - READ_LEN))
+            cdna = seg[p:p + READ_LEN].decode()
+            f1.write(f"@mm{i}\n{wl[i % 5]}{umi}\n+\n{'F' * 28}\n")
+            f2.write(f"@mm{i}\n{cdna}\n+\n{'F' * READ_LEN}\n")
+    out = str(tmp_path / "out")
+    s = run_count(CountConfig(
+        fastq_pairs=[(str(tmp_path / "m_S1_L001_R1_001.fastq.gz"),
+                      str(tmp_path / "m_S1_L001_R2_001.fastq.gz"))],
+        reference_path=str(tmp_path / "ref"), whitelist_path=str(tmp_path / "wl.txt"),
+        chemistry="SC3Pv3", read_len=READ_LEN, batch_size=256,
+        secondary_analysis=False), out)
+    # every read is a 2-locus multimapper, but only one locus is genic:
+    # promotion must recover them as confidently mapped to GM
+    assert s["conf_mapped_frac"] == 1.0
+    assert s["total_molecules"] == 20
