@@ -25,8 +25,21 @@ TIMED_ITERS = 10
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the fused step compiles in minutes on
+    # remote-compile backends; cache hits make reruns (and the driver's
+    # round-end bench) start in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from cellranger_tpu.align.aligner import DeviceIndex, make_aligner
     from cellranger_tpu.align.annotate import AnnotationIndex

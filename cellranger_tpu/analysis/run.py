@@ -78,6 +78,16 @@ def run_secondary_analysis(matrix: CountMatrix, out_dir: str,
                [[bcs[i], int(glabels[i])] for i in range(n_cells)])
     results["clusterings"] = clusterings
 
+    # hierarchical clustering of the graph clusters
+    from .hclust import run_hierarchical_clustering
+    hc = run_hierarchical_clustering(matrix.m, glabels)
+    results["hclust"] = hc
+    import json as _json
+    os.makedirs(os.path.join(out_dir, "clustering", "graphclust"), exist_ok=True)
+    with open(os.path.join(out_dir, "clustering", "graphclust",
+                           "hierarchy.json"), "w") as f:
+        _json.dump(hc, f)
+
     # differential expression per clustering
     results["diffexp"] = {}
     for key in ("graphclust",):

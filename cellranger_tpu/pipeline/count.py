@@ -139,14 +139,22 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
         bc_idx = jnp.where(hit, idx, corr_idx)
 
         aln = align_impl(didx, rna, rna_nmask)
-        ann = annotate_impl(ann_idx, aln["pos"], aln["aln_len"], aln["strand"],
-                            aln["mapq"], aln["mapped"])
+        # annotate best + second-best candidates as ONE batch (halves the
+        # annotate program vs two inlined calls)
+        both = annotate_impl(
+            ann_idx,
+            jnp.concatenate([aln["pos"], aln["pos2"]]),
+            jnp.concatenate([aln["aln_len"], aln["aln_len2"]]),
+            jnp.concatenate([aln["strand"], aln["strand2"]]),
+            jnp.concatenate([aln["mapq"], aln["mapq"]]),
+            jnp.concatenate([aln["mapped"], aln["mapped"]]))
+        B = aln["pos"].shape[0]
+        ann = {k: v[:B] for k, v in both.items()}
+        ann2 = {k: v[B:] for k, v in both.items()}
 
         # multimapper gene promotion (tx_annotation/src/read.rs:117-149):
         # a 2-locus read whose loci agree on a single gene (the other having
         # none) is promoted to confidently-mapped with MAPQ 255
-        ann2 = annotate_impl(ann_idx, aln["pos2"], aln["aln_len2"],
-                             aln["strand2"], aln["mapq"], aln["mapped"])
         g1, g2 = ann["gene"], jnp.where(aln["has_second"], ann2["gene"], -1)
         mm_gene = jnp.where((g1 >= 0) & ((g2 == g1) | (g2 == -1)), g1,
                             jnp.where((g2 >= 0) & (g1 == -1), g2, -1))

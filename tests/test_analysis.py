@@ -146,3 +146,14 @@ def test_full_analysis_outputs(two_pop_matrix, tmp_path):
     d_b = np.linalg.norm(ts - cb, axis=1)
     pred = (d_b < d_a).astype(int)
     assert (pred == truth).mean() > 0.9
+
+
+def test_hierarchical_clustering(two_pop_matrix):
+    from cellranger_tpu.analysis.hclust import run_hierarchical_clustering
+    mat, truth = two_pop_matrix
+    hc = run_hierarchical_clustering(mat.m, truth + 1)
+    assert sorted(hc["order"]) == [1, 2]
+    assert len(hc["linkage"]) == 1
+    # degenerate single cluster
+    hc1 = run_hierarchical_clustering(mat.m, np.ones(mat.shape[1], int))
+    assert hc1["order"] == [1]
