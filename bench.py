@@ -17,7 +17,7 @@ import numpy as np
 
 BASELINE_READS_PER_SEC = 167_000.0  # 8-core CPU STAR estimate
 READ_LEN = 91
-BATCH = 16384
+BATCH = 32768
 GENOME_LEN = 20_000_000
 N_WL = 100_000
 WARMUP_ITERS = 2

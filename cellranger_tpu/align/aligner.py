@@ -37,7 +37,7 @@ from ..ops.hash_index import PROBE, HashTable
 from .index import GenomeIndex
 
 # Tunables (static); see align_and_count.rs:63 for the score floor.
-SEED_STRIDE = 6       # extract a seed every N bases of the read
+SEED_STRIDE = 8       # extract a seed every N bases of the read
 MAX_HITS_PER_SEED = 4  # hash-probe window = max hits surfaced per seed
 MAX_CANDIDATES = 4    # diagonals taken to extension per strand
 

@@ -16,9 +16,10 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..io.bam import (BamWriter, BAM_CMATCH, BAM_CREF_SKIP, BAM_CSOFT_CLIP,
+from ..io.bam import (BAM_CMATCH, BAM_CREF_SKIP, BAM_CSOFT_CLIP,
                       FLAG_REVERSE, FLAG_UNMAPPED, XF_CONF_MAPPED, XF_DUP,
                       XF_LOW_SUPPORT_UMI, XF_UMI_COUNT)
+from ..io.bam_index import IndexingBamWriter as BamWriter
 from ..io.gtf import Transcriptome
 from ..ops import encode
 from ..align.index import GenomeIndex

@@ -87,3 +87,52 @@ def test_bam_seq_matches_strand(bam_run):
         assert r["seq"] == gseg, f"seq mismatch at {r['pos']}"
         n_checked += 1
     assert n_checked > 100
+
+
+def test_bai_index(bam_run):
+    """The .bai must exist and its chunk voffsets must decode to records."""
+    import struct, zlib
+    s, out, _ = bam_run
+    bam = os.path.join(out, "possorted_genome_bam.bam")
+    bai = bam + ".bai"
+    assert os.path.exists(bai)
+    data = open(bai, "rb").read()
+    assert data[:4] == b"BAI\x01"
+    n_ref = struct.unpack_from("<i", data, 4)[0]
+    assert n_ref == 1
+    off = 8
+    n_bin = struct.unpack_from("<i", data, off)[0]; off += 4
+    assert n_bin > 0
+    first_chunk = None
+    for _ in range(n_bin):
+        b, n_chunk = struct.unpack_from("<Ii", data, off); off += 8
+        for _ in range(n_chunk):
+            vs, ve = struct.unpack_from("<QQ", data, off); off += 16
+            assert ve > vs
+            if first_chunk is None or vs < first_chunk:
+                first_chunk = vs
+    n_win = struct.unpack_from("<i", data, off)[0]; off += 4
+    assert n_win >= 1
+
+    # decode the record at the smallest voffset: decompress its BGZF block
+    coffs, uoffs = first_chunk >> 16, first_chunk & 0xFFFF
+    raw = open(bam, "rb").read()
+    # parse BGZF block header at coffs
+    xlen = struct.unpack_from("<H", raw, coffs + 10)[0]
+    bsize = None
+    p = coffs + 12
+    endx = p + xlen
+    while p < endx:
+        si1, si2, slen = raw[p], raw[p + 1], struct.unpack_from("<H", raw, p + 2)[0]
+        if si1 == 66 and si2 == 67:
+            bsize = struct.unpack_from("<H", raw, p + 4)[0] + 1
+        p += 4 + slen
+    cdata = raw[coffs + 12 + xlen:coffs + bsize - 8]
+    block = zlib.decompress(cdata, -15)
+    rec_size = struct.unpack_from("<i", block, uoffs)[0]
+    ref_id, pos = struct.unpack_from("<ii", block, uoffs + 4)
+    assert ref_id == 0
+    # the first indexed record is the first mapped, position-sorted record
+    _, records, _ = read_bam(bam)
+    first_mapped = next(r for r in records if not r["flag"] & 4)
+    assert pos == first_mapped["pos"]
