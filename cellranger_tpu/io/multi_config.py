@@ -4,8 +4,8 @@ lib/rust/multi/src/config/mod.rs: sectioned INI-ish CSV with
 
 Supported today: gene-expression params (reference, probe-set, expect/force
 cells, chemistry), feature reference, vdj reference, libraries rows
-(fastq_id, fastqs, feature_types). Sample multiplexing rows parse but
-per-sample demux is a later-round feature.
+(fastq_id, fastqs, feature_types), and [samples]-driven CMO demultiplexing
+(JIBES tag model -> per-sample matrices, pipeline.demux).
 """
 
 from __future__ import annotations
@@ -121,6 +121,14 @@ def run_multi(config_csv: str, out_dir: str, whitelist_path: str,
             force_cells=int(gex["force-cells"]) if gex.get("force-cells") else None,
             read_len=read_len, batch_size=batch_size, sample_id=sample_id)
         summary["count"] = run_count(ccfg, os.path.join(out_dir, "count"))
+
+    # CMO sample demux when a multiplexing library + [samples] are present
+    if count_libs and cfg.samples and any(
+            l.library_type == "Multiplexing Capture" for l in count_libs):
+        from ..pipeline.demux import demux_samples
+        summary["demux"] = demux_samples(
+            os.path.join(out_dir, "count"), cfg.samples,
+            os.path.join(out_dir, "demux"))
 
     for row, pairs in vdj_libs:
         from ..pipeline.vdj import VdjConfig, run_vdj

@@ -1,0 +1,61 @@
+"""Sample demultiplexing for CMO-multiplexed runs — the _ASSIGN_TAGS +
+DEMUX stages analog (mro/rna/_basic_sc_rna_counter.mro:209-302): fit the
+JIBES tag model on Multiplexing Capture counts of called cells, map tags to
+samples per the [samples] config, and emit per-sample filtered matrices +
+an assignment CSV."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..analysis.jibes import fit_jibes
+from ..io.matrix_io import CountMatrix, MULTIPLEXING
+
+
+def demux_samples(count_out_dir: str, samples: list[dict], out_dir: str) -> dict:
+    """samples: rows with sample_id + cmo_ids ('|'-separated tag feature
+    names). Returns summary dict."""
+    filtered = CountMatrix.load_h5(
+        os.path.join(count_out_dir, "filtered_feature_bc_matrix.h5"))
+    tag_rows = [i for i, f in enumerate(filtered.features.feature_defs)
+                if f.feature_type == MULTIPLEXING]
+    if not tag_rows:
+        raise ValueError("no Multiplexing Capture features in the matrix; "
+                         "CMO demux needs a multiplexing library")
+    tag_names = [filtered.features.feature_defs[i].id for i in tag_rows]
+    counts = np.asarray(filtered.m[tag_rows, :].todense()).T
+    res = fit_jibes(counts, tag_names)
+
+    tag_to_sample = {}
+    for row in samples:
+        for cmo in row.get("cmo_ids", "").split("|"):
+            if cmo:
+                tag_to_sample[cmo.strip()] = row["sample_id"]
+    unknown = set(tag_names) - set(tag_to_sample)
+
+    os.makedirs(out_dir, exist_ok=True)
+    per_sample_cols: dict[str, list[int]] = {}
+    rows_csv = []
+    for ci, (bc, call) in enumerate(zip(filtered.barcodes, res.assignments)):
+        sample = tag_to_sample.get(call, call)  # Blank/Multiplet keep label
+        rows_csv.append((bc.decode(), call, sample, res.posteriors[ci]))
+        if call in tag_to_sample:
+            per_sample_cols.setdefault(tag_to_sample[call], []).append(ci)
+
+    with open(os.path.join(out_dir, "assignments.csv"), "w") as f:
+        f.write("barcode,tag_call,sample,posterior\n")
+        for bc, call, sample, post in rows_csv:
+            f.write(f"{bc},{call},{sample},{post:.4f}\n")
+
+    summary = dict(samples={}, n_blank=sum(1 for r in rows_csv if r[1] == "Blank"),
+                   n_multiplet=sum(1 for r in rows_csv if r[1] == "Multiplet"),
+                   unmapped_tags=sorted(unknown))
+    for sample_id, cols in per_sample_cols.items():
+        sub = filtered.select_barcodes(np.asarray(cols))
+        sdir = os.path.join(out_dir, "per_sample_outs", sample_id)
+        os.makedirs(sdir, exist_ok=True)
+        sub.save_h5(os.path.join(sdir, "sample_filtered_feature_bc_matrix.h5"))
+        summary["samples"][sample_id] = len(cols)
+    return summary

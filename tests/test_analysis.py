@@ -157,3 +157,34 @@ def test_hierarchical_clustering(two_pop_matrix):
     # degenerate single cluster
     hc1 = run_hierarchical_clustering(mat.m, np.ones(mat.shape[1], int))
     assert hc1["order"] == [1]
+
+
+def test_jibes_tag_assignment():
+    from cellranger_tpu.analysis.jibes import fit_jibes
+    rng = np.random.default_rng(17)
+    T, per_tag = 3, 150
+    rows = []
+    truth = []
+    # singlets: high counts on own tag, background on others
+    for t in range(T):
+        fg = rng.lognormal(5.5, 0.35, (per_tag, 1))
+        bg = rng.lognormal(1.0, 0.5, (per_tag, T))
+        y = bg.copy(); y[:, t:t+1] += fg
+        rows.append(y); truth += [f"TAG{t}"] * per_tag
+    # doublets tag0+tag1
+    nd = 40
+    bg = rng.lognormal(1.0, 0.5, (nd, T))
+    bg[:, 0] += rng.lognormal(5.5, 0.35, nd)
+    bg[:, 1] += rng.lognormal(5.5, 0.35, nd)
+    rows.append(bg); truth += ["Multiplet"] * nd
+    # blanks
+    nb = 30
+    rows.append(rng.lognormal(1.0, 0.5, (nb, T)))
+    truth += ["Blank"] * nb
+    counts = np.vstack(rows).astype(int)
+    res = fit_jibes(counts, [f"TAG{t}" for t in range(T)])
+    acc = np.mean([a == t for a, t in zip(res.assignments, truth)])
+    assert acc > 0.9, f"accuracy {acc:.2f}"
+    # parameters sensible: foreground >> 0, backgrounds small
+    assert (res.foreground > 1.0).all()
+    assert (res.background < 2.0).all()

@@ -130,3 +130,67 @@ def test_dual_library_pipeline(synthetic_run, tmp_path):
         assert m[g, col] == nexp
     # cell calling still driven by GEX
     assert 30 <= summary["estimated_cells"] <= 32
+
+
+def test_multi_cmo_demux(synthetic_run, tmp_path):
+    """multi config with GEX + Multiplexing Capture + [samples]: cells get
+    demultiplexed into per-sample matrices via JIBES."""
+    import shutil
+    from cellranger_tpu.io.multi_config import run_multi
+    s = synthetic_run
+    rng = np.random.default_rng(71)
+    CMO_SEQS = {"CMO301": "AAAACCCCGGGGTTT", "CMO302": "TTTTGGGGCCCCAAA"}
+    fref = tmp_path / "cmo_features.csv"
+    with open(fref, "w") as f:
+        f.write("id,name,read,pattern,sequence,feature_type\n")
+        for cid, seq in CMO_SEQS.items():
+            f.write(f"{cid},{cid},R2,5PNNNNNNNNNN(BC),{seq},Multiplexing Capture\n")
+    # CMO reads: cells 0..14 -> CMO301, 15..29 -> CMO302
+    gdir = tmp_path / "gexfq"; cdir = tmp_path / "cmofq"
+    os.makedirs(gdir); os.makedirs(cdir)
+    shutil.copy(s["r1"], gdir / "gex_S1_L001_R1_001.fastq.gz")
+    shutil.copy(s["r2"], gdir / "gex_S1_L001_R2_001.fastq.gz")
+    n = 0
+    with gzip.open(cdir / "cmo_S1_L001_R1_001.fastq.gz", "wt") as f1, \
+         gzip.open(cdir / "cmo_S1_L001_R2_001.fastq.gz", "wt") as f2:
+        for ci, bc in enumerate(s["cells"]):
+            cmo = "CMO301" if ci < 15 else "CMO302"
+            for u in range(25):
+                umi = "".join(rng.choice(list("ACGT"), 12))
+                f1.write(f"@c{n}\n{bc}{umi}\n+\n{'F' * 28}\n")
+                f2.write(f"@c{n}\n{'T' * 10}{CMO_SEQS[cmo]}{'A' * 46}\n+\n{'F' * 71}\n")
+                n += 1
+    mcsv = tmp_path / "multi.csv"
+    with open(mcsv, "w") as f:
+        f.write(f"""[gene-expression]
+reference,{s['ref']}
+chemistry,SC3Pv3
+
+[feature]
+reference,{fref}
+
+[libraries]
+fastq_id,fastqs,feature_types
+gex,{gdir},Gene Expression
+cmo,{cdir},Multiplexing Capture
+
+[samples]
+sample_id,cmo_ids
+sampleA,CMO301
+sampleB,CMO302
+""")
+    out = str(tmp_path / "mout")
+    summary = run_multi(str(mcsv), out, s["wl"], read_len=91, batch_size=2048)
+    d = summary["demux"]
+    assert set(d["samples"]) == {"sampleA", "sampleB"}
+    # most cells assigned to the right sample (JIBES on clean data)
+    assert d["samples"]["sampleA"] >= 13
+    assert d["samples"]["sampleB"] >= 13
+    from cellranger_tpu.io.matrix_io import CountMatrix
+    sub = CountMatrix.load_h5(os.path.join(
+        out, "demux", "per_sample_outs", "sampleA",
+        "sample_filtered_feature_bc_matrix.h5"))
+    called = {b.decode()[:-2] for b in sub.barcodes}
+    assert called <= set(s["cells"][:15])
+    rows = open(os.path.join(out, "demux", "assignments.csv")).read().splitlines()
+    assert rows[0] == "barcode,tag_call,sample,posterior"
