@@ -36,7 +36,8 @@ def run_secondary_analysis(matrix: CountMatrix, out_dir: str,
                            n_components: int = N_COMPONENTS_DEFAULT,
                            max_cells_tsne: int = 20000,
                            skip_embeddings: bool = False,
-                           num_features: int = 2000) -> dict:
+                           num_features: int = 2000,
+                           batch_labels=None) -> dict:
     """Filtered matrix -> analysis/ outputs; returns in-memory results."""
     os.makedirs(out_dir, exist_ok=True)
     bcs = [b.decode() for b in matrix.barcodes]
@@ -51,6 +52,13 @@ def run_secondary_analysis(matrix: CountMatrix, out_dir: str,
     x = log_normalize_dense(matrix.m, features)
     pca = run_pca(x, n_components=min(n_components, max(1, min(x.shape) - 1)))
     proj = pca["transformed_pca_matrix"]
+    if batch_labels is not None and len(set(batch_labels)) > 1:
+        # CORRECT_CHEMISTRY_BATCH analog: MNN alignment of batches in PCA
+        # space before clustering/embedding
+        from .batch_correction import correct_batches
+        proj = correct_batches(proj, np.asarray(batch_labels))
+        pca["transformed_pca_matrix"] = proj
+        results["batch_corrected"] = True
     results["pca"] = pca
     k_str = f"{proj.shape[1]}_components"
     _write_csv(os.path.join(out_dir, "pca", k_str, "projection.csv"),

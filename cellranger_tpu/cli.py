@@ -91,6 +91,23 @@ def _cmd_reanalyze(args):
     print(f"outputs: {out_dir}/analysis")
 
 
+def _cmd_mkvdjref(args):
+    import shutil
+
+    from .vdj.reference import VdjReference
+
+    ref = VdjReference.from_fasta(args.seqs)  # validates headers
+    os.makedirs(os.path.join(args.out, "fasta"), exist_ok=True)
+    shutil.copyfile(args.seqs, os.path.join(args.out, "fasta", "regions.fa"))
+    meta = dict(genome=args.genome, n_segments=len(ref.segments),
+                regions={r: sum(1 for s_ in ref.segments if s_.region == r)
+                         for r in ("V", "D", "J", "C", "UTR")},
+                version="cellranger-tpu-0.1.0")
+    with open(os.path.join(args.out, "reference.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps(meta, indent=2))
+
+
 def _cmd_mkref(args):
     from .io.reference import ReferencePackage
 
@@ -208,6 +225,12 @@ def main(argv=None):
     r.add_argument("--matrix", required=True, help="filtered matrix .h5")
     r.add_argument("--output-dir", dest="output_dir")
     r.set_defaults(fn=_cmd_reanalyze)
+
+    mv = sub.add_parser("mkvdjref", help="build a V(D)J reference package")
+    mv.add_argument("--genome", required=True, help="reference name")
+    mv.add_argument("--seqs", required=True, help="regions.fa with V/D/J/C segments")
+    mv.add_argument("--out", required=True)
+    mv.set_defaults(fn=_cmd_mkvdjref)
 
     m = sub.add_parser("mkref", help="build a reference package")
     m.add_argument("--genome", required=True)

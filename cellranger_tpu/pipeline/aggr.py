@@ -34,8 +34,11 @@ def parse_aggr_csv(path: str) -> list[dict]:
             raise ValueError(
                 "aggr CSV must have columns sample_id,molecule_h5")
         for row in reader:
-            out.append(dict(sample_id=row["sample_id"].strip(),
-                            molecule_h5=row["molecule_h5"].strip()))
+            entry = dict(sample_id=row["sample_id"].strip(),
+                         molecule_h5=row["molecule_h5"].strip())
+            if row.get("batch"):
+                entry["batch"] = row["batch"].strip()
+            out.append(entry)
     if not out:
         raise ValueError("aggr CSV has no rows")
     return out
@@ -109,7 +112,21 @@ def run_aggr(csv_path: str, out_dir: str, normalize: str = "mapped",
 
     if secondary_analysis and filtered.shape[1] >= 2:
         from ..analysis.run import run_secondary_analysis
-        run_secondary_analysis(filtered, os.path.join(out_dir, "analysis"))
+        # optional per-sample `batch` column drives MNN chemistry-batch
+        # correction; default: each input run is its own batch only when
+        # requested
+        batch_of_sample = {s_["sample_id"]: s_.get("batch")
+                           for s_ in samples}
+        batch_labels = None
+        if any(batch_of_sample.values()):
+            gem_of_cell = [b.rsplit(b"-", 1)[1].decode()
+                           for b in filtered.barcodes]
+            sample_of_gem = {str(g + 1): s_["sample_id"]
+                             for g, s_ in enumerate(samples)}
+            batch_labels = [batch_of_sample[sample_of_gem[g]] or
+                            sample_of_gem[g] for g in gem_of_cell]
+        run_secondary_analysis(filtered, os.path.join(out_dir, "analysis"),
+                               batch_labels=batch_labels)
 
     summary = dict(
         samples=[s["sample_id"] for s in samples],

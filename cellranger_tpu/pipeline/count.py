@@ -389,9 +389,13 @@ def run_count(cfg: CountConfig, out_dir: str,
     metrics.total_molecules = int(len(mbc))
 
     # ---- matrix assembly over the full whitelist barcode space ----
+    # translated whitelists (whitelist.rs WithTranslation) emit the
+    # translated barcode downstream
+    out_seqs = (whitelist.translation if whitelist.translation is not None
+                else whitelist.sorted_seqs)
     suffix = f"-{cfg.gem_group}".encode()
     barcodes = [encode.decode_codes(encode.unpack_np(s, whitelist.length)) + suffix
-                for s in whitelist.sorted_seqs]
+                for s in out_seqs]
     raw = CountMatrix.from_molecules(mbc.astype(np.int64), mgene.astype(np.int64),
                                      barcodes, features)
     raw.save_h5(os.path.join(out_dir, "raw_feature_bc_matrix.h5"),

@@ -188,3 +188,35 @@ def test_jibes_tag_assignment():
     # parameters sensible: foreground >> 0, backgrounds small
     assert (res.foreground > 1.0).all()
     assert (res.background < 2.0).all()
+
+
+def test_batch_correction_mnn():
+    from cellranger_tpu.analysis.batch_correction import correct_batches
+    rng = np.random.default_rng(5)
+    # two populations, two batches; batch 2 shifted by a constant vector
+    popA = rng.normal(0, 1, (120, 10))
+    popB = rng.normal(0, 1, (120, 10)); popB[:, 0] += 8
+    batch1 = np.vstack([popA[:60], popB[:60]])
+    shift = np.full(10, 5.0); shift[1] = 7.0
+    batch2 = np.vstack([popA[60:], popB[60:]]) + shift
+    proj = np.vstack([batch1, batch2])
+    batches = np.asarray(["b1"] * 120 + ["b2"] * 120)
+    pops = np.asarray([0]*60 + [1]*60 + [0]*60 + [1]*60)
+
+    def mixing(p):
+        # average fraction of same-batch cells among 10 NN (lower = better mixed)
+        from cellranger_tpu.analysis.graphclust import knn_graph
+        import jax.numpy as jnp
+        idx, _ = knn_graph(jnp.asarray(p, jnp.float32), 10)
+        idx = np.asarray(idx)
+        same = (batches[idx] == batches[:, None]).mean()
+        return float(same)
+
+    before = mixing(proj)
+    corrected = correct_batches(proj, batches)
+    after = mixing(corrected)
+    assert before > 0.95          # batches fully separated before
+    assert after < 0.75           # well mixed after
+    # populations must remain separated after correction
+    ca = corrected[pops == 0].mean(0); cb = corrected[pops == 1].mean(0)
+    assert np.linalg.norm(ca - cb) > 4

@@ -112,3 +112,19 @@ def test_count_valid_barcodes():
     valid = jnp.asarray([True, True, True, False, True, False])
     counts = np.asarray(bcops.count_valid_barcodes(idx, valid, 5))
     np.testing.assert_array_equal(counts, [1, 2, 0, 1, 0])
+
+
+def test_translated_whitelist_output():
+    """Whitelists with a translation column emit translated barcodes in
+    outputs (whitelist.rs Plain vs WithTranslation)."""
+    wl = Whitelist.from_seqs(["AAAACCCCGGGGTTTT", "ACGTACGTACGTACGT"],
+                             translations=["TTTTGGGGCCCCAAAA", "TGCATGCATGCATGCA"])
+    assert wl.translation is not None
+    # order follows the sorted raw sequences; translation rides along
+    import numpy as np
+    from cellranger_tpu.ops import encode
+    raw_sorted = [encode.unpack_str(int(s), 16) for s in wl.sorted_seqs]
+    trans = [encode.unpack_str(int(s), 16) for s in wl.translation]
+    pairs = dict(zip(raw_sorted, trans))
+    assert pairs["AAAACCCCGGGGTTTT"] == "TTTTGGGGCCCCAAAA"
+    assert pairs["ACGTACGTACGTACGT"] == "TGCATGCATGCATGCA"
