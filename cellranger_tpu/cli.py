@@ -111,8 +111,17 @@ def _cmd_mkvdjref(args):
 def _cmd_mkref(args):
     from .io.reference import ReferencePackage
 
-    ref = ReferencePackage.build(args.fasta, args.genes, args.out,
-                                 genome_name=args.genome)
+    genomes = args.genome.split(",")
+    fastas = args.fasta.split(",")
+    gtfs = args.genes.split(",")
+    if not (len(genomes) == len(fastas) == len(gtfs)):
+        sys.exit("error: --genome/--fasta/--genes need matching counts")
+    if len(genomes) == 1:
+        ref = ReferencePackage.build(fastas[0], gtfs[0], args.out,
+                                     genome_name=genomes[0])
+    else:
+        ref = ReferencePackage.build_multi(
+            list(zip(genomes, fastas, gtfs)), args.out)
     print(json.dumps(ref.metadata, indent=2))
 
 
@@ -233,7 +242,8 @@ def main(argv=None):
     mv.set_defaults(fn=_cmd_mkvdjref)
 
     m = sub.add_parser("mkref", help="build a reference package")
-    m.add_argument("--genome", required=True)
+    m.add_argument("--genome", required=True,
+                   help="name (comma-separate for barnyard refs)")
     m.add_argument("--fasta", required=True)
     m.add_argument("--genes", required=True)
     m.add_argument("--out", required=True)

@@ -235,9 +235,18 @@ def run_count(cfg: CountConfig, out_dir: str,
         didx = DeviceIndex.from_host(gi)
         ann_idx = AnnotationIndex.build(ref.transcriptome, gi)
         n_genes = len(ref.transcriptome.genes)
-        features = FeatureReference.from_transcriptome(
-            ref.transcriptome.gene_ids, ref.transcriptome.gene_names,
-            ref.genome_name)
+        if len(ref.genomes) > 1:
+            from ..io.matrix_io import FeatureDef
+            genome_per_gene = ref.genome_of_gene()
+            features = FeatureReference(
+                [FeatureDef(i, n_, "Gene Expression", gn)
+                 for i, n_, gn in zip(ref.transcriptome.gene_ids,
+                                      ref.transcriptome.gene_names,
+                                      genome_per_gene)])
+        else:
+            features = FeatureReference.from_transcriptome(
+                ref.transcriptome.gene_ids, ref.transcriptome.gene_names,
+                ref.genome_name)
 
     fb_ref = None
     fb_extractors = {}
@@ -435,6 +444,26 @@ def run_count(cfg: CountConfig, out_dir: str,
         metrics={"total_reads": metrics.total_reads,
                  "usable_read_pairs": metrics.usable_reads,
                  "chemistry": cfg.chemistry, "sample_id": cfg.sample_id})
+
+    # ---- barnyard GEM classification (multi-genome references) ----
+    if ref is not None and len(ref.genomes) > 1 and len(cells_idx):
+        from ..analysis.multigenome import classify_gems
+        genome_per_gene = ref.genome_of_gene()
+        per_genome_counts = np.zeros((len(cells_idx), len(ref.genomes)))
+        fm = filtered.m
+        for gidx, gname in enumerate(ref.genomes):
+            rows = [i for i, gn in enumerate(genome_per_gene) if gn == gname]
+            per_genome_counts[:, gidx] = np.asarray(
+                fm[rows, :].sum(axis=0)).ravel()
+        calls, mg_summary = classify_gems(per_genome_counts, ref.genomes)
+        with open(os.path.join(out_dir, "gem_classification.csv"), "w") as f:
+            f.write("barcode," + ",".join(ref.genomes) + ",call\n")
+            for i, b in enumerate(filtered.barcodes):
+                f.write(b.decode() + "," + ",".join(
+                    str(int(x)) for x in per_genome_counts[i]) +
+                    f",{calls[i]}\n")
+        call_metrics.update({f"multigenome_{k}": v
+                             for k, v in mg_summary.items()})
 
     # ---- secondary analysis (SC_RNA_ANALYZER analog) ----
     if cfg.secondary_analysis and len(cells_idx) >= 2:

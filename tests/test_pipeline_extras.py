@@ -171,3 +171,60 @@ gex,{fdir},Gene Expression
     open(bad2, "w").write("[gene-expression]\nreference,x\n")
     with pytest.raises(ValueError, match="libraries"):
         MultiConfig.from_csv(bad2)
+
+
+def test_barnyard_multigenome(tmp_path):
+    """Two-genome reference: cells expressing one genome classify to it,
+    mixed GEMs call Multiplet; gem_classification.csv written."""
+    from cellranger_tpu.io.reference import ReferencePackage
+    from cellranger_tpu.io.gtf import write_fasta
+    rng = np.random.default_rng(12)
+
+    def mk(genome_len, gene, tmpdir, tag):
+        g = "".join(rng.choice(list("ACGT"), genome_len)).encode()
+        fa = str(tmp_path / f"{tag}.fa"); gt = str(tmp_path / f"{tag}.gtf")
+        write_fasta(fa, {"chr1": g})
+        open(gt, "w").write(
+            f'chr1\tt\texon\t1001\t2500\t.\t+\t.\t'
+            f'gene_id "{gene}"; transcript_id "T{gene}"; gene_name "{gene}";\n')
+        return g, fa, gt
+
+    gh, fah, gth = mk(8000, "HUMG", tmp_path, "hum")
+    gm, fam, gtm = mk(8000, "MUSG", tmp_path, "mus")
+    ref = ReferencePackage.build_multi(
+        [("hg", fah, gth), ("mm", fam, gtm)], str(tmp_path / "ref"))
+    assert ref.genomes == ["hg", "mm"]
+    assert ref.genome_of_gene() == ["hg", "mm"]
+
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(64)})
+    open(tmp_path / "wl.txt", "w").writelines(s + "\n" for s in wl)
+    n = 0
+    with gzip.open(tmp_path / "b_S1_L001_R1_001.fastq.gz", "wt") as f1, \
+         gzip.open(tmp_path / "b_S1_L001_R2_001.fastq.gz", "wt") as f2:
+        for ci in range(12):
+            for u in range(20):
+                umi = "".join(rng.choice(list("ACGT"), 12))
+                if ci < 5:
+                    src = gh
+                elif ci < 10:
+                    src = gm
+                else:
+                    src = gh if u % 2 == 0 else gm  # mixed -> multiplet
+                p = int(rng.integers(1000, 2500 - 91))
+                f1.write(f"@b{n}\n{wl[ci]}{umi}\n+\n{'F' * 28}\n")
+                f2.write(f"@b{n}\n{src[p:p + 91].decode()}\n+\n{'F' * 91}\n")
+                n += 1
+    out = str(tmp_path / "out")
+    s = run_count(CountConfig(
+        fastq_pairs=[(str(tmp_path / "b_S1_L001_R1_001.fastq.gz"),
+                      str(tmp_path / "b_S1_L001_R2_001.fastq.gz"))],
+        reference_path=str(tmp_path / "ref"),
+        whitelist_path=str(tmp_path / "wl.txt"), chemistry="SC3Pv3",
+        read_len=91, batch_size=512, secondary_analysis=False), out)
+    assert s["multigenome_cells_per_genome"]["hg"] == 5
+    assert s["multigenome_cells_per_genome"]["mm"] == 5
+    assert s["multigenome_observed_multiplets"] == 2
+    rows = open(os.path.join(out, "gem_classification.csv")).read().splitlines()
+    assert rows[0] == "barcode,hg,mm,call"
+    calls = [r.split(",")[-1] for r in rows[1:]]
+    assert calls.count("Multiplet") == 2
