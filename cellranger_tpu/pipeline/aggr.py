@@ -134,7 +134,17 @@ def run_aggr(csv_path: str, out_dir: str, normalize: str = "mapped",
         normalization_rates=rates,
         total_molecules_post_norm=int(len(bc_idx)),
         total_cells=int(len(cells)),
+        estimated_cells=int(len(cells)),
+        total_molecules=int(len(bc_idx)),
+        median_umis_per_cell=float(np.median(np.asarray(
+            filtered.m.sum(axis=0)).ravel())) if filtered.shape[1] else 0.0,
+        median_genes_per_cell=float(np.median(np.asarray(
+            (filtered.m > 0).sum(axis=0)).ravel())) if filtered.shape[1] else 0.0,
     )
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=float)
+    with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+    from .websummary import build_web_summary
+    build_web_summary(out_dir, sample_id="aggr", pipeline="aggr")
     return summary
