@@ -229,6 +229,11 @@ def run_count(cfg: CountConfig, out_dir: str,
         features = FeatureReference(
             [FeatureDef(g, g, "Gene Expression") for g in probe_set.genes])
         probe_align = make_probe_aligner(probe_set, cfg.read_len)
+        probe_region_names = sorted({r or "unknown" for r in probe_set.regions})
+        region_of_probe = np.asarray(
+            [probe_region_names.index(r or "unknown")
+             for r in probe_set.regions], np.int32)
+        probe_region_reads = np.zeros(len(probe_region_names), np.int64)
     else:
         ref = ReferencePackage.load(cfg.reference_path)
         gi = ref.genome_index
@@ -322,6 +327,8 @@ def run_count(cfg: CountConfig, out_dir: str,
             metrics.mapped_reads += int(np.asarray(pa["mapped"]).sum())
             metrics.conf_mapped_reads += int(np.asarray(pa["conf_mapped"]).sum())
             metrics.usable_reads += int(conf.sum())
+            probes_conf = np.asarray(pa["probe"])[conf]
+            np.add.at(probe_region_reads, region_of_probe[probes_conf], 1)
             mol_bc.append(np.asarray(bc_idx).astype(np.uint32)[conf])
             mol_gene.append(np.asarray(pa["gene"])[conf].astype(np.uint32))
             mol_umi.append(np.asarray(batch.umi_packed)[conf])
@@ -488,6 +495,11 @@ def run_count(cfg: CountConfig, out_dir: str,
         "sample_id": cfg.sample_id,
         "chemistry": cfg.chemistry,
     })
+    if probe_set is not None:
+        # per-probe-region usable read tallies (targeted/RTL metrics,
+        # cellranger/targeted semantics)
+        extra.update({f"probe_reads_{nm}": int(c) for nm, c in
+                      zip(probe_region_names, probe_region_reads)})
     summary = metrics.to_dict(extra)
     with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=float)

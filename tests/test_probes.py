@@ -152,3 +152,35 @@ def test_rtl_pipeline_end_to_end(probe_set, tmp_path):
     m = raw.m.toarray()
     for (bc, g), k in truth.items():
         assert m[g, bc_to_col[bc.encode() + b"-1"]] == k
+
+
+def test_rtl_region_metrics(probe_set, tmp_path):
+    import gzip, json, os
+    from cellranger_tpu.pipeline.count import CountConfig, run_count
+    ps, seqs = probe_set
+    rng = np.random.default_rng(5)
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(50)})
+    open(tmp_path / "wl.txt", "w").writelines(s + "\n" for s in wl)
+    pcsv = str(tmp_path / "p.csv")
+    with open(pcsv, "w") as f:
+        f.write("gene_id,probe_seq,probe_id,included,region\n")
+        for i, s in enumerate(seqs[:8]):
+            region = "spliced" if i < 5 else "unspliced"
+            f.write(f"G{i},{s},G{i}|p,TRUE,{region}\n")
+    with gzip.open(tmp_path / "q_S1_L001_R1_001.fastq.gz", "wt") as f1, \
+         gzip.open(tmp_path / "q_S1_L001_R2_001.fastq.gz", "wt") as f2:
+        n = 0
+        for i in range(8):
+            for u in range(3):
+                umi = "".join(rng.choice(list("ACGT"), 12))
+                f1.write(f"@q{n}\n{wl[0]}{umi}\n+\n{'F' * 28}\n")
+                f2.write(f"@q{n}\n{seqs[i]}\n+\n{'F' * 50}\n")
+                n += 1
+    s = run_count(CountConfig(
+        fastq_pairs=[(str(tmp_path / "q_S1_L001_R1_001.fastq.gz"),
+                      str(tmp_path / "q_S1_L001_R2_001.fastq.gz"))],
+        probe_set_csv=pcsv, whitelist_path=str(tmp_path / "wl.txt"),
+        chemistry="SFRP", read_len=50, batch_size=128,
+        secondary_analysis=False), str(tmp_path / "out"))
+    assert s["probe_reads_spliced"] == 15
+    assert s["probe_reads_unspliced"] == 9
