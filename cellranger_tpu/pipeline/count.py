@@ -443,9 +443,13 @@ def run_count(cfg: CountConfig, out_dir: str,
             chem.barcode_length, chem.umi_length, gem_group=cfg.gem_group)
 
     # ---- molecule_info.h5 ----
+    # library_idx per molecule: GEX features -> library 0, feature-barcode
+    # features -> the (single) FB library slot
+    lib_idx = (mgene >= n_genes).astype(np.uint16)
     save_molecule_info(
         os.path.join(out_dir, "molecule_info.h5"),
         barcode_idx=mbc, feature_idx=mgene, umi=mumi, count=mreads,
+        library_idx=lib_idx,
         barcodes=barcodes, features=features, gem_group=cfg.gem_group,
         pass_filter_bc_idx=np.asarray(cells_idx, np.uint64),
         metrics={"total_reads": metrics.total_reads,

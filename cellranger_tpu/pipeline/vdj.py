@@ -139,6 +139,10 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
                 sequence=contig.seq))
 
     clonotypes = group_clonotypes(cells)
+    clonotype_of_bc = {}
+    for c in clonotypes:
+        for bc in c["barcodes"]:
+            clonotype_of_bc[bc] = c["clonotype_id"]
 
     # outputs (reference: all_contig_annotations.csv, clonotypes.csv, fasta)
     with open(os.path.join(out_dir, "all_contig_annotations.csv"), "w") as f:
@@ -158,6 +162,21 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
             f.write(f"{c['clonotype_id']},{c['frequency']},"
                     f"{c['frequency'] / max(len(cells), 1):.4f},{cdr3s}\n")
 
+    # AIRR rearrangement TSV (CREATE_AIRR_TSV analog; AIRR schema core cols)
+    with open(os.path.join(out_dir, "airr_rearrangement.tsv"), "w") as f:
+        cols = ["cell_id", "clone_id", "sequence_id", "sequence", "productive",
+                "v_call", "j_call", "c_call", "junction", "junction_aa",
+                "consensus_count", "duplicate_count", "locus"]
+        f.write("\t".join(cols) + "\n")
+        for r in contig_rows:
+            f.write("\t".join(str(x) for x in [
+                r["barcode"], clonotype_of_bc.get(r["barcode"], ""),
+                r["contig_id"], r["sequence"],
+                "T" if r["productive"] else "F",
+                r["v_gene"], r["j_gene"], r["c_gene"],
+                r["cdr3_nt"], r["cdr3"], r["umis"], r["reads"],
+                r["chain"]]) + "\n")
+
     summary = dict(
         total_reads=total_reads,
         valid_barcode_frac=valid_bc_reads / max(total_reads, 1),
@@ -168,4 +187,6 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
     )
     with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=float)
+    from .websummary import build_web_summary
+    build_web_summary(out_dir, cfg.sample_id, pipeline="vdj")
     return summary

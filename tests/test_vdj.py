@@ -131,3 +131,35 @@ def test_vdj_pipeline_end_to_end(vdj_world, tmp_path):
     assert clon[1].startswith("clonotype1,4")  # biggest clonotype has 4 cells
     assert w["cdr3_a"] in clon[1]
     assert os.path.exists(os.path.join(out, "all_contig.fasta"))
+
+
+def test_airr_and_websummary(vdj_world, tmp_path):
+    w = vdj_world
+    rng = np.random.default_rng(13)
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(16)})
+    open(tmp_path / "wl.txt", "w").writelines(s + "\n" for s in wl)
+    r1p = str(tmp_path / "a_S1_L001_R1_001.fastq.gz")
+    r2p = str(tmp_path / "a_S1_L001_R2_001.fastq.gz")
+    n = 0
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        for ci in range(2):
+            for u in range(6):
+                umi = "".join(rng.choice(list("ACGT"), 10))
+                for _ in range(3):
+                    p = int(rng.integers(0, len(w["tx_a"]) - 120))
+                    f1.write(f"@a{n}\n{wl[ci]}{umi}\n+\n{'F' * 26}\n")
+                    f2.write(f"@a{n}\n{w['tx_a'][p:p + 120]}\n+\n{'F' * 120}\n")
+                    n += 1
+    out = str(tmp_path / "aout")
+    run_vdj(VdjConfig(fastq_pairs=[(r1p, r2p)], vdj_reference_fasta=w["fa"],
+                      whitelist_path=str(tmp_path / "wl.txt"),
+                      read_len=120, batch_size=512), out)
+    airr = open(os.path.join(out, "airr_rearrangement.tsv")).read().splitlines()
+    hdr = airr[0].split("\t")
+    assert hdr[:4] == ["cell_id", "clone_id", "sequence_id", "sequence"]
+    assert len(airr) >= 3
+    row = dict(zip(hdr, airr[1].split("\t")))
+    assert row["productive"] == "T"
+    assert row["junction"] == w["cdr3_a"]
+    assert row["clone_id"] == "clonotype1"
+    assert os.path.exists(os.path.join(out, "web_summary.html"))
