@@ -31,13 +31,18 @@ PROBE = 8
 @register_dataclass
 @dataclass(frozen=True)
 class HashTable:
-    keys: jnp.ndarray    # uint32 [slots]
-    vals: jnp.ndarray    # uint32 [slots]
+    # interleaved (key, val) pairs: one contiguous 32B probe window fetches
+    # both sides in a single gather (random HBM access is latency-bound)
+    kv: jnp.ndarray      # uint32 [slots, 2]
     bits: int = field(metadata=dict(static=True), default=20)
 
     @property
     def slots(self) -> int:
         return 1 << self.bits
+
+    @property
+    def keys(self):
+        return self.kv[:, 0]
 
     @staticmethod
     def build(keys: np.ndarray, vals: np.ndarray, load: float = 0.5,
@@ -70,16 +75,15 @@ class HashTable:
         # first-come-first-placed per slot; unresolved leftovers (only for
         # pathological clustering at this load factor) are dropped — probing
         # misses them, which degrades like the per-seed hit cap
-        table_k = np.full(slots, EMPTY, np.uint32)
-        table_v = np.zeros(slots, np.uint32)
+        table = np.zeros((slots, 2), np.uint32)
+        table[:, 0] = EMPTY
         o3 = np.argsort(slot, kind="stable")
         srt = slot[o3]
         lead = np.concatenate([[True], srt[1:] != srt[:-1]]) if n else srt > 0
         place = o3[lead] if n else o3
-        table_k[slot[place]] = ks[place]
-        table_v[slot[place]] = vs[place]
-        return HashTable(keys=jnp.asarray(table_k), vals=jnp.asarray(table_v),
-                         bits=bits)
+        table[slot[place], 0] = ks[place]
+        table[slot[place], 1] = vs[place]
+        return HashTable(kv=jnp.asarray(table), bits=bits)
 
     def lookup(self, q: jnp.ndarray, probe: int = PROBE):
         """q uint32 [...] -> (hit bool [..., probe], vals uint32 [..., probe]).
@@ -90,8 +94,9 @@ class HashTable:
               >> jnp.uint32(32 - self.bits)).astype(jnp.int32)
         sl = jnp.minimum(hh[..., None] + jnp.arange(probe, dtype=jnp.int32),
                          self.slots - 1)
-        kk = self.keys[sl]
-        vv = self.vals[sl]
+        kv = self.kv[sl]                       # [..., probe, 2] one gather
+        kk = kv[..., 0]
+        vv = kv[..., 1]
         # the all-ones key is the empty-slot sentinel: it can never hit
         hit = (kk == q[..., None]) & (q != jnp.uint32(0xFFFFFFFF))[..., None]
         return hit, vv
