@@ -52,8 +52,7 @@ class DeviceIndex:
     into the compile payload (minutes of compile, and hard request-size
     limits on remote-compile setups)."""
 
-    text_words: jnp.ndarray    # uint32 [G/16] packed 2-bit codes, 16/word
-    valid_words: jnp.ndarray   # uint32 [G/16] validity bitmask, 16/word
+    text_words: jnp.ndarray    # uint32 [G/16, 2] interleaved (codes, valid)
     kmer_hash: HashTable       # open-addressing (kmer -> position) table
     chrom_starts: jnp.ndarray  # int32 [C+1]
     sj_donor_abs: jnp.ndarray  # int32 [J] absolute text coord of donor end
@@ -67,10 +66,8 @@ class DeviceIndex:
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
         assert len(gi.text) < 2**31, (
             "int32 position space; shard the index for >2Gb genomes")
-        tw, vw = gi.packed_words()
         return DeviceIndex(
-            text_words=jnp.asarray(tw),
-            valid_words=jnp.asarray(vw),
+            text_words=jnp.asarray(gi.packed_words()),
             kmer_hash=HashTable.build(gi.kmer_keys, gi.kmer_pos),
             chrom_starts=jnp.asarray(gi.chrom_starts.astype(np.int32)),
             sj_donor_abs=jnp.asarray(gi.sj_donor_end.astype(np.int32)),
@@ -155,8 +152,9 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         extra = (1,) * pos.ndim
         widx = jnp.clip(w0[..., None] + jnp.arange(n_words).reshape(*extra, -1),
                         0, NW - 1)
-        words = idx.text_words[widx]        # [..., n_words]
-        vwords = idx.valid_words[widx]
+        both = idx.text_words[widx]         # [..., n_words, 2] one gather
+        words = both[..., 0]
+        vwords = both[..., 1]
 
         off2 = (2 * (pos & 15)).astype(jnp.uint32)[..., None]
         hi = words[..., :-1] << off2

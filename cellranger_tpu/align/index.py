@@ -62,9 +62,10 @@ class GenomeIndex:
     kmer_pos: np.ndarray      # uint32 [P] text position of each key (grouped by key)
 
     def packed_words(self):
-        """(text_words u32, valid_words u32): 16 bases per word, MSB-first
-        codes in text_words, validity bitmask (bit 15-i for base i) in
-        valid_words. Used by the aligner's extension gather."""
+        """Interleaved [W, 2] uint32 words: column 0 = 16 MSB-first 2-bit
+        codes, column 1 = 16-bit validity bitmask (bit 15-i for base i).
+        One contiguous gather fetches code+validity for a window (random
+        HBM access is latency-bound)."""
         if not hasattr(self, "_words"):
             G = len(self.text)
             W = (G + 15) // 16
@@ -77,7 +78,8 @@ class GenomeIndex:
             for i in range(16):
                 tw = (tw << np.uint32(2)) | padded[i::16].astype(np.uint32)
                 vw = (vw << np.uint32(1)) | vpadded[i::16].astype(np.uint32)
-            self._words = (tw, vw)
+            words = np.stack([tw, vw], axis=1)
+            self._words = words
         return self._words
 
     @property
