@@ -75,8 +75,9 @@ def main():
     wl_arr = np.unique(rng.integers(0, 2**32, N_WL, dtype=np.uint64).astype(np.uint32))
     wl = Whitelist(np.sort(wl_arr), 16, "bench")
     step = _make_step(didx, ann, wl.size, chem, READ_LEN)
-    from cellranger_tpu.ops.lookup import SortedTable
-    wl_sorted = SortedTable.build(wl.sorted_seqs)
+    from cellranger_tpu.ops.hash_index import HashTable
+    wl_sorted = HashTable.build_exact(wl.sorted_seqs,
+                                      np.arange(wl.size, dtype=np.uint32))
     wl_counts = jnp.ones(wl.size, jnp.int32)
 
     # synthetic batch: reads drawn from the genome with 2 errors each

@@ -35,6 +35,7 @@ class HashTable:
     # both sides in a single gather (random HBM access is latency-bound)
     kv: jnp.ndarray      # uint32 [slots, 2]
     bits: int = field(metadata=dict(static=True), default=20)
+    probe: int = field(metadata=dict(static=True), default=PROBE)
 
     @property
     def slots(self) -> int:
@@ -46,7 +47,7 @@ class HashTable:
 
     @staticmethod
     def build(keys: np.ndarray, vals: np.ndarray, load: float = 0.5,
-              max_passes: int = 200) -> "HashTable":
+              max_passes: int = 200, probe: int = PROBE) -> "HashTable":
         keys = np.asarray(keys, np.uint32)
         vals = np.asarray(vals, np.uint32)
         keep = keys != EMPTY
@@ -83,13 +84,39 @@ class HashTable:
         place = o3[lead] if n else o3
         table[slot[place], 0] = ks[place]
         table[slot[place], 1] = vs[place]
-        return HashTable(kv=jnp.asarray(table), bits=bits)
+        return HashTable(kv=jnp.asarray(table), bits=bits, probe=probe)
 
-    def lookup(self, q: jnp.ndarray, probe: int = PROBE):
+    @staticmethod
+    def build_exact(keys: np.ndarray, vals: np.ndarray,
+                    load: float = 0.25, probe: int = 2) -> "HashTable":
+        """Build guaranteeing every key is findable within the probe window
+        (required for whitelist membership): verifies on host and widens the
+        probe / halves the load until exact."""
+        keys = np.asarray(keys, np.uint32)
+        for attempt_load, attempt_probe in (
+                (load, probe), (load, probe * 2), (load / 2, probe * 2),
+                (load / 4, probe * 4), (load / 4, 8)):
+            t = HashTable.build(keys, vals, load=attempt_load,
+                                probe=attempt_probe)
+            table = np.asarray(t.kv[:, 0])
+            bits = t.bits
+            h = ((keys[keys != EMPTY] * MIX)
+                 >> np.uint32(32 - bits)).astype(np.int64)
+            found = np.zeros(len(h), bool)
+            for j in range(attempt_probe):
+                sl = np.minimum(h + j, (1 << bits) - 1)
+                found |= table[sl] == keys[keys != EMPTY]
+            if found.all():
+                return t
+        raise ValueError("hash table could not be made exact; "
+                         "pathological key distribution")
+
+    def lookup(self, q: jnp.ndarray, probe: int | None = None):
         """q uint32 [...] -> (hit bool [..., probe], vals uint32 [..., probe]).
 
         hit[..., j] marks probe-window entries whose key equals the query;
         vals are the stored positions (valid where hit)."""
+        probe = probe or self.probe
         hh = ((q * jnp.uint32(0x9E3779B9))
               >> jnp.uint32(32 - self.bits)).astype(jnp.int32)
         sl = jnp.minimum(hh[..., None] + jnp.arange(probe, dtype=jnp.int32),
@@ -101,10 +128,10 @@ class HashTable:
         hit = (kk == q[..., None]) & (q != jnp.uint32(0xFFFFFFFF))[..., None]
         return hit, vv
 
-    def membership(self, q: jnp.ndarray, probe: int = PROBE):
+    def membership(self, q: jnp.ndarray, probe: int | None = None):
         """Unique-key tables (whitelists): (is_member bool, val int32, -1 on
         miss) — same contract as SortedTable.membership."""
-        hits, vv = self.lookup(q, probe=probe)
+        hits, vv = self.lookup(q, probe=probe or self.probe)
         hit = hits.any(axis=-1)
         val = jnp.max(jnp.where(hits, vv.astype(jnp.int32), -1), axis=-1)
         return hit, val

@@ -270,7 +270,10 @@ def run_count(cfg: CountConfig, out_dir: str,
     libraries = cfg.libraries or [LibraryDef(cfg.fastq_pairs, "Gene Expression")]
     step = (None if probe_set is not None
             else _make_step(didx, ann_idx, whitelist.size, chem, cfg.read_len))
-    wl_table = SortedTable.build(whitelist.sorted_seqs)
+    # whitelist as a sparse hash table: ONE interleaved 2-slot window per
+    # membership probe (the correction path tests 48 candidates/read)
+    wl_table = HashTable.build_exact(
+        whitelist.sorted_seqs, np.arange(whitelist.size, dtype=np.uint32))
 
     metrics = CountMetrics()
 
