@@ -198,6 +198,9 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
     return step
 
 
+DEDUP_CHUNK_LIMIT = 1 << 26  # dedup rows per device sort (~0.8GB working set)
+
+
 def _pow2_pad(n: int, minimum: int = 1024) -> int:
     p = minimum
     while p < n:
@@ -388,23 +391,42 @@ def run_count(cfg: CountConfig, out_dir: str,
                                  + n_genes).astype(np.uint32))
                 mol_umi.append(np.asarray(batch.umi_packed)[conf])
 
-    # ---- global dedup ----
+    # ---- global dedup (barcode-partitioned when too large for one sort) ----
     bc_all = np.concatenate(mol_bc) if mol_bc else np.zeros(0, np.uint32)
     gene_all = np.concatenate(mol_gene) if mol_gene else np.zeros(0, np.uint32)
     umi_all = np.concatenate(mol_umi) if mol_umi else np.zeros(0, np.uint32)
-    N = _pow2_pad(max(len(bc_all), 1))
-    pad = N - len(bc_all)
-    dd = dedup_molecules(
-        jnp.asarray(np.pad(bc_all, (0, pad))),
-        jnp.asarray(np.pad(gene_all, (0, pad))),
-        jnp.asarray(np.pad(umi_all, (0, pad))),
-        jnp.asarray(np.pad(np.ones(len(bc_all), bool), (0, pad))),
-        chem.umi_length)
-    valid = np.asarray(dd["mol_valid"])
-    mbc = np.asarray(dd["mol_bc"])[valid]
-    mgene = np.asarray(dd["mol_gene"])[valid]
-    mumi = np.asarray(dd["mol_umi"])[valid]
-    mreads = np.asarray(dd["mol_reads"])[valid]
+    n_parts = max(1, -(-len(bc_all) // DEDUP_CHUNK_LIMIT))
+    parts_out = []
+    dd = None
+    for p in range(n_parts):
+        if n_parts == 1:
+            sel = slice(None)
+            b, g, u = bc_all, gene_all, umi_all
+        else:
+            # barcode-hash partitions are independent under dedup (all reads
+            # of a barcode land in one partition) — the ALIGN_AND_COUNT
+            # barcode-range chunking analog (align_and_count.rs:518-524)
+            mask = (bc_all % n_parts) == p
+            b, g, u = bc_all[mask], gene_all[mask], umi_all[mask]
+        N = _pow2_pad(max(len(b), 1))
+        pad = N - len(b)
+        dd = dedup_molecules(
+            jnp.asarray(np.pad(b, (0, pad))),
+            jnp.asarray(np.pad(g, (0, pad))),
+            jnp.asarray(np.pad(u, (0, pad))),
+            jnp.asarray(np.pad(np.ones(len(b), bool), (0, pad))),
+            chem.umi_length)
+        valid = np.asarray(dd["mol_valid"])
+        parts_out.append((np.asarray(dd["mol_bc"])[valid],
+                          np.asarray(dd["mol_gene"])[valid],
+                          np.asarray(dd["mol_umi"])[valid],
+                          np.asarray(dd["mol_reads"])[valid]))
+    mbc = np.concatenate([x[0] for x in parts_out])
+    mgene = np.concatenate([x[1] for x in parts_out])
+    mumi = np.concatenate([x[2] for x in parts_out])
+    mreads = np.concatenate([x[3] for x in parts_out])
+    order = np.lexsort((mumi, mgene, mbc))
+    mbc, mgene, mumi, mreads = mbc[order], mgene[order], mumi[order], mreads[order]
     metrics.total_molecules = int(len(mbc))
 
     # ---- matrix assembly over the full whitelist barcode space ----
@@ -439,6 +461,8 @@ def run_count(cfg: CountConfig, out_dir: str,
     filtered.save_mex(os.path.join(out_dir, "filtered_feature_bc_matrix"))
 
     # ---- BAM output ----
+    # (multi-partition dedup keeps only the last partition's raw-triple view;
+    # UB tags then fall back to raw UMIs for other partitions' reads)
     if bam_collector is not None:
         bam_collector.write(
             os.path.join(out_dir, "possorted_genome_bam.bam"),

@@ -191,3 +191,23 @@ def test_multimapper_gene_promotion(tmp_path):
     # promotion must recover them as confidently mapped to GM
     assert s["conf_mapped_frac"] == 1.0
     assert s["total_molecules"] == 20
+
+
+def test_partitioned_dedup_matches_single(synthetic_run, tmp_path, monkeypatch):
+    """Forcing tiny dedup partitions must not change the matrix."""
+    import cellranger_tpu.pipeline.count as cnt
+    s = synthetic_run
+    out1 = str(tmp_path / "single")
+    run_count(CountConfig(fastq_pairs=[(s["r1"], s["r2"])], reference_path=s["ref"],
+                          whitelist_path=s["wl"], chemistry="SC3Pv3",
+                          read_len=READ_LEN, batch_size=2048,
+                          secondary_analysis=False), out1)
+    monkeypatch.setattr(cnt, "DEDUP_CHUNK_LIMIT", 256)  # force many partitions
+    out2 = str(tmp_path / "parts")
+    run_count(CountConfig(fastq_pairs=[(s["r1"], s["r2"])], reference_path=s["ref"],
+                          whitelist_path=s["wl"], chemistry="SC3Pv3",
+                          read_len=READ_LEN, batch_size=2048,
+                          secondary_analysis=False), out2)
+    m1 = CountMatrix.load_h5(os.path.join(out1, "raw_feature_bc_matrix.h5"))
+    m2 = CountMatrix.load_h5(os.path.join(out2, "raw_feature_bc_matrix.h5"))
+    assert (m1.m != m2.m).nnz == 0, "partitioned dedup changed the matrix"
