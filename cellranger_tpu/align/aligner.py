@@ -3,23 +3,31 @@
 TPU-native replacement for the reference's in-process STAR alignment
 (cr_lib/src/stages/align_and_count.rs:588-592, cr_lib/src/aligner.rs:396-422):
 instead of one C++ suffix-array walk per read on a CPU thread, we align a
-whole fixed-shape batch at once:
+whole fixed-shape batch at once. The design is driven by the measured HBM
+cost model (tools/row_bench.py): a random gather costs ~30-50ns per ROW
+fetched regardless of row width, so every stage minimizes row count:
 
-  1. rolling 2-bit k-mer extraction at static seed offsets (fwd + revcomp);
-  2. k-mer lookup via a bucket-prefix table (top 22 bits -> row range) plus a
-     short in-bucket binary search — ~4 HBM gathers per seed instead of a
-     25-step global binary search;
-  3. diagonal voting: per-read sort of candidate diagonals + scan-based
-     run-length counting (no second search), top-k by multiplicity;
-  4. ungapped local extension against genome windows gathered as packed
-     32-bit words (16 bases/word, 13x fewer HBM touches than byte gathers),
-     scored with Kadane max-substring via prefix scans — splice handling
-     comes free from the index's junction contigs;
+  1. rolling 2-bit k-mer extraction at static seed offsets; each seed is
+     CANONICALIZED (min of kmer and revcomp) so ONE bucket-row lookup
+     serves both read strands — the hit strand is the stored strand bit
+     XOR the query's flip bit;
+  2. k-mer lookup via ops.bucket_table: one 64-byte row gather per seed
+     surfaces up to E=8 candidate positions;
+  3. diagonal voting: per-read sort of (strand, diagonal) keys + scan-based
+     run-length counting, top-D candidates pooled ACROSS strands;
+  4. ungapped extension against genome windows fetched as two 128-byte
+     text rows, realigned in-register with log-shift selects and
+     variable-shift word arithmetic; scored with Kadane max-substring via
+     prefix scans — splice handling comes free from the index's junction
+     contigs;
   5. canonicalized tie counting -> STAR MAPQ semantics
-     (unique=255, 2 loci=3, 3-4=1, >4=0; rna_read.rs:32 HIGH_CONF_MAPQ).
+     (unique=255, 2 loci=3, 3-4=1, >4=0; rna_read.rs:32 HIGH_CONF_MAPQ);
+  6. banded Smith-Waterman rescue (Pallas kernel) runs only on the
+     COMPACTED subset of reads whose ungapped score is below the map
+     threshold (indel suspects), not the whole batch.
 
 All steps are jnp ops on static shapes — XLA fuses the scoring chain; the
-only sequential structure is log-depth scans and the tiny in-bucket search.
+only sequential structure is log-depth scans.
 """
 
 from __future__ import annotations
@@ -33,13 +41,16 @@ import numpy as np
 from jax.tree_util import register_dataclass
 
 from ..constants import DEFAULT_ALIGN_SCORE_MIN
-from ..ops.hash_index import PROBE, HashTable
+from ..ops.bucket_table import BucketTable
+from ..ops.encode import revcomp_packed
 from .index import GenomeIndex
 
 # Tunables (static); see align_and_count.rs:63 for the score floor.
-SEED_STRIDE = 8       # extract a seed every N bases of the read
-MAX_HITS_PER_SEED = 4  # hash-probe window = max hits surfaced per seed
-MAX_CANDIDATES = 4    # diagonals taken to extension per strand
+SEED_STRIDE = 8        # extract a seed every N bases of the read
+MAX_HITS_PER_SEED = 8  # bucket-row width = max hits surfaced per seed
+MAX_CANDIDATES = 4     # diagonals taken to extension, pooled across strands
+RESCUE_CAP_FRAC = 4    # SW rescue capacity = B // RESCUE_CAP_FRAC
+RESCUE_MARGIN = 4      # rescue when ungapped score < valid_len - margin
 
 
 @register_dataclass
@@ -52,11 +63,10 @@ class DeviceIndex:
     into the compile payload (minutes of compile, and hard request-size
     limits on remote-compile setups)."""
 
-    text_words: jnp.ndarray    # uint32 [G/16, 2] interleaved (codes, valid)
-    kmer_hash: HashTable       # open-addressing (kmer -> position) table
+    text_rows: jnp.ndarray     # uint32 [NR+2, 32]: code words | valid words
+    kmer_table: BucketTable    # canonical kmer -> pos|strand<<31 bucket rows
     chrom_starts: jnp.ndarray  # int32 [C+1]
-    sj_donor_abs: jnp.ndarray  # int32 [J] absolute text coord of donor end
-    sj_acceptor_abs: jnp.ndarray  # int32 [J]
+    sj_rows: jnp.ndarray       # uint32 [J, 2]: (donor_abs, acceptor_abs)
     genome_len: int = field(metadata=dict(static=True), default=0)
     text_len: int = field(metadata=dict(static=True), default=0)
     sj_overhang: int = field(metadata=dict(static=True), default=120)
@@ -66,12 +76,15 @@ class DeviceIndex:
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
         assert len(gi.text) < 2**31, (
             "int32 position space; shard the index for >2Gb genomes")
+        sj = np.stack([gi.sj_donor_end.astype(np.uint32),
+                       gi.sj_acceptor_start.astype(np.uint32)], axis=1) \
+            if gi.n_junctions else np.zeros((0, 2), np.uint32)
         return DeviceIndex(
-            text_words=jnp.asarray(gi.packed_words()),
-            kmer_hash=HashTable.build(gi.kmer_keys, gi.kmer_pos),
+            text_rows=jnp.asarray(gi.packed_rows()),
+            kmer_table=BucketTable.build(gi.kmer_keys, gi.kmer_pos,
+                                         entries=MAX_HITS_PER_SEED, fields=2),
             chrom_starts=jnp.asarray(gi.chrom_starts.astype(np.int32)),
-            sj_donor_abs=jnp.asarray(gi.sj_donor_end.astype(np.int32)),
-            sj_acceptor_abs=jnp.asarray(gi.sj_acceptor_start.astype(np.int32)),
+            sj_rows=jnp.asarray(sj),
             genome_len=int(gi.genome_len),
             text_len=len(gi.text),
             sj_overhang=int(gi.sj_overhang),
@@ -96,71 +109,47 @@ def _window_valid(mask: jnp.ndarray, k: int) -> jnp.ndarray:
     return (cs[:, k:] - cs[:, :-k]) == k
 
 
+def make_window_fetch(idx: "DeviceIndex", width: int):
+    """Build fetch(idx, pos) -> (codes uint8 [..., width], valid bool).
 
-
-def make_aligner(idx: DeviceIndex, read_len: int,
-                 score_min: int = DEFAULT_ALIGN_SCORE_MIN,
-                 sw_rescue: bool = True, bind: bool = True):
-    """Build the jitted batch alignment function for a static read length.
-
-    sw_rescue: run the banded Smith-Waterman Pallas kernel on each read's
-    best candidate window; reads whose gapped score clears `score_min` are
-    rescued even when the ungapped pass fell short (indels), and the gapped
-    score/end are reported for CIGAR refinement.
-    """
-    k = idx.k
-    L = read_len
-    seed_offsets = np.arange(0, L - k + 1, SEED_STRIDE, dtype=np.int32)
-    S = len(seed_offsets)
-    H = MAX_HITS_PER_SEED
-    D = MAX_CANDIDATES
+    Two 128-byte text-row gathers cover any <=128-base window; the window
+    is then cut out IN REGISTERS: a log-shift select picks the word run and
+    variable-shift word arithmetic lands the unpack exactly at pos. Row
+    fetches are the only HBM cost (~2 x 40ns per window)."""
+    assert width <= 128
+    n_words = (width + 15) // 16 + 1
+    NR = int(idx.text_rows.shape[0])
     G = int(idx.text_len)
-    NW = int(idx.text_words.shape[0])
-    WIN_WORDS = (L + 15) // 16 + 1
-    BIG = jnp.int32(2**31 - 1)
 
-    contig_len = 2 * idx.sj_overhang
-
-    def canonical_pos(idx, pos):
-        """Map a text position to its genomic-equivalent absolute coordinate
-        for distinct-locus counting: positions inside a junction contig's
-        donor flank map to the same genomic coordinate as the direct genomic
-        alignment, so an unspliced read hitting both is one locus."""
-        if idx.sj_donor_abs.shape[0] == 0:
-            return pos
-        in_sj = pos >= idx.genome_len
-        j = jnp.where(in_sj, (pos - idx.genome_len) // contig_len, 0)
-        off = jnp.where(in_sj, (pos - idx.genome_len) % contig_len, 0)
-        donor_start = idx.sj_donor_abs[j] - idx.sj_overhang
-        acc = idx.sj_acceptor_abs[j]
-        canon_sj = jnp.where(off < idx.sj_overhang,
-                             donor_start + off,
-                             acc + off - idx.sj_overhang)
-        return jnp.where(in_sj, canon_sj, pos)
-
-    def gather_windows(idx, pos, width=None):
-        """pos int32 [...,] -> (codes uint8 [..., width], valid bool).
-
-        Packed-word gathers + VARIABLE-SHIFT word realignment: aligned word
-        j = (w[j] << 2*(pos&15)) | (w[j+1] >> 32-2*(pos&15)), so the unpack
-        lands exactly at pos with no per-base take_along_axis (which costs
-        ~12x more than the gather itself on TPU — a [B,D,112]->[B,D,91]
-        gather is scalar-ish HBM traffic, shifts are pure VPU)."""
-        width = width or L
-        n_words = (width + 15) // 16 + 1
-        w0 = pos >> 4
+    def fetch(idx, pos):
         extra = (1,) * pos.ndim
-        widx = jnp.clip(w0[..., None] + jnp.arange(n_words).reshape(*extra, -1),
-                        0, NW - 1)
-        both = idx.text_words[widx]         # [..., n_words, 2] one gather
-        words = both[..., 0]
-        vwords = both[..., 1]
+        w0 = pos >> 4                      # first word index
+        r = w0 >> 4                        # row = 16 words
+        rows_a = idx.text_rows[jnp.minimum(r, NR - 2)]       # [..., 32]
+        rows_b = idx.text_rows[jnp.minimum(r + 1, NR - 1)]
+        codes32 = jnp.concatenate([rows_a[..., :16], rows_b[..., :16]], -1)
+        valid32 = jnp.concatenate([rows_a[..., 16:], rows_b[..., 16:]], -1)
 
+        # select n_words starting at word offset s via log-shift (pure VPU)
+        s = w0 & 15
+
+        def shift_sel(arr):
+            for b in (8, 4, 2, 1):
+                cond = (s & b) > 0
+                shifted = jnp.concatenate([arr[..., b:], arr[..., -b:]], -1)
+                arr = jnp.where(cond[..., None], shifted, arr)
+            return arr[..., :n_words]
+
+        words = shift_sel(codes32)
+        vwords = shift_sel(valid32)
+
+        # variable-shift word realignment: aligned word j =
+        # (w[j] << 2*(pos&15)) | (w[j+1] >> 32-2*(pos&15))
         off2 = (2 * (pos & 15)).astype(jnp.uint32)[..., None]
         hi = words[..., :-1] << off2
         lo = jnp.where(off2 == 0, jnp.uint32(0),
                        words[..., 1:] >> jnp.minimum(32 - off2, 31))
-        aligned = hi | lo                    # [..., n_words-1], starts at pos
+        aligned = hi | lo
         off1 = ((pos & 15).astype(jnp.uint32))[..., None]
         vhi = (vwords[..., :-1] << off1) & jnp.uint32(0xFFFF)
         vlo = jnp.where(off1 == 0, jnp.uint32(0),
@@ -173,58 +162,46 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         valid16 = ((valigned[..., None] >> vshifts) & 1).astype(jnp.bool_)
         win = codes16.reshape(*pos.shape, (n_words - 1) * 16)[..., :width]
         wok = valid16.reshape(*pos.shape, (n_words - 1) * 16)[..., :width]
-        in_bounds = (pos[..., None] + jnp.arange(width).reshape(*extra, -1)) < G
+        in_bounds = (pos[..., None]
+                     + jnp.arange(width).reshape(*extra, -1)) < G
         return win, wok & in_bounds
 
-    def align_strand(idx, codes, basemask):
-        """codes [B, L] one strand; returns candidate (pos, score, start, len)
-        arrays [B, D]."""
-        B = codes.shape[0]
-        kms = _rolling_kmers(codes, k)            # [B, L-k+1]
-        kvalid = _window_valid(basemask, k)       # [B, L-k+1]
-        km = kms[:, seed_offsets]                 # [B, S]
-        kv = kvalid[:, seed_offsets]
+    return fetch
 
-        # one contiguous PROBE-window gather per seed (ops.hash_index)
-        probe_hit, hit_pos = idx.kmer_hash.lookup(km, probe=H)  # [B, S, H]
-        hit_ok = probe_hit & kv[:, :, None]
-        diag = hit_pos.astype(jnp.int32) - seed_offsets[None, :, None]
-        diag = jnp.where(hit_ok & (diag >= 0), diag, BIG)    # [B, S, H]
 
-        flat = jnp.sort(diag.reshape(B, S * H), axis=1)      # [B, S*H]
-        # run-length votes via prefix scans (no searchsorted)
-        M = S * H
-        pos_i = jnp.arange(M, dtype=jnp.int32)[None, :]
-        new_run = jnp.concatenate(
-            [jnp.ones((B, 1), bool), flat[:, 1:] != flat[:, :-1]], axis=1)
-        run_start = jax.lax.cummax(jnp.where(new_run, pos_i, 0), axis=1)
-        run_end = -jax.lax.cummax(
-            jnp.where(jnp.concatenate(
-                [new_run[:, 1:], jnp.ones((B, 1), bool)], axis=1),
-                -pos_i, -(M - 1)), axis=1, reverse=True)
-        votes = jnp.where(new_run & (flat != BIG),
-                          run_end - run_start + 1, 0)
-        top_votes, top_i = jax.lax.top_k(votes, D)           # [B, D]
-        cand_pos = jnp.take_along_axis(flat, top_i, axis=1)  # [B, D]
-        cand_ok = top_votes > 0
+def make_aligner(idx: DeviceIndex, read_len: int,
+                 score_min: int = DEFAULT_ALIGN_SCORE_MIN,
+                 sw_rescue: bool = True, bind: bool = True):
+    """Build the jitted batch alignment function for a static read length."""
+    k = idx.k
+    L = read_len
+    seed_offsets = np.arange(0, L - k + 1, SEED_STRIDE, dtype=np.int32)
+    S = len(seed_offsets)
+    H = MAX_HITS_PER_SEED * idx.kmer_table.probe_rows
+    D = MAX_CANDIDATES
+    BIGK = jnp.uint32(0xFFFFFFFF)
+    BIG = jnp.int32(2**31 - 1)
+    n_sj = int(idx.sj_rows.shape[0])
 
-        # --- ungapped local extension (Kadane via prefix scans) ---
-        win, wok = gather_windows(idx, jnp.where(cand_ok, cand_pos, 0))
-        m = (win == codes[:, None, :]) & wok & basemask[:, None, :]
-        active = basemask[:, None, :] & wok
-        contrib = jnp.where(active, jnp.where(m, 1, -1), 0).astype(jnp.int32)
-        cs = jnp.cumsum(contrib, axis=2)
-        pref = jnp.pad(cs, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
-        run_min = jax.lax.cummax(-pref, axis=2)   # = -min prefix
-        best_at = cs + run_min                    # [B, D, L] best sum ending at i
-        score = jnp.max(best_at, axis=2)          # [B, D]
-        end_i = jnp.argmax(best_at, axis=2)       # inclusive end index
-        li = jnp.arange(L, dtype=jnp.int32)[None, None, :]
-        pref_masked = jnp.where(li <= end_i[:, :, None], pref, BIG)
-        start_i = jnp.argmin(pref_masked, axis=2)
-        aln_len = end_i - start_i + 1
-        score = jnp.where(cand_ok, score, -BIG)
-        return cand_pos, score, start_i.astype(jnp.int32), aln_len.astype(jnp.int32)
+    contig_len = 2 * idx.sj_overhang
+    fetch_win = make_window_fetch(idx, L)
+
+    def canonical_pos(idx, pos):
+        """Map a text position to its genomic-equivalent absolute coordinate
+        for distinct-locus counting: positions inside a junction contig's
+        donor flank map to the same genomic coordinate as the direct genomic
+        alignment, so an unspliced read hitting both is one locus."""
+        if n_sj == 0:
+            return pos
+        in_sj = pos >= idx.genome_len
+        j = jnp.where(in_sj, (pos - idx.genome_len) // contig_len, 0)
+        row = idx.sj_rows[j].astype(jnp.int32)      # [..., 2] one gather
+        off = jnp.where(in_sj, (pos - idx.genome_len) % contig_len, 0)
+        donor_start = row[..., 0] - idx.sj_overhang
+        canon_sj = jnp.where(off < idx.sj_overhang,
+                             donor_start + off,
+                             row[..., 1] + off - idx.sj_overhang)
+        return jnp.where(in_sj, canon_sj, pos)
 
     @jax.jit
     def align_batch_impl(idx, rna, nmask):
@@ -235,61 +212,126 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         rc = (3 - rna[:, ::-1]).astype(jnp.uint8)
         rc_mask = nmask[:, ::-1]
 
-        # both strands as ONE [2B] batch: better fusion and one kernel chain
-        both = jnp.concatenate([rna, rc], axis=0)
-        bmask = jnp.concatenate([nmask, rc_mask], axis=0)
-        pos2, sc2, st2, ln2 = align_strand(idx, both, bmask)      # [2B, D]
+        # ---- canonical seed lookup: ONE row gather per seed ----
+        kms = _rolling_kmers(rna, k)                 # [B, L-k+1]
+        kvalid = _window_valid(nmask, k)
+        km = kms[:, seed_offsets]                    # [B, S]
+        kv = kvalid[:, seed_offsets]
+        kmr = revcomp_packed(km, k)
+        flip = kmr < km
+        canon = jnp.where(flip, kmr, km)
+        hit, val = idx.kmer_table.lookup(canon)      # [B, S, H]
+        hit = hit & kv[:, :, None]
+        pos_h = (val & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        sbit = (val >> jnp.uint32(31)).astype(jnp.int32)
+        strand_h = sbit ^ flip[:, :, None].astype(jnp.int32)  # 0 fwd / 1 rc
+        off = seed_offsets[None, :, None]
+        diag = pos_h - jnp.where(strand_h == 0, off, L - k - off)
+        ok = hit & (diag >= 0)
+        key = diag.astype(jnp.uint32) | (strand_h.astype(jnp.uint32) << 31)
+        key = jnp.where(ok, key, BIGK)               # [B, S, H]
 
-        pos = jnp.concatenate([pos2[:B], pos2[B:]], axis=1)  # [B, 2D]
-        score = jnp.concatenate([sc2[:B], sc2[B:]], axis=1)
-        start = jnp.concatenate([st2[:B], st2[B:]], axis=1)
-        alen = jnp.concatenate([ln2[:B], ln2[B:]], axis=1)
-        strand = jnp.concatenate(
-            [jnp.zeros((B, D), jnp.int32), jnp.ones((B, D), jnp.int32)], axis=1)
+        # ---- diagonal voting via sort + run-length scan ----
+        M = S * H
+        flat = jnp.sort(key.reshape(B, M), axis=1)
+        pos_i = jnp.arange(M, dtype=jnp.int32)[None, :]
+        new_run = jnp.concatenate(
+            [jnp.ones((B, 1), bool), flat[:, 1:] != flat[:, :-1]], axis=1)
+        run_start = jax.lax.cummax(jnp.where(new_run, pos_i, 0), axis=1)
+        run_end = -jax.lax.cummax(
+            jnp.where(jnp.concatenate(
+                [new_run[:, 1:], jnp.ones((B, 1), bool)], axis=1),
+                -pos_i, -(M - 1)), axis=1, reverse=True)
+        votes = jnp.where(new_run & (flat != BIGK),
+                          run_end - run_start + 1, 0)
+        top_votes, top_i = jax.lax.top_k(votes, D)           # [B, D]
+        cand_key = jnp.take_along_axis(flat, top_i, axis=1)  # [B, D]
+        cand_ok = top_votes > 0
+        cand_pos = (cand_key & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        cand_strand = (cand_key >> jnp.uint32(31)).astype(jnp.int32)
 
+        # ---- ungapped local extension (Kadane via prefix scans) ----
+        codes_d = jnp.where(cand_strand[:, :, None] == 1,
+                            rc[:, None, :], rna[:, None, :])   # [B, D, L]
+        mask_d = jnp.where(cand_strand[:, :, None] == 1,
+                           rc_mask[:, None, :], nmask[:, None, :])
+        win, wok = fetch_win(idx, jnp.where(cand_ok, cand_pos, 0))
+        m = (win == codes_d) & wok & mask_d
+        active = mask_d & wok
+        contrib = jnp.where(active, jnp.where(m, 1, -1), 0).astype(jnp.int32)
+        cs = jnp.cumsum(contrib, axis=2)
+        pref = jnp.pad(cs, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+        run_min = jax.lax.cummax(-pref, axis=2)   # = -min prefix
+        best_at = cs + run_min                    # [B, D, L] best sum ending at i
+        score = jnp.max(best_at, axis=2)          # [B, D]
+        end_i = jnp.argmax(best_at, axis=2)       # inclusive end index
+        li = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+        pref_masked = jnp.where(li <= end_i[:, :, None], pref, BIG)
+        start_i = jnp.argmin(pref_masked, axis=2)
+        aln_len = (end_i - start_i + 1).astype(jnp.int32)
+        start_i = start_i.astype(jnp.int32)
+        score = jnp.where(cand_ok, score, -BIG)
+
+        # ---- distinct-locus counting + deterministic pick ----
         best_score = jnp.max(score, axis=1)                  # [B]
         is_best = score == best_score[:, None]
-        canon = canonical_pos(idx, jnp.where(pos == BIG, 0, pos)) + start
-        canon = jnp.where(is_best & (score > -BIG), canon, BIG)
-        canon_sorted = jnp.sort(canon, axis=1)
+        canon = canonical_pos(idx, jnp.where(cand_ok, cand_pos, 0)) + start_i
+        ckey = ((canon.astype(jnp.uint32) << 1)
+                | cand_strand.astype(jnp.uint32))
+        ckey = jnp.where(is_best & (score > -BIG), ckey, BIGK)
+        ckey_sorted = jnp.sort(ckey, axis=1)
         distinct = jnp.concatenate(
             [jnp.ones((B, 1), bool),
-             canon_sorted[:, 1:] != canon_sorted[:, :-1]], axis=1)
-        n_best = jnp.sum(jnp.where(distinct & (canon_sorted != BIG), 1, 0), axis=1)
+             ckey_sorted[:, 1:] != ckey_sorted[:, :-1]], axis=1)
+        n_best = jnp.sum(
+            jnp.where(distinct & (ckey_sorted != BIGK), 1, 0), axis=1)
 
         # deterministic pick among ties: smallest (canon, strand) — stable
-        order_key = canon * 2 + strand
-        order_key = jnp.where(is_best, order_key, BIG)
-        pick = jnp.argmin(order_key, axis=1)
+        pick = jnp.argmin(ckey, axis=1)
         take = lambda a: jnp.take_along_axis(a, pick[:, None], axis=1)[:, 0]
 
-        best_pos = take(pos)
-        best_strand = take(strand)
+        best_pos = take(cand_pos)
+        best_strand = take(cand_strand)
         # second-best DISTINCT locus (for multimapper gene promotion,
         # read.rs:117-149): smallest (canon, strand) among best-scoring
         # candidates at a different canonical position
-        canon_best = jnp.take_along_axis(canon, pick[:, None], axis=1)
-        order_key2 = jnp.where(is_best & (canon != canon_best), order_key, BIG)
-        pick2 = jnp.argmin(order_key2, axis=1)
+        ckey_best = jnp.take_along_axis(ckey, pick[:, None], axis=1)
+        ckey2 = jnp.where(ckey != ckey_best, ckey, BIGK)
+        pick2 = jnp.argmin(ckey2, axis=1)
         take2 = lambda a: jnp.take_along_axis(a, pick2[:, None], axis=1)[:, 0]
         out = dict(
             pos=best_pos, strand=best_strand, score=best_score,
-            aln_start=take(start), aln_len=take(alen), n_best=n_best,
-            pos2=take2(pos), strand2=take2(strand),
-            aln_start2=take2(start), aln_len2=take2(alen),
-            has_second=take2(order_key2) < BIG,
+            aln_start=take(start_i), aln_len=take(aln_len), n_best=n_best,
+            pos2=take2(cand_pos), strand2=take2(cand_strand),
+            aln_start2=take2(start_i), aln_len2=take2(aln_len),
+            has_second=take2(ckey2) != BIGK,
         )
 
         if sw_rescue:
+            # gapped rescue ONLY for reads whose ungapped score missed the
+            # floor but that do have a candidate locus (indel suspects) —
+            # compacted to a fixed capacity, scattered back
             from .sw import BAND, banded_sw
-            codes_b = jnp.where(best_strand[:, None] == 1, rc, rna)
-            mask_b = jnp.where(best_strand[:, None] == 1, rc_mask, nmask)
-            win_start = jnp.maximum(best_pos - BAND // 2, 0)
-            win, wok = gather_windows(idx, win_start, width=L + BAND)
-            sw_score, sw_ei, sw_ed = banded_sw(codes_b, mask_b, win, wok)
+            C = max(B // RESCUE_CAP_FRAC, 1)
+            # indel suspects: the ungapped score can't explain the read
+            # (mismatch-only reads score ~valid_len - 2*errors and their
+            # gapped score equals the ungapped one — nothing to refine)
+            valid_len = jnp.sum(nmask.astype(jnp.int32), axis=1)
+            need = (best_score < valid_len - RESCUE_MARGIN) & (best_score > -BIG)
+            sel = jnp.nonzero(need, size=C, fill_value=B)[0]   # B = OOB drop
+            codes_b = jnp.where(best_strand[:, None] == 1, rc, rna)[
+                jnp.minimum(sel, B - 1)]
+            mask_b = jnp.where(best_strand[:, None] == 1, rc_mask, nmask)[
+                jnp.minimum(sel, B - 1)]
+            win_start = jnp.maximum(best_pos - BAND // 2, 0)[
+                jnp.minimum(sel, B - 1)]
+            fetch_sw = make_window_fetch(idx, L + BAND)
+            win_s, wok_s = fetch_sw(idx, win_start)
+            sw_score_c, _, _ = banded_sw(codes_b, mask_b, win_s, wok_s)
+            sw_score = jnp.zeros((B,), jnp.int32).at[sel].set(
+                sw_score_c, mode="drop")
             eff_score = jnp.maximum(best_score, sw_score)
-            out.update(sw_score=sw_score, sw_end_i=sw_ei, sw_end_d=sw_ed,
-                       sw_win_start=win_start)
+            out["sw_score"] = sw_score
         else:
             eff_score = best_score
 

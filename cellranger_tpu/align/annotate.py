@@ -15,11 +15,15 @@ Semantics matched:
     confidently mapped to the transcriptome when MAPQ==255 and exactly one
     distinct gene (read.rs:129).
 
-Device formulation: no per-read transcript loops — a read probes the sorted
-exon/transcript interval tables with binary search and examines a static
-window of W neighbors (vectorized gather + masked reduction). Reads aligned
-to junction contigs take a precomputed per-junction gene/strand (their exonic
-status is implied by construction of the contig).
+Device formulation, driven by the row-gather cost model (tools/row_bench.py:
+~40ns per random row regardless of width): no binary searches — a
+precomputed 128-base GRID maps a read's end coordinate straight to its
+window position in the exon table (1 small gather), and the window itself
+is TWO 128-byte row fetches of 8 packed exons each (start/end/meta columnar
+per row). Interval tables are deduplicated (identical exon spans across
+isoforms collapse), so 16 windowed exons cover loci that the per-transcript
+table needed 50+ rows for. Junction-contig alignments take one row from a
+per-junction (gene, strand) table.
 """
 
 from __future__ import annotations
@@ -36,8 +40,8 @@ from ..constants import REGION_MIN_OVERLAP
 from ..io.gtf import Transcriptome
 from .index import GenomeIndex
 
-EXON_WINDOW = 16    # sorted-neighbor exons examined per read
-TX_WINDOW = 8       # sorted-neighbor transcripts examined per read
+GRID_SHIFT = 7       # 128-base annotation grid bins
+ROW_E = 8            # exons per packed table row
 
 REGION_EXONIC = 0
 REGION_INTRONIC = 1
@@ -46,6 +50,37 @@ REGION_INTERGENIC = 2
 GENE_NONE = -1
 GENE_MULTI = -2
 
+_INT32_MAX = np.int32(2**31 - 1)
+
+
+def _pack_interval_rows(start, end, gene, strand):
+    """Sorted interval table -> ([R+2, 32] uint32 rows of 8 packed
+    intervals: start*8 | end*8 | meta*8 | pad, with meta = gene|strand<<30,
+    grid int32 [GB]) is built separately. Pad entries: start=INT32_MAX
+    (never < e), end=0 (never > s)."""
+    n = len(start)
+    R = (n + ROW_E - 1) // ROW_E + 2
+    rows = np.zeros((R, 4 * ROW_E), np.uint32)
+    rows[:, :ROW_E] = np.uint32(_INT32_MAX)
+    flat_s = np.full(R * ROW_E, _INT32_MAX, np.int32)
+    flat_e = np.zeros(R * ROW_E, np.int32)
+    flat_m = np.zeros(R * ROW_E, np.int32)
+    flat_s[:n] = start
+    flat_e[:n] = end
+    flat_m[:n] = gene | (strand.astype(np.int32) << 30)
+    rows[:, :ROW_E] = flat_s.reshape(R, ROW_E).astype(np.uint32)
+    rows[:, ROW_E:2 * ROW_E] = flat_e.reshape(R, ROW_E).astype(np.uint32)
+    rows[:, 2 * ROW_E:3 * ROW_E] = flat_m.reshape(R, ROW_E).astype(np.uint32)
+    return rows
+
+
+def _build_grid(starts: np.ndarray, text_span: int) -> np.ndarray:
+    """grid[g] = count of intervals with start < (g+1)*BIN — an upper bound
+    of the true window position for any query end inside bin g."""
+    gb = (text_span >> GRID_SHIFT) + 2
+    bin_ends = (np.arange(gb, dtype=np.int64) + 1) << GRID_SHIFT
+    return np.searchsorted(starts, bin_ends, side="left").astype(np.int32)
+
 
 @register_dataclass
 @dataclass(frozen=True)
@@ -53,27 +88,17 @@ class AnnotationIndex:
     """Device arrays for annotation (absolute text coordinates).
     A jax pytree: arrays pass through jit as arguments (n_genes static)."""
 
-    # exons sorted by start
-    ex_start: jnp.ndarray   # int32 [E]
-    ex_end: jnp.ndarray     # int32 [E]
-    ex_gene: jnp.ndarray    # int32 [E]
-    ex_strand: jnp.ndarray  # int32 [E] 0=+ 1=-
-    ex_cummax_end: jnp.ndarray  # int32 [E] running max of ex_end
-    # transcripts sorted by start
-    tx_start: jnp.ndarray
-    tx_end: jnp.ndarray
-    tx_gene: jnp.ndarray
-    tx_strand: jnp.ndarray
-    tx_cummax_end: jnp.ndarray
-    # junction contig annotation
-    sj_gene: jnp.ndarray    # int32 [J] gene id or GENE_MULTI
-    sj_strand: jnp.ndarray  # int32 [J]
+    ex_rows: jnp.ndarray    # uint32 [XR+2, 32] packed dedup'd exons
+    ex_grid: jnp.ndarray    # int32 [GB]
+    tx_rows: jnp.ndarray    # uint32 [TR+2, 32] packed dedup'd tx spans
+    tx_grid: jnp.ndarray    # int32 [GB]
+    sj_rows: jnp.ndarray    # int32 [J, 2]: (gene or GENE_MULTI, strand)
     n_genes: int = field(metadata=dict(static=True), default=0)
 
     @staticmethod
     def build(txome: Transcriptome, gi: GenomeIndex) -> "AnnotationIndex":
         cidx = {n: i for i, n in enumerate(gi.chrom_names)}
-        exs, exe, exg, exs_strand = [], [], [], []
+        exs, exe, exg, exstr = [], [], [], []
         txs, txe, txg, txstr = [], [], [], []
         for t in txome.transcripts:
             if t.chrom not in cidx:
@@ -88,30 +113,29 @@ class AnnotationIndex:
                 exs.append(c0 + s)
                 exe.append(c0 + e)
                 exg.append(t.gene_index)
-                exs_strand.append(strand)
+                exstr.append(strand)
 
-        def sort_by_start(start, *arrs):
-            start = np.asarray(start, np.int64)
-            order = np.argsort(start, kind="stable")
-            out = [start[order].astype(np.int32)]
-            for a in arrs:
-                out.append(np.asarray(a)[order].astype(np.int32))
-            return out
+        def dedup_sort(start, end, gene, strand):
+            if not len(start):
+                z = np.zeros(0, np.int32)
+                return z, z, z, z
+            arr = np.unique(np.stack([
+                np.asarray(start, np.int64), np.asarray(end, np.int64),
+                np.asarray(gene, np.int64), np.asarray(strand, np.int64)],
+                axis=1), axis=0)
+            order = np.argsort(arr[:, 0], kind="stable")
+            arr = arr[order]
+            return (arr[:, 0].astype(np.int32), arr[:, 1].astype(np.int32),
+                    arr[:, 2].astype(np.int32), arr[:, 3].astype(np.int32))
 
-        ex_start, ex_end, ex_gene, ex_strand = sort_by_start(exs, exe, exg, exs_strand)
-        tx_start, tx_end, tx_gene, tx_strand = sort_by_start(txs, txe, txg, txstr)
-        ex_cummax = np.maximum.accumulate(ex_end) if len(ex_end) else ex_end
-        tx_cummax = np.maximum.accumulate(tx_end) if len(tx_end) else tx_end
+        ex_start, ex_end, ex_gene, ex_strand = dedup_sort(exs, exe, exg, exstr)
+        tx_start, tx_end, tx_gene, tx_strand = dedup_sort(txs, txe, txg, txstr)
+        span = int(gi.genome_len)
 
         # junction annotation: distinct genes/strands of transcripts sharing it
-        sj_keys = sorted(txome.junctions().items())
         j_gene, j_strand = [], []
         txl = txome.transcripts
-        kept = {(gi.chrom_names[gi.sj_chrom[i]],
-                 int(gi.sj_donor_end[i] - gi.chrom_starts[gi.sj_chrom[i]]),
-                 int(gi.sj_acceptor_start[i] - gi.chrom_starts[gi.sj_chrom[i]]))
-                for i in range(gi.n_junctions)}
-        by_key = {k: v for k, v in sj_keys}
+        by_key = dict(sorted(txome.junctions().items()))
         for i in range(gi.n_junctions):
             key = (gi.chrom_names[gi.sj_chrom[i]],
                    int(gi.sj_donor_end[i] - gi.chrom_starts[gi.sj_chrom[i]]),
@@ -121,42 +145,52 @@ class AnnotationIndex:
             strands = {txl[t].strand for t in tids}
             j_gene.append(genes.pop() if len(genes) == 1 else GENE_MULTI)
             j_strand.append(0 if strands == {"+"} else (1 if strands == {"-"} else 0))
+        sj = np.stack([np.asarray(j_gene, np.int32),
+                       np.asarray(j_strand, np.int32)], axis=1) \
+            if j_gene else np.zeros((0, 2), np.int32)
 
         return AnnotationIndex(
-            ex_start=jnp.asarray(ex_start), ex_end=jnp.asarray(ex_end),
-            ex_gene=jnp.asarray(ex_gene), ex_strand=jnp.asarray(ex_strand),
-            ex_cummax_end=jnp.asarray(ex_cummax),
-            tx_start=jnp.asarray(tx_start), tx_end=jnp.asarray(tx_end),
-            tx_gene=jnp.asarray(tx_gene), tx_strand=jnp.asarray(tx_strand),
-            tx_cummax_end=jnp.asarray(tx_cummax),
-            sj_gene=jnp.asarray(np.asarray(j_gene, np.int32)),
-            sj_strand=jnp.asarray(np.asarray(j_strand, np.int32)),
+            ex_rows=jnp.asarray(_pack_interval_rows(
+                ex_start, ex_end, ex_gene, ex_strand)),
+            ex_grid=jnp.asarray(_build_grid(ex_start, span)),
+            tx_rows=jnp.asarray(_pack_interval_rows(
+                tx_start, tx_end, tx_gene, tx_strand)),
+            tx_grid=jnp.asarray(_build_grid(tx_start, span)),
+            sj_rows=jnp.asarray(sj),
             n_genes=len(txome.genes),
         )
 
 
-def _window_hits(starts, ends, cummax_end, s, e, W):
-    """For query intervals [s,e): indices [B,W] of the last W table rows with
-    start < e, plus overlap validity (end > s and the row actually overlaps)."""
-    B = s.shape[0]
-    N = starts.shape[0]
-    hi = jnp.searchsorted(starts, e - 1, side="right")  # rows with start < e
-    w = jnp.arange(W, dtype=jnp.int32)
-    idx = hi[:, None] - 1 - w[None, :]                  # scan back
-    ok = idx >= 0
-    idx_c = jnp.clip(idx, 0, max(N - 1, 0))
-    ov = ok & (ends[idx_c] > s[:, None])
-    # stop early: if cummax_end at idx already < s, no further-left row overlaps
-    reachable = ok & (cummax_end[idx_c] > s[:, None])
-    return idx_c, ov & reachable
+def _window_fetch(rows, grid, s, e):
+    """Query intervals [s,e): returns (start, end, gene, strand, valid) each
+    [B, 2*ROW_E] — the last <=16 table intervals with start < e that
+    overlap [s,e). Three row gathers total (grid + two packed rows)."""
+    GB = grid.shape[0]
+    hi = grid[jnp.clip(e >> GRID_SHIFT, 0, GB - 1)]     # upper-bound window
+    r = hi >> 3
+    ra = rows[jnp.maximum(r - 1, 0)]                    # [B, 32]
+    rb = rows[r]
+    starts = jnp.concatenate([ra[:, :ROW_E], rb[:, :ROW_E]], -1).astype(jnp.int32)
+    ends = jnp.concatenate(
+        [ra[:, ROW_E:2 * ROW_E], rb[:, ROW_E:2 * ROW_E]], -1).astype(jnp.int32)
+    meta = jnp.concatenate(
+        [ra[:, 2 * ROW_E:3 * ROW_E], rb[:, 2 * ROW_E:3 * ROW_E]], -1).astype(jnp.int32)
+    j = jnp.arange(2 * ROW_E, dtype=jnp.int32)[None, :]
+    eidx = (r[:, None] - 1) * ROW_E + j                 # global interval idx
+    ok = (eidx >= 0) & (eidx < hi[:, None]) \
+        & (starts < e[:, None]) & (ends > s[:, None])
+    gene = meta & ((1 << 30) - 1)
+    strand = (meta >> 30) & 1
+    return starts, ends, gene, strand, ok
 
 
 def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
                    chemistry_strandedness: str = "+", bind: bool = True):
     """Build jitted annotate(pos, aln_len, strand, mapq, mapped) -> dict."""
     contig_len = 2 * sj_overhang
-    n_sj = int(ann.sj_gene.shape[0])
+    n_sj = int(ann.sj_rows.shape[0])
     flip = 0 if chemistry_strandedness == "+" else 1
+    W = 2 * ROW_E
 
     @jax.jit
     def annotate_impl(ann, pos, aln_len, strand, mapq, mapped):
@@ -166,35 +200,26 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
         alen = aln_len
 
         # ---- genomic alignments: exon window probe ----
-        if ann.ex_start.shape[0] > 0:
-            eidx, eov = _window_hits(ann.ex_start, ann.ex_end, ann.ex_cummax_end,
-                                     s, e, EXON_WINDOW)
-            ov_len = (jnp.minimum(ann.ex_end[eidx], e[:, None])
-                      - jnp.maximum(ann.ex_start[eidx], s[:, None]))
-            exonic_hit = eov & (ov_len.astype(jnp.float32)
-                                >= REGION_MIN_OVERLAP * alen[:, None].astype(jnp.float32))
-            # sense: antisense iff (read_strand != tx_strand) xor chem'-'
-            ex_sense = (ann.ex_strand[eidx] == strand[:, None]) ^ (flip == 1)
-            exonic_sense = exonic_hit & ex_sense
-            any_exonic = exonic_hit.any(axis=1)
-            ex_genes = jnp.where(exonic_sense, ann.ex_gene[eidx], GENE_NONE)
-        else:
-            any_exonic = jnp.zeros(B, bool)
-            ex_genes = jnp.full((B, EXON_WINDOW), GENE_NONE, jnp.int32)
+        ex_s, ex_e, ex_g, ex_str, eov = _window_fetch(
+            ann.ex_rows, ann.ex_grid, s, e)
+        ov_len = (jnp.minimum(ex_e, e[:, None])
+                  - jnp.maximum(ex_s, s[:, None]))
+        exonic_hit = eov & (ov_len.astype(jnp.float32)
+                            >= REGION_MIN_OVERLAP * alen[:, None].astype(jnp.float32))
+        # sense: antisense iff (read_strand != tx_strand) xor chem'-'
+        ex_sense = (ex_str == strand[:, None]) ^ (flip == 1)
+        exonic_sense = exonic_hit & ex_sense
+        any_exonic = exonic_hit.any(axis=1)
+        ex_genes = jnp.where(exonic_sense, ex_g, GENE_NONE)
 
-        if ann.tx_start.shape[0] > 0:
-            tidx, tov = _window_hits(ann.tx_start, ann.tx_end, ann.tx_cummax_end,
-                                     s, e, TX_WINDOW)
-            tx_sense = (ann.tx_strand[tidx] == strand[:, None]) ^ (flip == 1)
-            # intronic requires full containment in the transcript span
-            # (transcript.rs:462-463 get_overlap >= 1.0)
-            intronic_hit = tov & (ann.tx_start[tidx] <= s[:, None]) \
-                & (ann.tx_end[tidx] >= e[:, None])
-            any_intronic = intronic_hit.any(axis=1)
-            in_genes = jnp.where(intronic_hit & tx_sense, ann.tx_gene[tidx], GENE_NONE)
-        else:
-            any_intronic = jnp.zeros(B, bool)
-            in_genes = jnp.full((B, TX_WINDOW), GENE_NONE, jnp.int32)
+        tx_s, tx_e, tx_g, tx_str2, tov = _window_fetch(
+            ann.tx_rows, ann.tx_grid, s, e)
+        tx_sense = (tx_str2 == strand[:, None]) ^ (flip == 1)
+        # intronic requires full containment in the transcript span
+        # (transcript.rs:462-463 get_overlap >= 1.0)
+        intronic_hit = tov & (tx_s <= s[:, None]) & (tx_e >= e[:, None])
+        any_intronic = intronic_hit.any(axis=1)
+        in_genes = jnp.where(intronic_hit & tx_sense, tx_g, GENE_NONE)
 
         # Gene priority (transcript.rs:376-404): transcriptomic (exonic) sense
         # genes win; intronic sense genes count only when no exonic-sense hit
@@ -210,7 +235,7 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
         distinct = jnp.concatenate(
             [jnp.ones((B, 1), bool), gs[:, 1:] != gs[:, :-1]], axis=1) & is_gene
         n_genes = distinct.sum(axis=1)
-        first_gene = jnp.max(jnp.where(is_gene, gs, GENE_NONE), axis=1)  # any gene
+        first_gene = jnp.max(jnp.where(is_gene, gs, GENE_NONE), axis=1)
         gene_genomic = jnp.where(
             n_genes == 1, first_gene, jnp.where(n_genes > 1, GENE_MULTI, GENE_NONE))
         region_genomic = jnp.where(
@@ -218,19 +243,17 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
             jnp.where(any_intronic, REGION_INTRONIC, REGION_INTERGENIC))
         # antisense flag: no sense gene but an antisense one exists
         any_sense = n_genes > 0
-        if ann.ex_start.shape[0] > 0:
-            anti_ex = (exonic_hit & ~ex_sense).any(axis=1)
-        else:
-            anti_ex = jnp.zeros(B, bool)
+        anti_ex = (exonic_hit & ~ex_sense).any(axis=1)
         antisense_genomic = ~any_sense & anti_ex
 
-        # ---- junction-contig alignments ----
+        # ---- junction-contig alignments: one row gather ----
         in_sj = pos >= gi_genome_len
         if n_sj > 0:
             j = jnp.clip(jnp.where(in_sj, (pos - gi_genome_len) // contig_len, 0),
                          0, n_sj - 1)
-            sjg = ann.sj_gene[j]
-            sj_sense = (ann.sj_strand[j] == strand) ^ (flip == 1)
+            sjr = ann.sj_rows[j]                          # [B, 2]
+            sjg = sjr[:, 0]
+            sj_sense = (sjr[:, 1] == strand) ^ (flip == 1)
             gene_sj = jnp.where(sj_sense & (sjg >= 0), sjg, GENE_NONE)
             anti_sj = ~sj_sense
         else:

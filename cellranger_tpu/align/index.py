@@ -36,7 +36,16 @@ from ..ops import encode
 
 DEFAULT_K = 16
 DEFAULT_STRIDE = 1
-INDEX_VERSION = 1
+INDEX_VERSION = 2  # v2: canonical kmer keys with strand bit in position
+
+
+def revcomp_packed_np(km: np.ndarray, k: int) -> np.ndarray:
+    """Host reverse-complement of packed 2-bit kmers (vectorized)."""
+    x = (~km.astype(np.uint64)) & np.uint64((1 << (2 * k)) - 1)
+    out = np.zeros_like(x)
+    for i in range(k):
+        out |= ((x >> np.uint64(2 * i)) & np.uint64(3)) << np.uint64(2 * (k - 1 - i))
+    return out
 
 
 @dataclass
@@ -61,26 +70,30 @@ class GenomeIndex:
     kmer_keys: np.ndarray     # uint32 [P] sorted packed kmers
     kmer_pos: np.ndarray      # uint32 [P] text position of each key (grouped by key)
 
-    def packed_words(self):
-        """Interleaved [W, 2] uint32 words: column 0 = 16 MSB-first 2-bit
-        codes, column 1 = 16-bit validity bitmask (bit 15-i for base i).
-        One contiguous gather fetches code+validity for a window (random
-        HBM access is latency-bound)."""
-        if not hasattr(self, "_words"):
+    def packed_rows(self):
+        """Genome text as 128-byte HBM rows: [NR+2, 32] uint32, columns
+        0..15 = code words (16 MSB-first 2-bit codes each), 16..31 = the
+        matching 16-bit validity masks. One row covers 256 bases; any
+        <=128-base window lives in rows (r, r+1), so a candidate window
+        costs exactly two row gathers (row fetches are the unit of HBM cost
+        regardless of width — tools/row_bench.py). Two pad rows keep r+1 in
+        bounds at the text tail."""
+        if not hasattr(self, "_rows"):
             G = len(self.text)
-            W = (G + 15) // 16
-            padded = np.zeros(W * 16, np.uint8)
+            NR = (G + 255) // 256 + 2
+            padded = np.zeros(NR * 256, np.uint8)
             padded[:G] = self.text
-            vpadded = np.zeros(W * 16, bool)
+            vpadded = np.zeros(NR * 256, bool)
             vpadded[:G] = self.text_valid
-            tw = np.zeros(W, np.uint32)
-            vw = np.zeros(W, np.uint32)
+            tw = np.zeros(NR * 16, np.uint32)
+            vw = np.zeros(NR * 16, np.uint32)
             for i in range(16):
                 tw = (tw << np.uint32(2)) | padded[i::16].astype(np.uint32)
                 vw = (vw << np.uint32(1)) | vpadded[i::16].astype(np.uint32)
-            words = np.stack([tw, vw], axis=1)
-            self._words = words
-        return self._words
+            rows = np.concatenate(
+                [tw.reshape(NR, 16), vw.reshape(NR, 16)], axis=1)
+            self._rows = rows
+        return self._rows
 
     @property
     def n_junctions(self) -> int:
@@ -236,23 +249,30 @@ class GenomeIndex:
 
 
 def _build_kmer_table(text: np.ndarray, valid: np.ndarray, k: int, stride: int):
-    """All (kmer, pos) at stride over text where all k bases are valid;
-    sorted by kmer (ties by position). Vectorized rolling pack."""
+    """All (canonical kmer, pos|strand<<31) at stride over text where all k
+    bases are valid; sorted by (key, pos). Canonical = min(kmer, revcomp):
+    ONE seed lookup then serves both read strands (the hit's strand =
+    stored bit XOR query-flipped bit), halving the per-read row-gather count
+    — the dominant cost on TPU (tools/row_bench.py)."""
     G = len(text)
     if G < k:
         return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+    assert G < 2**31, "positions carry a strand bit in bit 31"
     n = G - k + 1
     # rolling pack: kmer[p] = sum text[p+i] << 2*(k-1-i)
     km = np.zeros(n, np.uint64)
     for i in range(k):
         km = (km << np.uint64(2)) | text[i:i + n].astype(np.uint64)
-    ok = np.ones(n, bool)
     vv = valid.astype(np.uint8)
     # valid window = all k positions valid: use cumsum
     cs = np.concatenate([[0], np.cumsum(vv)])
     ok = (cs[k:] - cs[:-k]) == k
     pos = np.arange(0, n, stride, dtype=np.uint32)
     pos = pos[ok[::stride][:len(pos)]]
-    keys = km[pos].astype(np.uint32)
-    order = np.argsort(keys, kind="stable")
-    return keys[order], pos[order]
+    fwd = km[pos].astype(np.uint32)
+    rc = revcomp_packed_np(fwd, k).astype(np.uint32)
+    is_rc = rc < fwd
+    keys = np.where(is_rc, rc, fwd)
+    vals = pos | (is_rc.astype(np.uint32) << np.uint32(31))
+    order = np.lexsort((pos, keys))
+    return keys[order], vals[order]

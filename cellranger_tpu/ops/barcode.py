@@ -1,10 +1,9 @@
 """Device barcode ops: whitelist membership + posterior Hamming-1 correction.
 
 TPU-native formulation of the reference's barcode machinery:
-  * membership (barcode/src/whitelist.rs:494 check_and_update) becomes a
-    bucketed lookup (ops.lookup.SortedTable) of packed uint32 barcodes
-    against the sorted whitelist resident in HBM — a few HBM gathers per
-    read, fully batched;
+  * membership (barcode/src/whitelist.rs:494 check_and_update) becomes ONE
+    bucket-row gather (ops.bucket_table) of the packed uint32 barcode
+    against the whitelist resident in HBM, fully batched;
   * correction (barcode/src/corrector.rs:111-164, the `Posterior` strategy)
     becomes a dense [B, L, 3] candidate tensor: every 1-Hamming mutant is
     bc ^ (d << shift) for d in {1,2,3} in 2-bit code space, scored by
@@ -12,6 +11,11 @@ TPU-native formulation of the reference's barcode machinery:
     best/total >= 0.975 (corrector.rs:83). Ties on likelihood resolve to the
     lexicographically larger barcode, matching the reference's
     max((likelihood, bc)) tuple ordering (corrector.rs:144-148).
+    The whitelist's observed-count prior is stored IN the table row
+    (BucketTable.with_counts), so each of the 48 candidate probes costs
+    exactly one row gather — the unit of HBM cost (tools/row_bench.py).
+    Callers compact the batch to invalid-barcode reads first
+    (pipeline/count.py), so the 48-probe cost is paid only where needed.
 
 All shapes static; everything under jit.
 """
@@ -28,17 +32,17 @@ from ..constants import (
     BC_MAX_QV,
     ILLUMINA_QUAL_OFFSET,
 )
-from .hash_index import HashTable
+from .bucket_table import BucketTable
 from .lookup import SortedTable
 
 
 def whitelist_lookup(packed: jnp.ndarray, wl):
     """Membership of packed barcodes in the whitelist.
 
-    wl: HashTable (fastest), SortedTable, or a raw sorted uint32 array
-    (legacy binary search). Returns (is_member bool, index int32, -1 miss).
-    """
-    if isinstance(wl, (SortedTable, HashTable)):
+    wl: BucketTable (one row gather), SortedTable, or a raw sorted uint32
+    array (legacy binary search). Returns (is_member bool, index int32,
+    -1 miss)."""
+    if isinstance(wl, (SortedTable, BucketTable)):
         return wl.membership(packed)
     idx = jnp.searchsorted(wl, packed)
     idx_c = jnp.minimum(idx, wl.shape[0] - 1).astype(jnp.int32)
@@ -57,8 +61,7 @@ def qual_error_prob(qual: jnp.ndarray) -> jnp.ndarray:
 def correct_barcodes(
     packed: jnp.ndarray,      # uint32 [B] observed (invalid) barcodes
     quals: jnp.ndarray,       # uint8 [B, length] phred+33 quality values
-    wl: SortedTable,          # whitelist table
-    wl_counts: jnp.ndarray,   # int32/float32 [W] observed valid-bc counts
+    wl: BucketTable,          # whitelist table with counts column filled
     length: int,
 ):
     """Posterior 1-Hamming correction of a batch of non-whitelist barcodes.
@@ -74,8 +77,8 @@ def correct_barcodes(
     xor = (d[None, :] << shifts[:, None]).astype(jnp.uint32)  # [L, 3]
     cands = packed[:, None, None] ^ xor[None, :, :]  # [B, L, 3]
 
-    is_member, idx = whitelist_lookup(cands, wl)  # [B, L, 3]
-    counts = jnp.where(is_member, wl_counts[jnp.maximum(idx, 0)], 0)
+    # one row gather per candidate: membership + index + prior count
+    is_member, idx, counts = wl.membership3(cands)  # [B, L, 3]
 
     prob_edit = qual_error_prob(quals)  # [B, L]
     # Laplace smoothing: likelihood = P(err) * (count + 1), members only.

@@ -4,10 +4,10 @@ analog, cr_types/src/reference/feature_extraction.rs, as batched array ops).
 Extraction runs entirely on device: anchored patterns slice at a static
 offset; unanchored patterns locate their fixed prefix with a rolling packed
 compare (first match wins, as the reference's regex leftmost match does).
-Matching = SortedTable membership over the pattern's packed sequences, with
-optional 1-Hamming posterior correction using observed feature counts
-(the reference corrects feature barcodes against the feature whitelist the
-same way cell barcodes are corrected)."""
+Matching = one BucketTable row gather over the pattern's packed sequences,
+with 1-Hamming posterior correction using the count column (the reference
+corrects feature barcodes against the feature whitelist the same way cell
+barcodes are corrected)."""
 
 from __future__ import annotations
 
@@ -16,14 +16,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.feature_ref import CompiledPattern
-from .lookup import SortedTable
+from .bucket_table import BucketTable
 from . import barcode as bcops
 
 
-def make_feature_extractor(pattern: CompiledPattern, table: SortedTable,
+def make_feature_extractor(pattern: CompiledPattern, table: BucketTable,
                            feature_index: np.ndarray, read_len: int):
-    """Returns jitted extract(rna, nmask, rna_len, feat_counts) ->
-    dict(feature int32 [B] (-1 none), found bool, corrected bool)."""
+    """table: BucketTable (fields=3, counts filled). Returns jitted
+    extract(rna, nmask, rna_len) -> dict(feature int32 [B] (-1 none),
+    found bool, corrected bool)."""
     bc_len = pattern.bc_len
     pre = np.asarray(pattern.prefix_codes, np.int32)
     suf = np.asarray(pattern.suffix_codes, np.int32)
@@ -52,7 +53,7 @@ def make_feature_extractor(pattern: CompiledPattern, table: SortedTable,
         return jnp.where(any_hit, first + P, -1)
 
     @jax.jit
-    def extract(rna, nmask, rna_len, feat_counts):
+    def extract(rna, nmask, rna_len):
         B, L = rna.shape
         off = find_offset(rna, nmask, rna_len)
         off_ok = (off >= 0) & (off + bc_len <= rna_len)
@@ -73,8 +74,7 @@ def make_feature_extractor(pattern: CompiledPattern, table: SortedTable,
 
         hit, idx = table.membership(packed)
         corr_bc, corr_idx, corrected = bcops.correct_barcodes(
-            packed, jnp.full((B, bc_len), 70, jnp.uint8), table,
-            feat_counts, bc_len)
+            packed, jnp.full((B, bc_len), 70, jnp.uint8), table, bc_len)
         use_idx = jnp.where(hit, idx, jnp.where(corrected, corr_idx, -1))
         found = bc_ok & (use_idx >= 0)
         feature = jnp.where(found, fidx[jnp.maximum(use_idx, 0)], -1)

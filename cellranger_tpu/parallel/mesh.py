@@ -42,14 +42,14 @@ def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data"):
     whitelist arrays replicated, metrics psummed across chips."""
 
     def spmd(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
-             rna, rna_nmask, slot_valid, wl_table, wl_counts):
+             rna, rna_nmask, slot_valid, wl_table):
         out = step_fn(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
-                      rna, rna_nmask, slot_valid, wl_table, wl_counts)
+                      rna, rna_nmask, slot_valid, wl_table)
         out["metrics"] = jax.tree.map(
             lambda x: jax.lax.psum(x, axis), out["metrics"])
         return out
 
-    batch_spec = [P(axis)] * 8 + [P(None), P(None)]
+    batch_spec = [P(axis)] * 8 + [P(None)]
     out_spec = dict(
         bc_idx=P(axis), gene=P(axis), umi=P(axis), conf_ok=P(axis),
         pos=P(axis), mapq=P(axis), strand=P(axis), mapped=P(axis),
@@ -59,7 +59,7 @@ def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data"):
         metrics=jax.tree.map(lambda _: P(), dict(
             n_valid_bc=0, n_corrected=0, n_valid_umi=0, n_mapped=0,
             n_conf=0, n_exonic=0, n_intronic=0, n_intergenic=0,
-            n_antisense=0, n_usable=0)),
+            n_antisense=0, n_usable=0, n_correct_overflow=0)),
     )
     return jax.jit(jax.shard_map(
         spmd, mesh=mesh, in_specs=tuple(batch_spec), out_specs=out_spec,

@@ -42,8 +42,8 @@ from ..io.molecule_info import save_molecule_info
 from ..io.reference import ReferencePackage
 from ..io.whitelist import Whitelist
 from ..ops import barcode as bcops
+from ..ops.bucket_table import BucketTable
 from ..ops.dedup import dedup_molecules
-from ..ops.hash_index import HashTable
 from ..ops.lookup import SortedTable
 from ..ops import encode
 
@@ -96,6 +96,9 @@ class CountMetrics:
     umi_bases: int = 0
     q30_rna_bases: int = 0
     rna_bases: int = 0
+    # reads whose invalid barcode exceeded the per-batch correction
+    # capacity (left uncorrected; nonzero means raise CORRECT_CAP_FRAC)
+    correction_capacity_overflow: int = 0
 
     def to_dict(self, extra: dict | None = None) -> dict:
         d = dict(self.__dict__)
@@ -116,6 +119,10 @@ class CountMetrics:
         return d
 
 
+CORRECT_CAP_FRAC = 2   # correction capacity = batch // 2 invalid reads
+SECOND_CAP_FRAC = 4    # 2nd-locus annotation capacity = batch // 4
+
+
 def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
                chem: Chemistry, read_len: int):
     """Fused jit step: correct barcodes + align + annotate one batch.
@@ -123,7 +130,13 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
     The genome/annotation indices are BOUND AS ARGUMENTS of the returned
     closure's inner jit — large arrays captured as jit constants get
     serialized into the compile payload (pathological compile times on
-    remote-compile backends)."""
+    remote-compile backends).
+
+    Rare work is COMPACTED before it runs (jnp.nonzero with static size +
+    scatter-back): the 48-candidate posterior correction touches only
+    invalid-barcode reads, and second-locus annotation touches only 2-locus
+    reads — on real data both are small fractions, and every candidate
+    probe is a whole HBM row fetch (the unit of cost, tools/row_bench.py)."""
     align_impl = make_aligner(didx, read_len, bind=False)
     annotate_impl = make_annotator(ann_idx, didx.genome_len, didx.sj_overhang,
                                    chem.strandedness, bind=False)
@@ -131,35 +144,53 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
 
     @jax.jit
     def step_impl(didx, ann_idx, bc_packed, bc_qual, bc_exact, umi_packed,
-                  umi_valid, rna, rna_nmask, slot_valid, wl_table, wl_counts):
+                  umi_valid, rna, rna_nmask, slot_valid, wl_table):
+        B = bc_packed.shape[0]
         hit, idx = bcops.whitelist_lookup(bc_packed, wl_table)
-        corr_bc, corr_idx, corrected = bcops.correct_barcodes(
-            bc_packed, bc_qual, wl_table, wl_counts, bc_len)
+
+        # ---- compacted posterior correction of invalid barcodes ----
+        C = max(B // CORRECT_CAP_FRAC, 1)
+        invalid = ~hit & slot_valid
+        sel = jnp.nonzero(invalid, size=C, fill_value=B)[0]
+        sel_c = jnp.minimum(sel, B - 1)
+        corr_bc_c, corr_idx_c, acc_c = bcops.correct_barcodes(
+            bc_packed[sel_c], bc_qual[sel_c], wl_table, bc_len)
+        corr_bc = bc_packed.at[sel].set(
+            jnp.where(acc_c, corr_bc_c, bc_packed[sel_c]), mode="drop")
+        corr_idx = jnp.full((B,), -1, jnp.int32).at[sel].set(
+            corr_idx_c, mode="drop")
+        corrected = jnp.zeros((B,), bool).at[sel].set(acc_c, mode="drop")
+        n_correct_overflow = jnp.maximum(
+            jnp.sum(invalid.astype(jnp.int32)) - C, 0)
+
         bc_ok = (hit | corrected) & slot_valid
         bc_idx = jnp.where(hit, idx, corr_idx)
 
         aln = align_impl(didx, rna, rna_nmask)
-        # annotate best + second-best candidates as ONE batch (halves the
-        # annotate program vs two inlined calls)
-        both = annotate_impl(
-            ann_idx,
-            jnp.concatenate([aln["pos"], aln["pos2"]]),
-            jnp.concatenate([aln["aln_len"], aln["aln_len2"]]),
-            jnp.concatenate([aln["strand"], aln["strand2"]]),
-            jnp.concatenate([aln["mapq"], aln["mapq"]]),
-            jnp.concatenate([aln["mapped"], aln["mapped"]]))
-        B = aln["pos"].shape[0]
-        ann = {k: v[:B] for k, v in both.items()}
-        ann2 = {k: v[B:] for k, v in both.items()}
+        ann = annotate_impl(ann_idx, aln["pos"], aln["aln_len"],
+                            aln["strand"], aln["mapq"], aln["mapped"])
+
+        # ---- compacted second-locus annotation (2-locus reads only) ----
+        C2 = max(B // SECOND_CAP_FRAC, 1)
+        need2 = (aln["has_second"] & aln["mapped"] & (aln["n_best"] == 2)
+                 & ~ann["conf_mapped"])
+        sel2 = jnp.nonzero(need2, size=C2, fill_value=B)[0]
+        sel2_c = jnp.minimum(sel2, B - 1)
+        ann2_c = annotate_impl(
+            ann_idx, aln["pos2"][sel2_c], aln["aln_len2"][sel2_c],
+            aln["strand2"][sel2_c], jnp.full((C2,), 255, jnp.int32),
+            jnp.ones((C2,), bool))
+        g2 = jnp.full((B,), -1, jnp.int32).at[sel2].set(
+            ann2_c["gene"], mode="drop")
 
         # multimapper gene promotion (tx_annotation/src/read.rs:117-149):
         # a 2-locus read whose loci agree on a single gene (the other having
         # none) is promoted to confidently-mapped with MAPQ 255
-        g1, g2 = ann["gene"], jnp.where(aln["has_second"], ann2["gene"], -1)
+        g1 = ann["gene"]
+        g2 = jnp.where(need2, g2, -1)
         mm_gene = jnp.where((g1 >= 0) & ((g2 == g1) | (g2 == -1)), g1,
                             jnp.where((g2 >= 0) & (g1 == -1), g2, -1))
-        promoted = (aln["mapped"] & (aln["n_best"] == 2) & (mm_gene >= 0)
-                    & ~ann["conf_mapped"])
+        promoted = need2 & (mm_gene >= 0)
         gene_eff = jnp.where(promoted, mm_gene, ann["gene"])
         conf_eff = ann["conf_mapped"] | promoted
         mapq_eff = jnp.where(promoted, 255, aln["mapq"])
@@ -178,6 +209,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             n_intergenic=jnp.sum((mapped & (ann["region"] == REGION_INTERGENIC)).astype(jnp.int32)),
             n_antisense=jnp.sum((mapped & ann["antisense"]).astype(jnp.int32)),
             n_usable=jnp.sum(conf_ok.astype(jnp.int32)),
+            n_correct_overflow=n_correct_overflow,
         )
         return dict(
             bc_idx=bc_idx.astype(jnp.uint32),
@@ -265,18 +297,21 @@ def run_count(cfg: CountConfig, out_dir: str,
         features = FeatureReference(features.feature_defs
                                     + list(fb_ref.feature_defs))
         for pat, (seqs, fidx) in fb_ref.pattern_groups.items():
-            fb_extractors[pat] = (
-                make_feature_extractor(pat, SortedTable.build(seqs),
-                                       fidx, cfg.read_len),
-                jnp.ones((len(seqs),), jnp.int32))
+            ft = BucketTable.build_exact(
+                seqs, np.arange(len(seqs), dtype=np.uint32),
+                entries=8, fields=3).with_counts(np.ones(len(seqs), np.int64))
+            fb_extractors[pat] = make_feature_extractor(pat, ft, fidx,
+                                                        cfg.read_len)
 
     libraries = cfg.libraries or [LibraryDef(cfg.fastq_pairs, "Gene Expression")]
     step = (None if probe_set is not None
             else _make_step(didx, ann_idx, whitelist.size, chem, cfg.read_len))
-    # whitelist as a sparse hash table: ONE interleaved 2-slot window per
-    # membership probe (the correction path tests 48 candidates/read)
-    wl_table = HashTable.build_exact(
-        whitelist.sorted_seqs, np.arange(whitelist.size, dtype=np.uint32))
+    # whitelist as a bucket-row table: ONE row gather per membership /
+    # correction-candidate probe; the count column (posterior prior) is
+    # filled in after pass 1
+    wl_table = BucketTable.build_exact(
+        whitelist.sorted_seqs, np.arange(whitelist.size, dtype=np.uint32),
+        entries=8, fields=3)
 
     metrics = CountMetrics()
 
@@ -303,6 +338,9 @@ def run_count(cfg: CountConfig, out_dir: str,
                 metrics.rna_bases += int(in_len.size)
 
     # ---- pass 2: fused correct/align/annotate ----
+    # fill the whitelist rows' count column with the pass-1 prior so each
+    # correction candidate probe is a single row gather
+    wl_table = wl_table.with_counts(np.asarray(wl_counts))
     mol_bc, mol_gene, mol_umi = [], [], []
     bam_collector = None
     if cfg.write_bam and gi is not None:
@@ -316,7 +354,7 @@ def run_count(cfg: CountConfig, out_dir: str,
                 jnp.asarray(batch.bc_packed), wl_table)
             corr_bc, corr_idx, corrected = bcops.correct_barcodes(
                 jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
-                wl_table, wl_counts, chem.barcode_length)
+                wl_table, chem.barcode_length)
             slot = jnp.asarray(batch.slot_valid)
             bc_ok = (hit | corrected) & slot
             bc_idx = jnp.where(hit, idx, corr_idx)
@@ -343,7 +381,7 @@ def run_count(cfg: CountConfig, out_dir: str,
                        jnp.asarray(batch.bc_exact), jnp.asarray(batch.umi_packed),
                        jnp.asarray(batch.umi_valid), jnp.asarray(batch.rna),
                        jnp.asarray(batch.rna_nmask), jnp.asarray(batch.slot_valid),
-                       wl_table, wl_counts)
+                       wl_table)
             m = {k: int(v) for k, v in out["metrics"].items()}
             metrics.total_reads += batch.n_reads
             metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
@@ -356,6 +394,7 @@ def run_count(cfg: CountConfig, out_dir: str,
             metrics.intergenic_reads += m["n_intergenic"]
             metrics.antisense_reads += m["n_antisense"]
             metrics.usable_reads += m["n_usable"]
+            metrics.correction_capacity_overflow += m["n_correct_overflow"]
             conf = np.asarray(out["conf_ok"])
             mol_bc.append(np.asarray(out["bc_idx"])[conf])
             mol_gene.append(np.asarray(out["gene"])[conf])
@@ -368,7 +407,7 @@ def run_count(cfg: CountConfig, out_dir: str,
                 jnp.asarray(batch.bc_packed), wl_table)
             corr_bc, corr_idx, corrected = bcops.correct_barcodes(
                 jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
-                wl_table, wl_counts, chem.barcode_length)
+                wl_table, chem.barcode_length)
             slot = jnp.asarray(batch.slot_valid)
             bc_ok = (hit | corrected) & slot
             bc_idx = jnp.where(hit, idx, corr_idx)
@@ -376,12 +415,12 @@ def run_count(cfg: CountConfig, out_dir: str,
             metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
             metrics.valid_umi_reads += int(
                 jnp.sum(jnp.asarray(batch.umi_valid) & slot))
-            for pat, (extract, feat_counts) in fb_extractors.items():
+            for pat, extract in fb_extractors.items():
                 if pat.read != "R2":
                     continue
                 fo = extract(jnp.asarray(batch.rna),
                              jnp.asarray(batch.rna_nmask),
-                             jnp.asarray(batch.rna_len), feat_counts)
+                             jnp.asarray(batch.rna_len))
                 conf = (np.asarray(fo["found"]) & np.asarray(bc_ok)
                         & batch.umi_valid)
                 metrics.usable_reads += int(conf.sum())

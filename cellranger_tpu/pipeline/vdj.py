@@ -47,7 +47,10 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     chem = get_chemistry(cfg.chemistry)
     wl = Whitelist.load(cfg.whitelist_path)
-    wl_table = SortedTable.build(wl.sorted_seqs)
+    from ..ops.bucket_table import BucketTable
+    wl_table = BucketTable.build_exact(
+        wl.sorted_seqs, np.arange(wl.size, dtype=np.uint32),
+        entries=8, fields=3)
     ref = VdjReference.from_fasta(cfg.vdj_reference_fasta)
 
     # pass 1: extract, count valid bcs
@@ -64,11 +67,12 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
     all_bc, all_rna, all_nmask = [], [], []
     reads_by_bc: dict[int, list] = {}
     total_reads = valid_bc_reads = 0
+    wl_table = wl_table.with_counts(np.asarray(wl_counts))
     for b in cached:
         hit, idx = bcops.whitelist_lookup(jnp.asarray(b.bc_packed), wl_table)
         corr_bc, corr_idx, corrected = bcops.correct_barcodes(
             jnp.asarray(b.bc_packed), jnp.asarray(b.bc_qual), wl_table,
-            wl_counts, chem.barcode_length)
+            chem.barcode_length)
         bc_ok = np.asarray((hit | corrected)) & b.slot_valid
         bc_idx = np.asarray(jnp.where(hit, idx, corr_idx))
         total_reads += b.n_reads

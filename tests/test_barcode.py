@@ -88,9 +88,12 @@ def test_correction_matches_host_spec(wl16):
     packed = np.array([encode.pack_str(s) for s in observed], dtype=np.uint32)
     q = np.frombuffer(b"".join(quals[: len(observed)]), dtype=np.uint8).reshape(-1, 16)
 
+    from cellranger_tpu.ops.bucket_table import BucketTable
+    wl_table = BucketTable.build_exact(
+        wl.sorted_seqs, np.arange(wl.size, dtype=np.uint32),
+        entries=8, fields=3).with_counts(wl_counts)
     out_bc, out_idx, acc = bcops.correct_barcodes(
-        jnp.asarray(packed), jnp.asarray(q), jnp.asarray(wl.sorted_seqs),
-        jnp.asarray(wl_counts), 16)
+        jnp.asarray(packed), jnp.asarray(q), wl_table, 16)
     out_bc, out_idx, acc = map(np.asarray, (out_bc, out_idx, acc))
 
     n_checked = n_corrected = 0

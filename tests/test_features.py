@@ -12,7 +12,7 @@ from cellranger_tpu.io.feature_ref import (FeatureBarcodeReference,
                                            compile_pattern)
 from cellranger_tpu.io.matrix_io import CountMatrix
 from cellranger_tpu.ops.features import make_feature_extractor
-from cellranger_tpu.ops.lookup import SortedTable
+from cellranger_tpu.ops.bucket_table import BucketTable
 from cellranger_tpu.ops import encode
 from cellranger_tpu.pipeline.count import CountConfig, LibraryDef, run_count
 
@@ -45,7 +45,10 @@ def _csv(tmp_path, pattern):
 
 def _extract(ref, reads, read_len=91):
     (pat, (seqs, fidx)), = ref.pattern_groups.items()
-    ex = make_feature_extractor(pat, SortedTable.build(seqs), fidx, read_len)
+    ft = BucketTable.build_exact(
+        seqs, np.arange(len(seqs), dtype=np.uint32),
+        entries=8, fields=3).with_counts(np.ones(len(seqs), np.int64))
+    ex = make_feature_extractor(pat, ft, fidx, read_len)
     B = len(reads)
     rna = np.zeros((B, read_len), np.uint8)
     nm = np.zeros((B, read_len), bool)
@@ -55,8 +58,7 @@ def _extract(ref, reads, read_len=91):
         rna[i, :len(c)] = c
         nm[i, :len(c)] = v
         ln[i] = len(c)
-    return ex(jnp.asarray(rna), jnp.asarray(nm), jnp.asarray(ln),
-              jnp.ones(len(seqs), jnp.int32))
+    return ex(jnp.asarray(rna), jnp.asarray(nm), jnp.asarray(ln))
 
 
 def test_extract_offset_pattern(tmp_path):

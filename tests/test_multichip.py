@@ -26,12 +26,13 @@ def test_sharded_equals_single():
     step, wl, genome, rng = ge._synthetic_setup()
     B = 64 * 8
     batch = ge._synthetic_batch(wl, genome, rng, B)
-    from cellranger_tpu.ops.lookup import SortedTable
-    wl_sorted = SortedTable.build(wl.sorted_seqs)
-    wl_counts = jnp.ones(wl.size, jnp.int32)
+    from cellranger_tpu.ops.bucket_table import BucketTable
+    wl_sorted = BucketTable.build_exact(
+        wl.sorted_seqs, np.arange(wl.size, dtype=np.uint32),
+        entries=8, fields=3).with_counts(np.ones(wl.size, np.int64))
     args = (batch["bc_packed"], batch["bc_qual"], batch["bc_exact"],
             batch["umi_packed"], batch["umi_valid"], batch["rna"],
-            batch["rna_nmask"], batch["slot_valid"], wl_sorted, wl_counts)
+            batch["rna_nmask"], batch["slot_valid"], wl_sorted)
     single = step(*args)
 
     mesh = make_mesh(8)
@@ -41,7 +42,7 @@ def test_sharded_equals_single():
                     sharded_batch["bc_exact"], sharded_batch["umi_packed"],
                     sharded_batch["umi_valid"], sharded_batch["rna"],
                     sharded_batch["rna_nmask"], sharded_batch["slot_valid"],
-                    wl_sorted, wl_counts)
+                    wl_sorted)
 
     for k in ["gene", "umi", "conf_ok", "pos", "mapq", "strand"]:
         np.testing.assert_array_equal(np.asarray(single[k]), np.asarray(multi[k]),
@@ -54,8 +55,10 @@ def test_sharded_histogram_psum():
     step, wl, genome, rng = ge._synthetic_setup()
     B = 64 * 8
     batch = ge._synthetic_batch(wl, genome, rng, B)
-    from cellranger_tpu.ops.lookup import SortedTable
-    wl_sorted = SortedTable.build(wl.sorted_seqs)
+    from cellranger_tpu.ops.bucket_table import BucketTable
+    wl_sorted = BucketTable.build_exact(
+        wl.sorted_seqs, np.arange(wl.size, dtype=np.uint32),
+        entries=8, fields=3)
     hit, idx = bcops.whitelist_lookup(batch["bc_packed"], wl_sorted)
     expect = np.asarray(bcops.count_valid_barcodes(
         idx, batch["slot_valid"], wl.size))
