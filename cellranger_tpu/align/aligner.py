@@ -46,7 +46,7 @@ from ..ops.encode import revcomp_packed
 from .index import GenomeIndex
 
 # Tunables (static); see align_and_count.rs:63 for the score floor.
-SEED_STRIDE = 8        # extract a seed every N bases of the read
+SEED_STRIDE = 10       # extract a seed every N bases of the read
 MAX_HITS_PER_SEED = 8  # bucket-row width = max hits surfaced per seed
 MAX_CANDIDATES = 4     # diagonals taken to extension, pooled across strands
 RESCUE_CAP_FRAC = 4    # SW rescue capacity = B // RESCUE_CAP_FRAC

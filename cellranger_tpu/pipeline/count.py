@@ -119,7 +119,7 @@ class CountMetrics:
         return d
 
 
-CORRECT_CAP_FRAC = 2   # correction capacity = batch // 2 invalid reads
+CORRECT_CAP_FRAC = 8   # correction capacity = batch // 8 invalid reads
 SECOND_CAP_FRAC = 4    # 2nd-locus annotation capacity = batch // 4
 
 
