@@ -43,7 +43,7 @@ from jax.tree_util import register_dataclass
 from ..constants import DEFAULT_ALIGN_SCORE_MIN
 from ..ops.bucket_table import BucketTable
 from ..ops.encode import revcomp_packed
-from .index import GenomeIndex
+from .index import GenomeIndex, MINIMIZER_HASH
 
 # Tunables (static); see align_and_count.rs:63 for the score floor.
 SEED_STRIDE = 10       # extract a seed every N bases of the read
@@ -64,18 +64,23 @@ class DeviceIndex:
     limits on remote-compile setups)."""
 
     text_rows: jnp.ndarray     # uint32 [NR+2, 32]: code words | valid words
-    kmer_table: BucketTable    # canonical kmer -> pos|strand<<31 bucket rows
-    chrom_starts: jnp.ndarray  # int32 [C+1]
+    kmer_table: BucketTable    # canonical kmer -> packed pos/strand rows
+    chrom_starts: jnp.ndarray  # int64 [C+1]
     sj_rows: jnp.ndarray       # uint32 [J, 2]: (donor_abs, acceptor_abs)
     genome_len: int = field(metadata=dict(static=True), default=0)
     text_len: int = field(metadata=dict(static=True), default=0)
     sj_overhang: int = field(metadata=dict(static=True), default=120)
     k: int = field(metadata=dict(static=True), default=16)
+    # position packing: "strand31" = pos|strand<<31 (exact, text < 2^31);
+    # "parity" = (pos&~1)|strand (full u32 coords for human-scale text; the
+    # aligner re-derives the exact start by scoring 4 window offsets)
+    pos_mode: str = field(metadata=dict(static=True), default="strand31")
+    sampling: str = field(metadata=dict(static=True), default="every")
+    minimizer_w: int = field(metadata=dict(static=True), default=0)
 
     @staticmethod
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
-        assert len(gi.text) < 2**31, (
-            "int32 position space; shard the index for >2Gb genomes")
+        assert len(gi.text) < 2**32, "u32 position space: text must be <4Gb"
         sj = np.stack([gi.sj_donor_end.astype(np.uint32),
                        gi.sj_acceptor_start.astype(np.uint32)], axis=1) \
             if gi.n_junctions else np.zeros((0, 2), np.uint32)
@@ -83,12 +88,15 @@ class DeviceIndex:
             text_rows=jnp.asarray(gi.packed_rows()),
             kmer_table=BucketTable.build(gi.kmer_keys, gi.kmer_pos,
                                          entries=MAX_HITS_PER_SEED, fields=2),
-            chrom_starts=jnp.asarray(gi.chrom_starts.astype(np.int32)),
+            chrom_starts=jnp.asarray(gi.chrom_starts.astype(np.int64)),
             sj_rows=jnp.asarray(sj),
             genome_len=int(gi.genome_len),
             text_len=len(gi.text),
             sj_overhang=int(gi.sj_overhang),
             k=gi.k,
+            pos_mode=gi.pos_mode,
+            sampling=gi.sampling,
+            minimizer_w=int(gi.minimizer_w),
         )
 
 
@@ -109,6 +117,33 @@ def _window_valid(mask: jnp.ndarray, k: int) -> jnp.ndarray:
     return (cs[:, k:] - cs[:, :-k]) == k
 
 
+def _minimizer_picks(mh: jnp.ndarray, w: int) -> jnp.ndarray:
+    """bool [B, n]: position i is the min of SOME w-window of mh — the
+    identical rule to index.minimizer_mask, so every genome minimizer whose
+    picking window lies inside the read is also picked here (the shared-seed
+    guarantee of winnowing)."""
+    n = mh.shape[1]
+    w = min(w, n)
+    if w <= 1:
+        return jnp.ones(mh.shape, bool)
+
+    def sweep(x, ww, op):  # out[:, j] = op-fold(x[:, j:j+ww]); log-doubling
+        m = x
+        have = 1
+        while have < ww:
+            step = min(have, ww - have)
+            m = op(m[:, :m.shape[1] - step], m[:, step:])
+            have += step
+        return m
+
+    # picked iff some covering window's min equals mh[i]: every covering
+    # window min is <= mh[i], so test the window-MAX over window-mins
+    wm = sweep(mh, w, jnp.minimum)                    # [B, n-w+1]
+    pad = jnp.zeros((mh.shape[0], w - 1), mh.dtype)
+    cover = sweep(jnp.concatenate([pad, wm, pad], 1), w, jnp.maximum)
+    return mh == cover
+
+
 def make_window_fetch(idx: "DeviceIndex", width: int):
     """Build fetch(idx, pos) -> (codes uint8 [..., width], valid bool).
 
@@ -122,9 +157,10 @@ def make_window_fetch(idx: "DeviceIndex", width: int):
     G = int(idx.text_len)
 
     def fetch(idx, pos):
+        pos = pos.astype(jnp.uint32)       # full u32 coordinate space
         extra = (1,) * pos.ndim
         w0 = pos >> 4                      # first word index
-        r = w0 >> 4                        # row = 16 words
+        r = (w0 >> 4).astype(jnp.int32)    # row = 16 words (< 2^24 rows)
         rows_a = idx.text_rows[jnp.minimum(r, NR - 2)]       # [..., 32]
         rows_b = idx.text_rows[jnp.minimum(r + 1, NR - 1)]
         codes32 = jnp.concatenate([rows_a[..., :16], rows_b[..., :16]], -1)
@@ -162,8 +198,8 @@ def make_window_fetch(idx: "DeviceIndex", width: int):
         valid16 = ((valigned[..., None] >> vshifts) & 1).astype(jnp.bool_)
         win = codes16.reshape(*pos.shape, (n_words - 1) * 16)[..., :width]
         wok = valid16.reshape(*pos.shape, (n_words - 1) * 16)[..., :width]
-        in_bounds = (pos[..., None]
-                     + jnp.arange(width).reshape(*extra, -1)) < G
+        in_bounds = (pos[..., None] + jnp.arange(width, dtype=jnp.uint32)
+                     .reshape(*extra, -1)) < jnp.uint32(G)
         return win, wok & in_bounds
 
     return fetch
@@ -175,16 +211,27 @@ def make_aligner(idx: DeviceIndex, read_len: int,
     """Build the jitted batch alignment function for a static read length."""
     k = idx.k
     L = read_len
-    seed_offsets = np.arange(0, L - k + 1, SEED_STRIDE, dtype=np.int32)
-    S = len(seed_offsets)
+    MINI = idx.sampling == "minimizer"
+    PARITY = idx.pos_mode == "parity"
+    # parity packing loses <=1 bit of position and the vote key rounds the
+    # diagonal to a multiple of 4, so the true window offset is in [0, 4]
+    N_OFF = 5 if PARITY else 1
+    if MINI:
+        # expected winnowing density is 2/(w+1); 1.5x headroom, floor 8
+        S = max(8, int(np.ceil(3 * (L - k + 1) / (idx.minimizer_w + 1))))
+        seed_offsets = None
+    else:
+        seed_offsets = np.arange(0, L - k + 1, SEED_STRIDE, dtype=np.int32)
+        S = len(seed_offsets)
     H = MAX_HITS_PER_SEED * idx.kmer_table.probe_rows
     D = MAX_CANDIDATES
     BIGK = jnp.uint32(0xFFFFFFFF)
     BIG = jnp.int32(2**31 - 1)
     n_sj = int(idx.sj_rows.shape[0])
 
-    contig_len = 2 * idx.sj_overhang
-    fetch_win = make_window_fetch(idx, L)
+    contig_len = jnp.uint32(2 * idx.sj_overhang)
+    glen = jnp.uint32(idx.genome_len)
+    fetch_win = make_window_fetch(idx, L + N_OFF - 1)
 
     def canonical_pos(idx, pos):
         """Map a text position to its genomic-equivalent absolute coordinate
@@ -193,14 +240,15 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         alignment, so an unspliced read hitting both is one locus."""
         if n_sj == 0:
             return pos
-        in_sj = pos >= idx.genome_len
-        j = jnp.where(in_sj, (pos - idx.genome_len) // contig_len, 0)
-        row = idx.sj_rows[j].astype(jnp.int32)      # [..., 2] one gather
-        off = jnp.where(in_sj, (pos - idx.genome_len) % contig_len, 0)
-        donor_start = row[..., 0] - idx.sj_overhang
+        pos = pos.astype(jnp.uint32)
+        in_sj = pos >= glen
+        j = jnp.where(in_sj, (pos - glen) // contig_len, 0).astype(jnp.int32)
+        row = idx.sj_rows[j]                        # [..., 2] one gather
+        off = jnp.where(in_sj, (pos - glen) % contig_len, 0)
+        donor_start = row[..., 0] - jnp.uint32(idx.sj_overhang)
         canon_sj = jnp.where(off < idx.sj_overhang,
                              donor_start + off,
-                             row[..., 1] + off - idx.sj_overhang)
+                             row[..., 1] + off - jnp.uint32(idx.sj_overhang))
         return jnp.where(in_sj, canon_sj, pos)
 
     @jax.jit
@@ -215,20 +263,50 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         # ---- canonical seed lookup: ONE row gather per seed ----
         kms = _rolling_kmers(rna, k)                 # [B, L-k+1]
         kvalid = _window_valid(nmask, k)
-        km = kms[:, seed_offsets]                    # [B, S]
-        kv = kvalid[:, seed_offsets]
-        kmr = revcomp_packed(km, k)
-        flip = kmr < km
-        canon = jnp.where(flip, kmr, km)
+        if MINI:
+            # winnowed seed picking: identical window-min rule to the
+            # genome build, compacted to S data-dependent offsets
+            n = kms.shape[1]
+            kmr_all = revcomp_packed(kms, k)
+            flip_all = kmr_all < kms
+            canon_all = jnp.where(flip_all, kmr_all, kms)
+            mh = canon_all * jnp.uint32(MINIMIZER_HASH)
+            mh = jnp.where(kvalid, mh, BIGK)
+            picked = _minimizer_picks(mh, idx.minimizer_w) & kvalid
+            sc = jnp.where(picked,
+                           n - jnp.arange(n, dtype=jnp.int32)[None, :], 0)
+            top_s, _ = jax.lax.top_k(sc, S)          # earliest S picks
+            kv = top_s > 0
+            off_s = jnp.where(kv, n - top_s, 0)      # [B, S] seed offsets
+            take_s = lambda a: jnp.take_along_axis(a, off_s, axis=1)
+            canon = take_s(canon_all)
+            flip = take_s(flip_all)
+            off = off_s[:, :, None]
+        else:
+            km = kms[:, seed_offsets]                # [B, S]
+            kv = kvalid[:, seed_offsets]
+            kmr = revcomp_packed(km, k)
+            flip = kmr < km
+            canon = jnp.where(flip, kmr, km)
+            off = seed_offsets[None, :, None]
         hit, val = idx.kmer_table.lookup(canon)      # [B, S, H]
         hit = hit & kv[:, :, None]
-        pos_h = (val & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-        sbit = (val >> jnp.uint32(31)).astype(jnp.int32)
+        if PARITY:
+            pos_h = val & jnp.uint32(0xFFFFFFFE)     # strand in parity bit
+            sbit = (val & jnp.uint32(1)).astype(jnp.int32)
+        else:
+            pos_h = val & jnp.uint32(0x7FFFFFFF)
+            sbit = (val >> jnp.uint32(31)).astype(jnp.int32)
         strand_h = sbit ^ flip[:, :, None].astype(jnp.int32)  # 0 fwd / 1 rc
-        off = seed_offsets[None, :, None]
-        diag = pos_h - jnp.where(strand_h == 0, off, L - k - off)
-        ok = hit & (diag >= 0)
-        key = diag.astype(jnp.uint32) | (strand_h.astype(jnp.uint32) << 31)
+        offterm = jnp.where(strand_h == 0, off, L - k - off).astype(jnp.uint32)
+        ok = hit & (pos_h >= offterm)
+        diag = pos_h - offterm                       # uint32, no wrap when ok
+        if PARITY:
+            # strand rides in bit 0 of the 4-rounded diagonal: full u32
+            # coordinate space, true window start within [key, key+4]
+            key = (diag & jnp.uint32(0xFFFFFFFC)) | strand_h.astype(jnp.uint32)
+        else:
+            key = diag | (strand_h.astype(jnp.uint32) << 31)
         key = jnp.where(ok, key, BIGK)               # [B, S, H]
 
         # ---- diagonal voting via sort + run-length scan ----
@@ -247,8 +325,12 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         top_votes, top_i = jax.lax.top_k(votes, D)           # [B, D]
         cand_key = jnp.take_along_axis(flat, top_i, axis=1)  # [B, D]
         cand_ok = top_votes > 0
-        cand_pos = (cand_key & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-        cand_strand = (cand_key >> jnp.uint32(31)).astype(jnp.int32)
+        if PARITY:
+            cand_pos = cand_key & jnp.uint32(0xFFFFFFFC)     # uint32 coords
+            cand_strand = (cand_key & jnp.uint32(1)).astype(jnp.int32)
+        else:
+            cand_pos = (cand_key & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            cand_strand = (cand_key >> jnp.uint32(31)).astype(jnp.int32)
 
         # ---- ungapped local extension (Kadane via prefix scans) ----
         codes_d = jnp.where(cand_strand[:, :, None] == 1,
@@ -256,6 +338,20 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         mask_d = jnp.where(cand_strand[:, :, None] == 1,
                            rc_mask[:, None, :], nmask[:, None, :])
         win, wok = fetch_win(idx, jnp.where(cand_ok, cand_pos, 0))
+        if N_OFF > 1:
+            # parity mode: the true window start is cand_pos + o, o in
+            # [0, N_OFF); pick o by net match count, then score once
+            wins = jnp.stack([win[..., o:o + L] for o in range(N_OFF)], 2)
+            woks = jnp.stack([wok[..., o:o + L] for o in range(N_OFF)], 2)
+            act5 = mask_d[:, :, None, :] & woks              # [B, D, O, L]
+            m5 = (wins == codes_d[:, :, None, :]) & act5
+            net = (2 * jnp.sum(m5, -1, dtype=jnp.int32)
+                   - jnp.sum(act5, -1, dtype=jnp.int32))
+            best_off = jnp.argmax(net, axis=2).astype(jnp.int32)  # [B, D]
+            gidx = best_off[:, :, None] + jnp.arange(L, dtype=jnp.int32)
+            win = jnp.take_along_axis(win, gidx, axis=2)
+            wok = jnp.take_along_axis(wok, gidx, axis=2)
+            cand_pos = cand_pos + best_off.astype(cand_pos.dtype)
         m = (win == codes_d) & wok & mask_d
         active = mask_d & wok
         contrib = jnp.where(active, jnp.where(m, 1, -1), 0).astype(jnp.int32)
@@ -275,9 +371,14 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         # ---- distinct-locus counting + deterministic pick ----
         best_score = jnp.max(score, axis=1)                  # [B]
         is_best = score == best_score[:, None]
-        canon = canonical_pos(idx, jnp.where(cand_ok, cand_pos, 0)) + start_i
-        ckey = ((canon.astype(jnp.uint32) << 1)
-                | cand_strand.astype(jnp.uint32))
+        canon = (canonical_pos(idx, jnp.where(cand_ok, cand_pos, 0))
+                 .astype(jnp.uint32) + start_i.astype(jnp.uint32))
+        if PARITY:
+            # full-u32 coordinates: strand rides the parity bit (loci 1bp
+            # apart collapsing is vanishingly rare and only perturbs MAPQ)
+            ckey = (canon & jnp.uint32(0xFFFFFFFE)) | cand_strand.astype(jnp.uint32)
+        else:
+            ckey = (canon << 1) | cand_strand.astype(jnp.uint32)
         ckey = jnp.where(is_best & (score > -BIG), ckey, BIGK)
         ckey_sorted = jnp.sort(ckey, axis=1)
         distinct = jnp.concatenate(
@@ -323,7 +424,9 @@ def make_aligner(idx: DeviceIndex, read_len: int,
                 jnp.minimum(sel, B - 1)]
             mask_b = jnp.where(best_strand[:, None] == 1, rc_mask, nmask)[
                 jnp.minimum(sel, B - 1)]
-            win_start = jnp.maximum(best_pos - BAND // 2, 0)[
+            half = jnp.asarray(BAND // 2, best_pos.dtype)
+            win_start = jnp.where(best_pos > half, best_pos - half,
+                                  jnp.zeros((), best_pos.dtype))[
                 jnp.minimum(sel, B - 1)]
             fetch_sw = make_window_fetch(idx, L + BAND)
             win_s, wok_s = fetch_sw(idx, win_start)

@@ -36,7 +36,14 @@ from ..ops import encode
 
 DEFAULT_K = 16
 DEFAULT_STRIDE = 1
-INDEX_VERSION = 2  # v2: canonical kmer keys with strand bit in position
+# v3: canonical kmer keys; value = (pos & ~1) | strand — the strand bit
+# rides in the position's parity bit, so a full 32-bit coordinate space
+# (4Gb text: human-scale) fits one u32. The <=1-base position rounding is
+# absorbed by the extension window's local alignment.
+INDEX_VERSION = 3
+MINIMIZER_W = 12          # winnowing window (minimizer sampling mode)
+MINIMIZER_HASH = np.uint32(0x85EBCA6B)  # ordering hash (both sides use it)
+AUTO_MINIMIZER_LEN = 256_000_000  # genomes above this sample minimizers
 
 
 def revcomp_packed_np(km: np.ndarray, k: int) -> np.ndarray:
@@ -67,8 +74,11 @@ class GenomeIndex:
     # kmer index
     k: int
     stride: int
-    kmer_keys: np.ndarray     # uint32 [P] sorted packed kmers
-    kmer_pos: np.ndarray      # uint32 [P] text position of each key (grouped by key)
+    kmer_keys: np.ndarray     # uint32 [P] sorted canonical packed kmers
+    kmer_pos: np.ndarray      # uint32 [P] packed (pos & ~1) | strand values
+    sampling: str = "every"   # "every" or "minimizer"
+    minimizer_w: int = 0      # winnowing window when sampling="minimizer"
+    pos_mode: str = "strand31"  # "strand31" (exact) or "parity" (>=2^31 text)
 
     def packed_rows(self):
         """Genome text as 128-byte HBM rows: [NR+2, 32] uint32, columns
@@ -152,7 +162,10 @@ class GenomeIndex:
     @staticmethod
     def build(seqs: dict[str, bytes], transcriptome: Transcriptome | None,
               k: int = DEFAULT_K, stride: int = DEFAULT_STRIDE,
-              sj_overhang: int = 120) -> "GenomeIndex":
+              sj_overhang: int = 120,
+              sampling: str = "auto",
+              minimizer_w: int = MINIMIZER_W,
+              pos_mode: str = "auto") -> "GenomeIndex":
         chrom_names = list(seqs)
         chrom_codes = []
         chrom_valid = []
@@ -207,7 +220,19 @@ class GenomeIndex:
         text_valid = np.concatenate([gvalid] + contig_valid) if n_j else gvalid
 
         # kmer index over the full text.
-        keys, pos = _build_kmer_table(text, text_valid, k, stride)
+        if sampling == "auto":
+            sampling = ("minimizer" if len(text) > AUTO_MINIMIZER_LEN
+                        else "every")
+        if pos_mode == "auto":
+            pos_mode = "strand31" if len(text) < 2**31 else "parity"
+        assert len(text) < 2**31 or pos_mode == "parity", \
+            "text >= 2Gb requires parity position packing"
+        if sampling == "minimizer":
+            keys, pos = _build_kmer_table_minimizer(text, text_valid, k,
+                                                    minimizer_w, pos_mode)
+        else:
+            keys, pos = _build_kmer_table(text, text_valid, k, stride,
+                                          pos_mode)
         return GenomeIndex(
             text=text, text_valid=text_valid, chrom_names=chrom_names,
             chrom_starts=chrom_starts, genome_len=genome_len,
@@ -216,6 +241,9 @@ class GenomeIndex:
             sj_donor_end=np.asarray(sj_donor, np.int64),
             sj_acceptor_start=np.asarray(sj_acc, np.int64),
             k=k, stride=stride, kmer_keys=keys, kmer_pos=pos,
+            sampling=sampling,
+            minimizer_w=minimizer_w if sampling == "minimizer" else 0,
+            pos_mode=pos_mode,
         )
 
     def save(self, path: str):
@@ -229,12 +257,18 @@ class GenomeIndex:
             k=self.k, stride=self.stride,
             kmer_keys=self.kmer_keys, kmer_pos=self.kmer_pos,
             chrom_names=np.asarray(self.chrom_names),
+            sampling=self.sampling, minimizer_w=self.minimizer_w,
+            pos_mode=self.pos_mode,
             version=INDEX_VERSION,
         )
 
     @staticmethod
     def load(path: str) -> "GenomeIndex":
         z = np.load(path, allow_pickle=False)
+        if int(z["version"]) != INDEX_VERSION:
+            raise ValueError(
+                f"index version {int(z['version'])} != {INDEX_VERSION}; "
+                "rebuild the reference (mkref)")
         tlen = int(z["text_len"])
         return GenomeIndex(
             text=z["text"], text_valid=np.unpackbits(z["text_valid"])[:tlen].astype(bool),
@@ -245,34 +279,117 @@ class GenomeIndex:
             sj_acceptor_start=z["sj_acceptor_start"],
             k=int(z["k"]), stride=int(z["stride"]),
             kmer_keys=z["kmer_keys"], kmer_pos=z["kmer_pos"],
+            sampling=str(z["sampling"]), minimizer_w=int(z["minimizer_w"]),
+            pos_mode=str(z["pos_mode"]),
         )
 
 
-def _build_kmer_table(text: np.ndarray, valid: np.ndarray, k: int, stride: int):
-    """All (canonical kmer, pos|strand<<31) at stride over text where all k
-    bases are valid; sorted by (key, pos). Canonical = min(kmer, revcomp):
-    ONE seed lookup then serves both read strands (the hit's strand =
-    stored bit XOR query-flipped bit), halving the per-read row-gather count
-    — the dominant cost on TPU (tools/row_bench.py)."""
+def _canonical_kmers_block(text, valid, k):
+    """(keys uint32 [n], is_rc bool [n], ok bool [n]) for every kmer start
+    of `text`. Canonical = min(kmer, revcomp): ONE seed lookup then serves
+    both read strands (the hit's strand = stored bit XOR the query's
+    flipped bit), halving the per-read row-gather count — the dominant
+    cost on TPU (tools/row_bench.py)."""
     G = len(text)
-    if G < k:
-        return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
-    assert G < 2**31, "positions carry a strand bit in bit 31"
     n = G - k + 1
-    # rolling pack: kmer[p] = sum text[p+i] << 2*(k-1-i)
     km = np.zeros(n, np.uint64)
     for i in range(k):
         km = (km << np.uint64(2)) | text[i:i + n].astype(np.uint64)
-    vv = valid.astype(np.uint8)
-    # valid window = all k positions valid: use cumsum
-    cs = np.concatenate([[0], np.cumsum(vv)])
+    cs = np.concatenate([[0], np.cumsum(valid.astype(np.uint8))])
     ok = (cs[k:] - cs[:-k]) == k
-    pos = np.arange(0, n, stride, dtype=np.uint32)
-    pos = pos[ok[::stride][:len(pos)]]
-    fwd = km[pos].astype(np.uint32)
+    fwd = km.astype(np.uint32)
     rc = revcomp_packed_np(fwd, k).astype(np.uint32)
     is_rc = rc < fwd
     keys = np.where(is_rc, rc, fwd)
-    vals = pos | (is_rc.astype(np.uint32) << np.uint32(31))
+    return keys, is_rc, ok
+
+
+def _pack_vals(pos, is_rc, pos_mode):
+    """v3 value packings:
+    - "strand31" (text < 2^31): val = pos | strand<<31 — exact positions.
+    - "parity"  (text >= 2^31, human-scale): val = (pos & ~1) | strand —
+      the strand bit rides in the position's parity bit so a full 32-bit
+      coordinate space fits; the <=1-base rounding is recovered by the
+      aligner's multi-offset extension scoring."""
+    if pos_mode == "strand31":
+        return pos.astype(np.uint32) | (is_rc.astype(np.uint32) << np.uint32(31))
+    return ((pos.astype(np.uint32) & np.uint32(0xFFFFFFFE))
+            | is_rc.astype(np.uint32))
+
+
+def _build_kmer_table(text, valid, k, stride, pos_mode):
+    """Every-position sampling: all (canonical kmer, packed val) at stride
+    over text where all k bases are valid; sorted by (key, pos)."""
+    G = len(text)
+    if G < k:
+        return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+    keys_all, is_rc_all, ok = _canonical_kmers_block(text, valid, k)
+    n = len(keys_all)
+    pos = np.arange(0, n, stride, dtype=np.uint32)
+    pos = pos[ok[::stride][:len(pos)]]
+    keys = keys_all[pos]
+    vals = _pack_vals(pos, is_rc_all[pos], pos_mode)
     order = np.lexsort((pos, keys))
+    return keys[order], vals[order]
+
+
+def _window_sweep(mh, w, op):
+    """out[i] = op-fold of mh[i : i+w] for i in [0, n-w]; log-doubling."""
+    m = mh.copy()
+    have = 1
+    while have < w:
+        step = min(have, w - have)
+        m[: len(m) - step] = op(m[: len(m) - step], m[step:])
+        have += step
+    return m[: len(mh) - w + 1]
+
+
+def minimizer_mask(mh, w):
+    """True at positions that are the minimum of SOME w-window of mh.
+    Both the genome build and the read seed picker use THIS rule, so every
+    genome minimizer inside a read (>= w-1 bases from the read edges) is
+    also a read minimizer.
+
+    i is picked iff wm[j] == mh[i] for some window j containing i; since
+    wm[j] <= mh[i] for every such window, that is equivalent to
+    max(wm[j], j in [i-w+1, i]) == mh[i] — a window-max over window-mins."""
+    n = len(mh)
+    if n == 0:
+        return np.zeros(0, bool)
+    if n < w:
+        return mh == mh.min()
+    wm = _window_sweep(mh, w, np.minimum)    # [n-w+1] min of window at j
+    pad = np.concatenate([np.zeros(w - 1, mh.dtype), wm,
+                          np.zeros(w - 1, mh.dtype)])
+    cover = _window_sweep(pad, w, np.maximum)  # max wm over [i-w+1, i]
+    return mh == cover[:n]
+
+
+def _build_kmer_table_minimizer(text, valid, k, w, pos_mode,
+                                block=1 << 26):
+    """Winnowed sampling: only window-minimum canonical kmers are indexed
+    (density ~2/(w+1)), shrinking a human-genome index to HBM scale.
+    Processed in overlapping blocks to bound host memory."""
+    G = len(text)
+    if G < k:
+        return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+    keys_l, vals_l = [], []
+    ov = w + k
+    start = 0
+    while start < G - k + 1:
+        stop = min(start + block, G - k + 1)
+        lo = max(start - ov, 0)
+        hi = min(stop + ov + k, G)
+        keys, is_rc, ok = _canonical_kmers_block(text[lo:hi], valid[lo:hi], k)
+        mh = (keys * MINIMIZER_HASH).astype(np.uint32)
+        mh = np.where(ok, mh, np.uint32(0xFFFFFFFF))
+        picked = minimizer_mask(mh, w) & ok
+        abs_pos = np.arange(lo, lo + len(keys), dtype=np.uint32)
+        sel = picked & (abs_pos >= start) & (abs_pos < stop)
+        keys_l.append(keys[sel])
+        vals_l.append(_pack_vals(abs_pos[sel], is_rc[sel], pos_mode))
+        start = stop
+    keys = np.concatenate(keys_l) if keys_l else np.zeros(0, np.uint32)
+    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.uint32)
+    order = np.lexsort((vals, keys))
     return keys[order], vals[order]
