@@ -50,26 +50,26 @@ REGION_INTERGENIC = 2
 GENE_NONE = -1
 GENE_MULTI = -2
 
-_INT32_MAX = np.int32(2**31 - 1)
+_PAD_START = np.uint32(0xFFFFFFFF)  # never < any query end
 
 
 def _pack_interval_rows(start, end, gene, strand):
     """Sorted interval table -> ([R+2, 32] uint32 rows of 8 packed
     intervals: start*8 | end*8 | meta*8 | pad, with meta = gene|strand<<30,
-    grid int32 [GB]) is built separately. Pad entries: start=INT32_MAX
-    (never < e), end=0 (never > s)."""
+    grid int32 [GB]) is built separately. Coordinates are FULL uint32
+    (parity-safe for >2Gb text). Pad entries: start=0xFFFFFFFF (never < e),
+    end=0 (never > s)."""
     n = len(start)
     R = (n + ROW_E - 1) // ROW_E + 2
     rows = np.zeros((R, 4 * ROW_E), np.uint32)
-    rows[:, :ROW_E] = np.uint32(_INT32_MAX)
-    flat_s = np.full(R * ROW_E, _INT32_MAX, np.int32)
-    flat_e = np.zeros(R * ROW_E, np.int32)
+    flat_s = np.full(R * ROW_E, _PAD_START, np.uint32)
+    flat_e = np.zeros(R * ROW_E, np.uint32)
     flat_m = np.zeros(R * ROW_E, np.int32)
-    flat_s[:n] = start
-    flat_e[:n] = end
+    flat_s[:n] = start.astype(np.uint32)
+    flat_e[:n] = end.astype(np.uint32)
     flat_m[:n] = gene | (strand.astype(np.int32) << 30)
-    rows[:, :ROW_E] = flat_s.reshape(R, ROW_E).astype(np.uint32)
-    rows[:, ROW_E:2 * ROW_E] = flat_e.reshape(R, ROW_E).astype(np.uint32)
+    rows[:, :ROW_E] = flat_s.reshape(R, ROW_E)
+    rows[:, ROW_E:2 * ROW_E] = flat_e.reshape(R, ROW_E)
     rows[:, 2 * ROW_E:3 * ROW_E] = flat_m.reshape(R, ROW_E).astype(np.uint32)
     return rows
 
@@ -125,7 +125,7 @@ class AnnotationIndex:
                 axis=1), axis=0)
             order = np.argsort(arr[:, 0], kind="stable")
             arr = arr[order]
-            return (arr[:, 0].astype(np.int32), arr[:, 1].astype(np.int32),
+            return (arr[:, 0].astype(np.uint32), arr[:, 1].astype(np.uint32),
                     arr[:, 2].astype(np.int32), arr[:, 3].astype(np.int32))
 
         ex_start, ex_end, ex_gene, ex_strand = dedup_sort(exs, exe, exg, exstr)
@@ -166,13 +166,14 @@ def _window_fetch(rows, grid, s, e):
     [B, 2*ROW_E] — the last <=16 table intervals with start < e that
     overlap [s,e). Three row gathers total (grid + two packed rows)."""
     GB = grid.shape[0]
-    hi = grid[jnp.clip(e >> GRID_SHIFT, 0, GB - 1)]     # upper-bound window
+    hi = grid[jnp.clip((e >> GRID_SHIFT).astype(jnp.int32), 0, GB - 1)]
     r = hi >> 3
     ra = rows[jnp.maximum(r - 1, 0)]                    # [B, 32]
     rb = rows[r]
-    starts = jnp.concatenate([ra[:, :ROW_E], rb[:, :ROW_E]], -1).astype(jnp.int32)
+    # coordinates stay uint32 (full 4Gb space); meta reinterprets as int32
+    starts = jnp.concatenate([ra[:, :ROW_E], rb[:, :ROW_E]], -1)
     ends = jnp.concatenate(
-        [ra[:, ROW_E:2 * ROW_E], rb[:, ROW_E:2 * ROW_E]], -1).astype(jnp.int32)
+        [ra[:, ROW_E:2 * ROW_E], rb[:, ROW_E:2 * ROW_E]], -1)
     meta = jnp.concatenate(
         [ra[:, 2 * ROW_E:3 * ROW_E], rb[:, 2 * ROW_E:3 * ROW_E]], -1).astype(jnp.int32)
     j = jnp.arange(2 * ROW_E, dtype=jnp.int32)[None, :]
@@ -195,8 +196,8 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
     @jax.jit
     def annotate_impl(ann, pos, aln_len, strand, mapq, mapped):
         B = pos.shape[0]
-        s = pos
-        e = pos + aln_len
+        s = pos.astype(jnp.uint32)             # full u32 coordinate space
+        e = s + aln_len.astype(jnp.uint32)
         alen = aln_len
 
         # ---- genomic alignments: exon window probe ----
@@ -247,10 +248,11 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
         antisense_genomic = ~any_sense & anti_ex
 
         # ---- junction-contig alignments: one row gather ----
-        in_sj = pos >= gi_genome_len
+        glen = jnp.uint32(gi_genome_len)
+        in_sj = s >= glen
         if n_sj > 0:
-            j = jnp.clip(jnp.where(in_sj, (pos - gi_genome_len) // contig_len, 0),
-                         0, n_sj - 1)
+            j = jnp.clip(jnp.where(in_sj, (s - glen) // jnp.uint32(contig_len),
+                                   0).astype(jnp.int32), 0, n_sj - 1)
             sjr = ann.sj_rows[j]                          # [B, 2]
             sjg = sjr[:, 0]
             sj_sense = (sjr[:, 1] == strand) ^ (flip == 1)

@@ -109,3 +109,21 @@ def test_low_mapq_not_conf(setup):
                  jnp.asarray([0], jnp.int32), jnp.asarray([3], jnp.int32),
                  jnp.asarray([True]))
     assert not bool(o["conf_mapped"][0])
+
+
+def test_uint32_pos_dtype_equivalence(setup):
+    # parity-mode aligners hand the annotator uint32 positions; results
+    # must match the int32 path bit for bit
+    *_, annotate = setup
+    pos, alen, strand = [1100, 1500, 4000], [91, 91, 91], [0, 1, 0]
+    n = len(pos)
+    a = {k: np.asarray(v) for k, v in annotate(
+        jnp.asarray(pos, jnp.int32), jnp.asarray(alen, jnp.int32),
+        jnp.asarray(strand, jnp.int32), jnp.full(n, 255, jnp.int32),
+        jnp.ones(n, bool)).items()}
+    b = {k: np.asarray(v) for k, v in annotate(
+        jnp.asarray(pos, jnp.uint32), jnp.asarray(alen, jnp.int32),
+        jnp.asarray(strand, jnp.int32), jnp.full(n, 255, jnp.int32),
+        jnp.ones(n, bool)).items()}
+    for k in a:
+        assert (a[k] == b[k]).all(), k
