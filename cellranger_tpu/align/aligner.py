@@ -52,6 +52,15 @@ MAX_CANDIDATES = 4     # diagonals taken to extension, pooled across strands
 RESCUE_CAP_FRAC = 4    # SW rescue capacity = B // RESCUE_CAP_FRAC
 RESCUE_MARGIN = 4      # rescue when ungapped score < valid_len - margin
 
+# Novel splice junction discovery (STAR-analog split alignment; STAR
+# defaults: alignIntronMin=21, winBinNbits-bounded intron max, and
+# canonical-motif preference with noncanonical penalty)
+SJ_MIN_INTRON = 21     # below this a gap is a deletion, not an intron
+SJ_MAX_INTRON = 500_000
+SJ_MIN_SEG = 12        # min per-side anchor score for a split alignment
+SJ_MARGIN = 4          # spliced must beat the best unspliced by this
+SJ_NONCANON_PEN = 8    # penalty when no GT..AG / CT..AC motif is found
+
 
 @register_dataclass
 @dataclass(frozen=True)
@@ -207,7 +216,8 @@ def make_window_fetch(idx: "DeviceIndex", width: int):
 
 def make_aligner(idx: DeviceIndex, read_len: int,
                  score_min: int = DEFAULT_ALIGN_SCORE_MIN,
-                 sw_rescue: bool = True, bind: bool = True):
+                 sw_rescue: bool = True, bind: bool = True,
+                 novel_sj: bool = True):
     """Build the jitted batch alignment function for a static read length."""
     k = idx.k
     L = read_len
@@ -407,6 +417,115 @@ def make_aligner(idx: DeviceIndex, read_len: int,
             aln_start2=take2(start_i), aln_len2=take2(aln_len),
             has_second=take2(ckey2) != BIGK,
         )
+
+        if novel_sj:
+            # ---- novel splice junction discovery ----
+            # A spliced read over an UNANNOTATED junction seeds TWO
+            # same-strand candidate diagonals whose offset is the intron
+            # length. Split score at read position x reuses the per-
+            # candidate prefix machinery already computed:
+            #   T(i,j,x) = best_end_i(x) + best_start_j(x+1)
+            # i.e. Kadane best-sum ending at x on the left window plus
+            # best-sum starting at x+1 on the right window — no extra HBM
+            # traffic; the only new gathers are two 8-base motif windows.
+            rcm = jax.lax.cummax(cs, axis=2, reverse=True)
+            best_start_at = rcm - pref                   # [B, D, L]
+            bs_shift = jnp.concatenate(
+                [best_start_at[:, :, 1:],
+                 jnp.full((B, D, 1), -BIG, jnp.int32)], axis=2)
+            posu = cand_pos.astype(jnp.uint32)
+            in_gen = posu < glen                         # contigs excluded
+            intron = posu[:, None, :] - posu[:, :, None]  # [B, i, j]
+            pair_ok = (cand_ok[:, :, None] & cand_ok[:, None, :]
+                       & (cand_strand[:, :, None] == cand_strand[:, None, :])
+                       & in_gen[:, :, None] & in_gen[:, None, :]
+                       & (posu[:, None, :] > posu[:, :, None])
+                       & (intron >= jnp.uint32(SJ_MIN_INTRON))
+                       & (intron <= jnp.uint32(SJ_MAX_INTRON)))
+            seg_r_ok = bs_shift >= SJ_MIN_SEG
+            ps, pxs = [], []
+            for i in range(D):                           # unrolled: D small
+                t = jnp.where((best_at[:, i:i + 1, :] >= SJ_MIN_SEG)
+                              & seg_r_ok,
+                              best_at[:, i:i + 1, :] + bs_shift, -BIG)
+                ps.append(jnp.max(t, axis=2))            # [B, D]
+                pxs.append(jnp.argmax(t, axis=2).astype(jnp.int32))
+            pscore = jnp.where(pair_ok, jnp.stack(ps, 1), -BIG)  # [B, i, j]
+            px = jnp.stack(pxs, 1)
+            bestp = jnp.argmax(pscore.reshape(B, D * D), axis=1)
+            takep = lambda a: jnp.take_along_axis(
+                a.reshape(B, D * D), bestp[:, None], 1)[:, 0]
+            sp_score = takep(pscore)
+            sx = takep(px)                               # split read index
+            bi = (bestp // D).astype(jnp.int32)
+            bj = (bestp % D).astype(jnp.int32)
+            takec = lambda a, w: jnp.take_along_axis(a, w[:, None], 1)[:, 0]
+            taker = lambda a, w: jnp.take_along_axis(
+                a, w[:, None, None], 1)[:, 0, :]
+            pos_l = takec(posu, bi)
+            pos_r = takec(posu, bj)
+            sj_strand = takec(cand_strand, bi)
+            ba_l = taker(best_at, bi)                    # [B, L]
+            bs_r = taker(bs_shift, bj)
+            pref_l = taker(pref, bi)
+            cs_r = taker(cs, bj)
+
+            # canonical-motif plateau shift (STAR junction shifting): among
+            # equal-score splits near x*, prefer a GT..AG / CT..AC intron
+            fetch8 = make_window_fetch(idx, 8)
+            sxu = sx.astype(jnp.uint32)
+            two = jnp.uint32(2)
+            dstart = jnp.where(pos_l + sxu >= two, pos_l + sxu - two,
+                               jnp.uint32(0))            # donor_end - 3
+            four = jnp.uint32(4)
+            astart = jnp.where(pos_r + sxu >= four, pos_r + sxu - four,
+                               jnp.uint32(0))            # acc_start - 5
+            dwin, dok8 = fetch8(idx, dstart)
+            awin, aok8 = fetch8(idx, astart)
+            sh_np = np.array([0, -1, 1, -2, 2, -3, 3], np.int32)  # priority
+            shifts = jnp.asarray(sh_np)
+            xi = sx[:, None] + shifts[None, :]
+            inb = (xi >= 0) & (xi < L - 1)
+            xic = jnp.clip(xi, 0, L - 1)
+            t_eq = (jnp.take_along_axis(ba_l, xic, 1)
+                    + jnp.take_along_axis(bs_r, xic, 1)) == sp_score[:, None]
+            d0, d1 = dwin[:, sh_np + 3], dwin[:, sh_np + 4]
+            a0, a1 = awin[:, sh_np + 3], awin[:, sh_np + 4]
+            mok = (dok8[:, sh_np + 3] & dok8[:, sh_np + 4]
+                   & aok8[:, sh_np + 3] & aok8[:, sh_np + 4])
+            # A=0 C=1 G=2 T=3: GT..AG or CT..AC (either gene strand)
+            canon7 = (((d0 == 2) & (d1 == 3) & (a0 == 0) & (a1 == 2))
+                      | ((d0 == 1) & (d1 == 3) & (a0 == 0) & (a1 == 1)))
+            canon7 = canon7 & t_eq & inb & mok
+            has_canon = canon7.any(axis=1)
+            s_sel = jnp.where(has_canon,
+                              shifts[jnp.argmax(canon7, axis=1)], 0)
+            xs = sx + s_sel
+            sp_final = sp_score - jnp.where(has_canon, 0, SJ_NONCANON_PEN)
+            win_sj = (sp_final > best_score + SJ_MARGIN) & (sp_score > 0)
+
+            li1 = jnp.arange(L, dtype=jnp.int32)[None, :]
+            pm = jnp.where(li1 <= xs[:, None], pref_l, BIG)
+            lstart = jnp.argmin(pm, axis=1).astype(jnp.int32)
+            cm = jnp.where(li1 > xs[:, None], cs_r, -BIG)
+            rend = jnp.argmax(cm, axis=1).astype(jnp.int32)
+            xs1 = (xs + 1).astype(jnp.uint32)
+            pdt = out["pos"].dtype
+            out["novel_sj"] = win_sj
+            out["sj_donor"] = (pos_l + xs1).astype(pdt)     # 1st intron base
+            out["sj_acceptor"] = (pos_r + xs1).astype(pdt)  # 1st base after
+            out["sj_left_len"] = xs - lstart + 1
+            out["sj_right_len"] = rend - xs
+            out["sj_score"] = sp_final
+            out["pos"] = jnp.where(win_sj, pos_l.astype(pdt), out["pos"])
+            out["strand"] = jnp.where(win_sj, sj_strand, out["strand"])
+            out["aln_start"] = jnp.where(win_sj, lstart, out["aln_start"])
+            out["aln_len"] = jnp.where(win_sj, xs - lstart + 1,
+                                       out["aln_len"])
+            n_best = jnp.where(win_sj, 1, n_best)
+            out["n_best"] = n_best
+            best_score = jnp.where(win_sj, sp_final, best_score)
+            out["score"] = best_score
 
         if sw_rescue:
             # gapped rescue ONLY for reads whose ungapped score missed the

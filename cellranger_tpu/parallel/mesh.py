@@ -56,6 +56,8 @@ def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data"):
         aln_len=P(axis),
         aln_start=P(axis), region=P(axis), antisense=P(axis),
         corrected_bc=P(axis), bc_ok=P(axis),
+        novel_sj=P(axis), sj_donor=P(axis), sj_acceptor=P(axis),
+        sj_right_len=P(axis),
         metrics=jax.tree.map(lambda _: P(), dict(
             n_valid_bc=0, n_corrected=0, n_valid_umi=0, n_mapped=0,
             n_conf=0, n_exonic=0, n_intronic=0, n_intergenic=0,

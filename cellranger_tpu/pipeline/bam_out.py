@@ -54,6 +54,14 @@ class BamCollector:
             conf_ok=take(step_out["conf_ok"]), bc_ok=take(step_out["bc_ok"]),
             corrected_bc=take(step_out["corrected_bc"]),
             bc_idx=take(step_out["bc_idx"]),
+            novel_sj=take(step_out["novel_sj"]) if "novel_sj" in step_out
+                else np.zeros(n, bool),
+            sj_donor=take(step_out["sj_donor"]) if "sj_donor" in step_out
+                else np.zeros(n, np.int64),
+            sj_acceptor=take(step_out["sj_acceptor"])
+                if "sj_acceptor" in step_out else np.zeros(n, np.int64),
+            sj_right_len=take(step_out["sj_right_len"])
+                if "sj_right_len" in step_out else np.zeros(n, np.int32),
         ))
 
     def write(self, path: str, dedup_out: dict, bc_len: int, umi_len: int,
@@ -137,9 +145,17 @@ class BamCollector:
                 d = int(g["donor_off"][i])
                 cig += [(d, BAM_CMATCH), (int(g["intron_len"][i]), BAM_CREF_SKIP),
                         (alen - d, BAM_CMATCH)]
+                rclip = L - astart - alen
+            elif cat["novel_sj"][i]:
+                # discovered junction: left M, intron N, right M
+                intron = int(cat["sj_acceptor"][i]) - int(cat["sj_donor"][i])
+                rlen = int(cat["sj_right_len"][i])
+                cig += [(alen, BAM_CMATCH), (intron, BAM_CREF_SKIP),
+                        (rlen, BAM_CMATCH)]
+                rclip = L - astart - alen - rlen
             else:
                 cig.append((alen, BAM_CMATCH))
-            rclip = L - astart - alen
+                rclip = L - astart - alen
             if rclip > 0:
                 cig.append((rclip, BAM_CSOFT_CLIP))
 

@@ -170,6 +170,34 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
         ann = annotate_impl(ann_idx, aln["pos"], aln["aln_len"],
                             aln["strand"], aln["mapq"], aln["mapped"])
 
+        # ---- novel-splice right-segment annotation (compacted) ----
+        # the left segment went through the main annotate call above
+        # (aln_len = left segment for novel_sj winners); the right segment
+        # is annotated here and the gene/region calls are combined
+        if "novel_sj" in aln:
+            C3 = max(B // SECOND_CAP_FRAC, 1)
+            nsj = aln["novel_sj"] & aln["mapped"]
+            nsel = jnp.nonzero(nsj, size=C3, fill_value=B)[0]
+            nsel_c = jnp.minimum(nsel, B - 1)
+            ann_r = annotate_impl(
+                ann_idx, aln["sj_acceptor"][nsel_c],
+                aln["sj_right_len"][nsel_c], aln["strand"][nsel_c],
+                jnp.full((C3,), 255, jnp.int32), jnp.ones((C3,), bool))
+            gr = jnp.full((B,), -1, jnp.int32).at[nsel].set(
+                ann_r["gene"], mode="drop")
+            rr = jnp.full((B,), REGION_INTERGENIC, jnp.int32).at[nsel].set(
+                ann_r["region"], mode="drop")
+            gl = ann["gene"]
+            g_comb = jnp.where((gl >= 0) & ((gr == gl) | (gr < 0)), gl,
+                               jnp.where((gl < 0) & (gr >= 0), gr, -1))
+            gene_n = jnp.where(nsj, g_comb, ann["gene"])
+            # read region = worst segment region (exonic only if both are)
+            region_n = jnp.where(nsj, jnp.maximum(ann["region"], rr),
+                                 ann["region"])
+            conf_n = jnp.where(nsj, (aln["mapq"] == 255) & (gene_n >= 0),
+                               ann["conf_mapped"])
+            ann = dict(ann, gene=gene_n, region=region_n, conf_mapped=conf_n)
+
         # ---- compacted second-locus annotation (2-locus reads only) ----
         C2 = max(B // SECOND_CAP_FRAC, 1)
         need2 = (aln["has_second"] & aln["mapped"] & (aln["n_best"] == 2)
@@ -221,6 +249,10 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             aln_len=aln["aln_len"], aln_start=aln["aln_start"],
             region=ann["region"], antisense=ann["antisense"],
             corrected_bc=corr_bc, bc_ok=bc_ok,
+            novel_sj=aln.get("novel_sj", jnp.zeros((B,), bool)),
+            sj_donor=aln.get("sj_donor", jnp.zeros((B,), jnp.int32)),
+            sj_acceptor=aln.get("sj_acceptor", jnp.zeros((B,), jnp.int32)),
+            sj_right_len=aln.get("sj_right_len", jnp.zeros((B,), jnp.int32)),
             metrics=m,
         )
 
@@ -342,6 +374,7 @@ def run_count(cfg: CountConfig, out_dir: str,
     # correction candidate probe is a single row gather
     wl_table = wl_table.with_counts(np.asarray(wl_counts))
     mol_bc, mol_gene, mol_umi = [], [], []
+    sj_counts: dict = {}   # (donor_text, acceptor_text, strand, annotated) -> reads
     bam_collector = None
     if cfg.write_bam and gi is not None:
         from .bam_out import BamCollector
@@ -399,6 +432,29 @@ def run_count(cfg: CountConfig, out_dir: str,
             mol_bc.append(np.asarray(out["bc_idx"])[conf])
             mol_gene.append(np.asarray(out["gene"])[conf])
             mol_umi.append(np.asarray(out["umi"])[conf])
+            # splice junction read support (SJ.out.tab analog): novel
+            # junctions from split alignments, annotated ones from
+            # junction-contig placements; unique mappers only
+            m255 = (np.asarray(out["mapped"])
+                    & (np.asarray(out["mapq"]) == 255))[:batch.n_reads]
+            nsj = np.asarray(out["novel_sj"])[:batch.n_reads] & m255
+            if nsj.any():
+                dn = np.asarray(out["sj_donor"]).astype(np.int64)[:batch.n_reads][nsj]
+                an = np.asarray(out["sj_acceptor"]).astype(np.int64)[:batch.n_reads][nsj]
+                st = np.asarray(out["strand"])[:batch.n_reads][nsj]
+                for t in zip(dn.tolist(), an.tolist(), st.tolist()):
+                    key = (t[0], t[1], t[2], 0)
+                    sj_counts[key] = sj_counts.get(key, 0) + 1
+            posa = np.asarray(out["pos"]).astype(np.int64)[:batch.n_reads]
+            on_contig = m255 & (posa >= gi.genome_len) & ~nsj
+            if on_contig.any():
+                ji = ((posa[on_contig] - gi.genome_len)
+                      // (2 * gi.sj_overhang)).astype(np.int64)
+                st = np.asarray(out["strand"])[:batch.n_reads][on_contig]
+                for j, s in zip(ji.tolist(), st.tolist()):
+                    key = (int(gi.sj_donor_end[j]),
+                           int(gi.sj_acceptor_start[j]), int(s), 1)
+                    sj_counts[key] = sj_counts.get(key, 0) + 1
             if bam_collector is not None:
                 bam_collector.add_batch(batch, out)
         else:
@@ -507,6 +563,33 @@ def run_count(cfg: CountConfig, out_dir: str,
             os.path.join(out_dir, "possorted_genome_bam.bam"),
             {k: np.asarray(v) for k, v in dd.items()},
             chem.barcode_length, chem.umi_length, gem_group=cfg.gem_group)
+
+    # ---- splice junction table (STAR SJ.out.tab analog) ----
+    if sj_counts and gi is not None:
+        agg: dict = {}
+        for (d, a, _s, annot), c in sj_counts.items():
+            k = (d, a)
+            prev = agg.get(k, (0, 0))
+            agg[k] = (prev[0] + c, max(prev[1], annot))
+        with open(os.path.join(out_dir, "junctions.tsv"), "w") as f:
+            f.write("chrom\tintron_first\tintron_last\tstrand\tmotif\t"
+                    "annotated\tunique_reads\n")
+            for (d, a) in sorted(agg):
+                c, annot = agg[(d, a)]
+                ci = int(np.searchsorted(gi.chrom_starts, d, side="right") - 1)
+                c0 = int(gi.chrom_starts[ci])
+                t = gi.text
+                d0, d1 = int(t[d]), int(t[d + 1]) if d + 1 < len(t) else -1
+                a0 = int(t[a - 2]) if a >= 2 else -1
+                a1 = int(t[a - 1]) if a >= 1 else -1
+                if (d0, d1, a0, a1) == (2, 3, 0, 2):     # GT..AG
+                    strand_c, motif = "+", 1
+                elif (d0, d1, a0, a1) == (1, 3, 0, 1):   # CT..AC
+                    strand_c, motif = "-", 2
+                else:
+                    strand_c, motif = ".", 0
+                f.write(f"{gi.chrom_names[ci]}\t{d - c0 + 1}\t{a - c0}\t"
+                        f"{strand_c}\t{motif}\t{annot}\t{c}\n")
 
     # ---- molecule_info.h5 ----
     # library_idx per molecule: GEX features -> library 0, feature-barcode
