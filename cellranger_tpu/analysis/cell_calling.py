@@ -280,7 +280,8 @@ def find_nonambient_barcodes(matrix, umis_per_bc: np.ndarray,
 
 
 def call_cells(matrix, umis_per_bc: np.ndarray, chemistry_name: str = "SC3Pv3",
-               recovered_cells: int | None = None, force_cells: int | None = None):
+               recovered_cells: int | None = None, force_cells: int | None = None,
+               num_probe_bcs: int | None = None):
     """Full cell calling: ordmag + EmptyDrops rescue. Returns (cell_idx
     sorted, dict of metrics)."""
     if force_cells is not None:
@@ -289,9 +290,11 @@ def call_cells(matrix, umis_per_bc: np.ndarray, chemistry_name: str = "SC3Pv3",
         idx = np.sort(np.argsort(umis_per_bc, kind="stable")[::-1][:n])
         return idx, {"cells_method": "fixed_cutoff", "filtered_bcs": n}
 
-    om = call_initial_cells_ordmag(umis_per_bc, recovered_cells, chemistry_name)
+    om = call_initial_cells_ordmag(umis_per_bc, recovered_cells, chemistry_name,
+                                   num_probe_bcs=num_probe_bcs)
     rescue = find_nonambient_barcodes(
-        matrix, umis_per_bc, om.filtered_idx, chemistry_name)
+        matrix, umis_per_bc, om.filtered_idx, chemistry_name,
+        num_probe_bcs=num_probe_bcs)
     extra = (rescue.eval_bc_idx[rescue.is_nonambient]
              if rescue is not None else np.zeros(0, int))
     cells = np.union1d(om.filtered_idx, extra)

@@ -40,6 +40,10 @@ class Chemistry:
     rna2: Span | None = None  # paired-end cDNA mate (5' PE)
     strandedness: str = "+"  # read orientation vs transcript: + sense, - antisense
     endedness: str = "three_prime"  # three_prime | five_prime
+    # RTL multiplexing: per-sample probe barcode segment (chemistry_defs.json
+    # MFRP-RNA "right_probe": R2 offset 68 len 8). Kept separate from the
+    # gel-bead barcode; downstream forms the product barcode space.
+    probe_bc: Span | None = None
 
     @property
     def barcode_length(self) -> int:
@@ -99,6 +103,11 @@ _reg(Chemistry("SC-FB", "Single Cell 3' v2 or 5' Feature Barcode", _gb(_R),
 _reg(Chemistry("SFRP", "Fixed RNA Profiling (Singleplex)", _gb(_FRP),
                umi=Span("R1", 16, 12, 10), rna=Span("R2", 0, 50, 30),
                strandedness="-", endedness="three_prime"))
+_reg(Chemistry("MFRP-RNA", "Fixed RNA Profiling (Multiplexed)", _gb(_FRP),
+               umi=Span("R1", 16, 12, 10), rna=Span("R2", 0, 50, 30),
+               strandedness="-", endedness="three_prime",
+               probe_bc=Span("R2", 68, 8)))
+CHEMISTRY_DEFS["MFRP"] = CHEMISTRY_DEFS["MFRP-RNA"]  # common alias
 _reg(Chemistry("ARC-v1", "Multiome GEX", _gb(_ARC),
                umi=Span("R1", 16, 12, 10), rna=Span("R2", 0, None), strandedness="+"))
 _reg(Chemistry("SCVDJ", "Single Cell V(D)J", _gb(_R),

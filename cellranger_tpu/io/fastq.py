@@ -77,6 +77,10 @@ class ReadBatch:
     read_id: np.ndarray          # int64 [B] global ordinal of the read
     n_reads: int
     names: list[bytes] | None = None  # read names (BAM output only)
+    # RTL multiplexing: per-sample probe barcode (chem.probe_bc span)
+    probe_bc_packed: np.ndarray | None = None  # uint32 [B]
+    probe_bc_exact: np.ndarray | None = None   # bool [B]
+    probe_bc_qual: np.ndarray | None = None    # uint8 [B, plen]
 
     @property
     def batch_size(self) -> int:
@@ -124,6 +128,12 @@ def required_widths(chem: Chemistry, read_len: int) -> tuple[int, int]:
                umi_span.offset + umi_span.length,
                (chem.rna.offset + read_len) if chem.rna.read == "R1" else 0)
     r2_w = (chem.rna.offset + read_len) if chem.rna.read == "R2" else read_len
+    if chem.probe_bc is not None:
+        p_end = chem.probe_bc.offset + chem.probe_bc.length
+        if chem.probe_bc.read == "R1":
+            r1_w = max(r1_w, p_end)
+        else:
+            r2_w = max(r2_w, p_end)
     return r1_w, r2_w
 
 
@@ -205,9 +215,21 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
         pad_shape = (batch_size - len(a),) + a.shape[1:]
         return np.concatenate([a, np.full(pad_shape, fill, dtype=a.dtype)])
 
+    # probe barcode (RTL multiplexing)
+    probe_packed = probe_exact = probe_qual = None
+    if chem.probe_bc is not None:
+        pseq, pqual, plen = span_arrays(chem.probe_bc)
+        pcodes, pvalid = encode.encode_seqs(pseq)
+        probe_exact = padb((pvalid.all(axis=1)
+                            & (plen == chem.probe_bc.length)).astype(bool))
+        probe_packed = padb(encode.pack_codes_np(pcodes, chem.probe_bc.length))
+        probe_qual = padb(pqual)
+
     slot_valid = np.zeros(batch_size, bool)
     slot_valid[:n] = True
     return ReadBatch(
+        probe_bc_packed=probe_packed, probe_bc_exact=probe_exact,
+        probe_bc_qual=probe_qual,
         bc_packed=padb(bc_packed), bc_qual=padb(bqual), bc_exact=padb(bc_exact.astype(bool)),
         umi_packed=padb(umi_packed), umi_valid=padb(umi_valid.astype(bool)),
         umi_qual=padb(uqual),

@@ -119,6 +119,7 @@ def run_multi(config_csv: str, out_dir: str, whitelist_path: str,
             chemistry=gex.get("chemistry", "SC3Pv3"),
             recovered_cells=int(gex["expect-cells"]) if gex.get("expect-cells") else None,
             force_cells=int(gex["force-cells"]) if gex.get("force-cells") else None,
+            probe_barcode_csv=gex.get("probe-barcode-set") or None,
             read_len=read_len, batch_size=batch_size, sample_id=sample_id)
         summary["count"] = run_count(ccfg, os.path.join(out_dir, "count"))
 
@@ -129,6 +130,14 @@ def run_multi(config_csv: str, out_dir: str, whitelist_path: str,
         summary["demux"] = demux_samples(
             os.path.join(out_dir, "count"), cfg.samples,
             os.path.join(out_dir, "demux"))
+
+    # RTL probe-barcode sample demux ([samples] with probe_barcode_ids)
+    if count_libs and cfg.samples and ccfg.probe_barcode_csv and any(
+            r.get("probe_barcode_ids") for r in cfg.samples):
+        from ..pipeline.demux import demux_probe_samples
+        summary["demux_probe"] = demux_probe_samples(
+            os.path.join(out_dir, "count"), cfg.samples,
+            ccfg.probe_barcode_csv, os.path.join(out_dir, "demux"))
 
     for row, pairs in vdj_libs:
         from ..pipeline.vdj import VdjConfig, run_vdj

@@ -74,6 +74,9 @@ class CountConfig:
     gem_group: int = 1
     write_bam: bool = False
     secondary_analysis: bool = True
+    # RTL multiplexing (MFRP): probe barcode whitelist CSV (id,sequence);
+    # molecules land in the (gel-bead x probe-bc) product barcode space
+    probe_barcode_csv: str | None = None
 
 
 @dataclass
@@ -301,6 +304,7 @@ def run_count(cfg: CountConfig, out_dir: str,
             [probe_region_names.index(r or "unknown")
              for r in probe_set.regions], np.int32)
         probe_region_reads = np.zeros(len(probe_region_names), np.int64)
+
     else:
         ref = ReferencePackage.load(cfg.reference_path)
         gi = ref.genome_index
@@ -319,6 +323,23 @@ def run_count(cfg: CountConfig, out_dir: str,
             features = FeatureReference.from_transcriptome(
                 ref.transcriptome.gene_ids, ref.transcriptome.gene_names,
                 ref.genome_name)
+
+    # RTL sample multiplexing: probe barcode whitelist (MFRP chemistries)
+    probe_bc_ids = None
+    probe_bc_packed = None
+    if chem.probe_bc is not None:
+        if not cfg.probe_barcode_csv:
+            raise ValueError(
+                f"chemistry {chem.name} carries a probe barcode; pass "
+                "probe_barcode_csv (id,sequence rows)")
+        from ..io.probe_bc import load_probe_barcodes
+        probe_bc_ids, probe_bc_packed, pbl = load_probe_barcodes(
+            cfg.probe_barcode_csv)
+        if pbl != chem.probe_bc.length:
+            raise ValueError(
+                f"probe barcodes are {pbl}bp; chemistry expects "
+                f"{chem.probe_bc.length}bp")
+    n_probe = len(probe_bc_ids) if probe_bc_ids else 1
 
     fb_ref = None
     fb_extractors = {}
@@ -395,6 +416,14 @@ def run_count(cfg: CountConfig, out_dir: str,
                              jnp.asarray(batch.rna_nmask))
             conf = (np.asarray(pa["conf_mapped"]) & np.asarray(bc_ok)
                     & batch.umi_valid)
+            bc_combined = np.asarray(bc_idx).astype(np.int64)
+            if probe_bc_packed is not None:
+                from ..io.probe_bc import assign_probe_bcs
+                pidx, pok = assign_probe_bcs(
+                    batch.probe_bc_packed, probe_bc_packed,
+                    chem.probe_bc.length)
+                conf = conf & pok
+                bc_combined = bc_combined * n_probe + np.maximum(pidx, 0)
             metrics.total_reads += batch.n_reads
             metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
             metrics.corrected_barcode_reads += int(
@@ -406,7 +435,7 @@ def run_count(cfg: CountConfig, out_dir: str,
             metrics.usable_reads += int(conf.sum())
             probes_conf = np.asarray(pa["probe"])[conf]
             np.add.at(probe_region_reads, region_of_probe[probes_conf], 1)
-            mol_bc.append(np.asarray(bc_idx).astype(np.uint32)[conf])
+            mol_bc.append(bc_combined.astype(np.uint32)[conf])
             mol_gene.append(np.asarray(pa["gene"])[conf].astype(np.uint32))
             mol_umi.append(np.asarray(batch.umi_packed)[conf])
         elif lib_type == "Gene Expression":
@@ -530,8 +559,18 @@ def run_count(cfg: CountConfig, out_dir: str,
     out_seqs = (whitelist.translation if whitelist.translation is not None
                 else whitelist.sorted_seqs)
     suffix = f"-{cfg.gem_group}".encode()
-    barcodes = [encode.decode_codes(encode.unpack_np(s, whitelist.length)) + suffix
-                for s in out_seqs]
+    if probe_bc_packed is not None:
+        # product barcode space: gel-bead barcode ++ probe barcode
+        # (DEMUX_PROBE_BC_MATRIX barcode composition)
+        probe_strs = [encode.decode_codes(encode.unpack_np(
+            np.uint32(p), chem.probe_bc.length)) for p in probe_bc_packed]
+        barcodes = [
+            encode.decode_codes(encode.unpack_np(s, whitelist.length))
+            + ps + suffix
+            for s in out_seqs for ps in probe_strs]
+    else:
+        barcodes = [encode.decode_codes(encode.unpack_np(s, whitelist.length))
+                    + suffix for s in out_seqs]
     raw = CountMatrix.from_molecules(mbc.astype(np.int64), mgene.astype(np.int64),
                                      barcodes, features)
     raw.save_h5(os.path.join(out_dir, "raw_feature_bc_matrix.h5"),
@@ -549,7 +588,8 @@ def run_count(cfg: CountConfig, out_dir: str,
         call_matrix = raw.m
     cells_idx, call_metrics = cell_calling.call_cells(
         call_matrix, umis_per_bc, cfg.chemistry,
-        recovered_cells=cfg.recovered_cells, force_cells=cfg.force_cells)
+        recovered_cells=cfg.recovered_cells, force_cells=cfg.force_cells,
+        num_probe_bcs=n_probe if n_probe > 1 else None)
     filtered = raw.select_barcodes(cells_idx)
     filtered.save_h5(os.path.join(out_dir, "filtered_feature_bc_matrix.h5"),
                      chemistry_description=chem.description)
@@ -631,7 +671,8 @@ def run_count(cfg: CountConfig, out_dir: str,
         run_secondary_analysis(filtered, os.path.join(out_dir, "analysis"))
 
     # ---- summary metrics ----
-    cell_mask = np.zeros(whitelist.size, bool)
+    bc_space = whitelist.size * n_probe
+    cell_mask = np.zeros(bc_space, bool)
     cell_mask[cells_idx] = True
     in_cell = cell_mask[mbc]
     umis_in_cells = raw.counts_per_bc()[cells_idx]
@@ -648,6 +689,18 @@ def run_count(cfg: CountConfig, out_dir: str,
         "sample_id": cfg.sample_id,
         "chemistry": cfg.chemistry,
     })
+    # mergeable histogram metrics (metric crate SimpleHistogram analog)
+    from ..metrics import SimpleHistogram
+    h_rpm = SimpleHistogram()
+    if len(mreads):
+        h_rpm.observe_array(mreads)
+    extra["reads_per_molecule_hist"] = {
+        int(k): int(v) for k, v in h_rpm.report().items()}
+    if len(cells_idx):
+        h_upc = SimpleHistogram()
+        h_upc.observe_array(umis_in_cells)
+        extra["umis_per_cell_p50"] = int(h_upc.quantile(0.5))
+        extra["umis_per_cell_p90"] = int(h_upc.quantile(0.9))
     if probe_set is not None:
         # per-probe-region usable read tallies (targeted/RTL metrics,
         # cellranger/targeted semantics)
@@ -659,7 +712,7 @@ def run_count(cfg: CountConfig, out_dir: str,
 
     # per-barcode metrics (COLLATE_METRICS analog: per_barcode_metrics.csv)
     if len(mbc):
-        reads_per_bc = np.zeros(whitelist.size, np.int64)
+        reads_per_bc = np.zeros(bc_space, np.int64)
         np.add.at(reads_per_bc, mbc, mreads)
         genes_per_bc_all = np.asarray((raw.m > 0).sum(axis=0)).ravel()
         with open(os.path.join(out_dir, "per_barcode_metrics.csv"), "w") as f:

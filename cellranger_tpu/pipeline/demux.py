@@ -59,3 +59,52 @@ def demux_samples(count_out_dir: str, samples: list[dict], out_dir: str) -> dict
         sub.save_h5(os.path.join(sdir, "sample_filtered_feature_bc_matrix.h5"))
         summary["samples"][sample_id] = len(cols)
     return summary
+
+
+def demux_probe_samples(count_out_dir: str, samples: list[dict],
+                        probe_barcode_csv: str, out_dir: str) -> dict:
+    """RTL (MFRP) sample demux — DEMUX_PROBE_BC_MATRIX analog
+    (mro/rna/_basic_sc_rna_counter.mro:233): the probe barcode is PART of
+    the cell barcode (last probe_bc_len bases before the gem-group suffix),
+    so demux is a deterministic split of the filtered matrix columns by the
+    probe component; samples map probe_barcode_ids ('|'-separated)."""
+    from ..io.probe_bc import load_probe_barcodes
+    from ..ops import encode
+
+    filtered = CountMatrix.load_h5(
+        os.path.join(count_out_dir, "filtered_feature_bc_matrix.h5"))
+    ids, packed, plen = load_probe_barcodes(probe_barcode_csv)
+    seq_to_id = {
+        encode.decode_codes(encode.unpack_np(np.uint32(p), plen)).decode(): i
+        for i, p in zip(ids, packed)}
+    id_to_sample = {}
+    for row in samples:
+        for pid in row.get("probe_barcode_ids", "").split("|"):
+            if pid:
+                id_to_sample[pid.strip()] = row["sample_id"]
+
+    # the count pipeline wrote barcodes as gel ++ probe ++ "-<gem>"
+    per_sample_cols: dict[str, list[int]] = {}
+    rows_csv = []
+    for ci, bc in enumerate(filtered.barcodes):
+        s = bc.decode()
+        core = s.rsplit("-", 1)[0]
+        pid = seq_to_id.get(core[-plen:], "unknown")
+        rows_csv.append((s, pid))
+        if pid in id_to_sample:
+            per_sample_cols.setdefault(id_to_sample[pid], []).append(ci)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "probe_assignments.csv"), "w") as f:
+        f.write("barcode,probe_barcode_id,sample\n")
+        for s, pid in rows_csv:
+            f.write(f"{s},{pid},{id_to_sample.get(pid, 'unassigned')}\n")
+    summary = dict(samples={}, n_unassigned=sum(
+        1 for _, p in rows_csv if p not in id_to_sample))
+    for sample_id, cols in per_sample_cols.items():
+        sub = filtered.select_barcodes(np.asarray(cols))
+        sdir = os.path.join(out_dir, "per_sample_outs", sample_id)
+        os.makedirs(sdir, exist_ok=True)
+        sub.save_h5(os.path.join(sdir, "sample_filtered_feature_bc_matrix.h5"))
+        summary["samples"][sample_id] = len(cols)
+    return summary
