@@ -419,25 +419,42 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         )
 
         if novel_sj:
-            # ---- novel splice junction discovery ----
+            # ---- novel splice junction discovery (COMPACTED) ----
             # A spliced read over an UNANNOTATED junction seeds TWO
             # same-strand candidate diagonals whose offset is the intron
             # length. Split score at read position x reuses the per-
             # candidate prefix machinery already computed:
             #   T(i,j,x) = best_end_i(x) + best_start_j(x+1)
             # i.e. Kadane best-sum ending at x on the left window plus
-            # best-sum starting at x+1 on the right window — no extra HBM
-            # traffic; the only new gathers are two 8-base motif windows.
-            rcm = jax.lax.cummax(cs, axis=2, reverse=True)
-            best_start_at = rcm - pref                   # [B, D, L]
+            # best-sum starting at x+1 on the right window. Only SUSPECTS
+            # run it: reads whose best unspliced score cannot explain the
+            # read AND that have >=2 candidate loci — compacted to B/4
+            # like SW rescue, so the full-length-mappable bulk pays ~zero.
+            CJ = min(B, max(B // RESCUE_CAP_FRAC, 64))
+            vlen = jnp.sum(nmask.astype(jnp.int32), axis=1)
+            n_cand = jnp.sum(cand_ok.astype(jnp.int32), axis=1)
+            need_sj = ((best_score < vlen - SJ_MARGIN) & (n_cand >= 2)
+                       & (best_score > -BIG))
+            selj = jnp.nonzero(need_sj, size=CJ, fill_value=B)[0]
+            sjc = jnp.minimum(selj, B - 1)
+            cs_j = cs[sjc]                               # [C, D, L]
+            pref_j = pref[sjc]
+            best_at_j = best_at[sjc]
+            cand_pos_j = cand_pos[sjc]
+            cand_strand_j = cand_strand[sjc]
+            cand_ok_j = cand_ok[sjc]
+            best_score_j = best_score[sjc]
+
+            rcm = jax.lax.cummax(cs_j, axis=2, reverse=True)
+            best_start_at = rcm - pref_j                 # [C, D, L]
             bs_shift = jnp.concatenate(
                 [best_start_at[:, :, 1:],
-                 jnp.full((B, D, 1), -BIG, jnp.int32)], axis=2)
-            posu = cand_pos.astype(jnp.uint32)
+                 jnp.full((CJ, D, 1), -BIG, jnp.int32)], axis=2)
+            posu = cand_pos_j.astype(jnp.uint32)
             in_gen = posu < glen                         # contigs excluded
-            intron = posu[:, None, :] - posu[:, :, None]  # [B, i, j]
-            pair_ok = (cand_ok[:, :, None] & cand_ok[:, None, :]
-                       & (cand_strand[:, :, None] == cand_strand[:, None, :])
+            intron = posu[:, None, :] - posu[:, :, None]  # [C, i, j]
+            pair_ok = (cand_ok_j[:, :, None] & cand_ok_j[:, None, :]
+                       & (cand_strand_j[:, :, None] == cand_strand_j[:, None, :])
                        & in_gen[:, :, None] & in_gen[:, None, :]
                        & (posu[:, None, :] > posu[:, :, None])
                        & (intron >= jnp.uint32(SJ_MIN_INTRON))
@@ -445,16 +462,16 @@ def make_aligner(idx: DeviceIndex, read_len: int,
             seg_r_ok = bs_shift >= SJ_MIN_SEG
             ps, pxs = [], []
             for i in range(D):                           # unrolled: D small
-                t = jnp.where((best_at[:, i:i + 1, :] >= SJ_MIN_SEG)
+                t = jnp.where((best_at_j[:, i:i + 1, :] >= SJ_MIN_SEG)
                               & seg_r_ok,
-                              best_at[:, i:i + 1, :] + bs_shift, -BIG)
-                ps.append(jnp.max(t, axis=2))            # [B, D]
+                              best_at_j[:, i:i + 1, :] + bs_shift, -BIG)
+                ps.append(jnp.max(t, axis=2))            # [C, D]
                 pxs.append(jnp.argmax(t, axis=2).astype(jnp.int32))
-            pscore = jnp.where(pair_ok, jnp.stack(ps, 1), -BIG)  # [B, i, j]
+            pscore = jnp.where(pair_ok, jnp.stack(ps, 1), -BIG)  # [C, i, j]
             px = jnp.stack(pxs, 1)
-            bestp = jnp.argmax(pscore.reshape(B, D * D), axis=1)
+            bestp = jnp.argmax(pscore.reshape(CJ, D * D), axis=1)
             takep = lambda a: jnp.take_along_axis(
-                a.reshape(B, D * D), bestp[:, None], 1)[:, 0]
+                a.reshape(CJ, D * D), bestp[:, None], 1)[:, 0]
             sp_score = takep(pscore)
             sx = takep(px)                               # split read index
             bi = (bestp // D).astype(jnp.int32)
@@ -464,11 +481,11 @@ def make_aligner(idx: DeviceIndex, read_len: int,
                 a, w[:, None, None], 1)[:, 0, :]
             pos_l = takec(posu, bi)
             pos_r = takec(posu, bj)
-            sj_strand = takec(cand_strand, bi)
-            ba_l = taker(best_at, bi)                    # [B, L]
+            sj_strand = takec(cand_strand_j, bi)
+            ba_l = taker(best_at_j, bi)                  # [C, L]
             bs_r = taker(bs_shift, bj)
-            pref_l = taker(pref, bi)
-            cs_r = taker(cs, bj)
+            pref_l = taker(pref_j, bi)
+            cs_r = taker(cs_j, bj)
 
             # canonical-motif plateau shift (STAR junction shifting): among
             # equal-score splits near x*, prefer a GT..AG / CT..AC intron
@@ -502,7 +519,8 @@ def make_aligner(idx: DeviceIndex, read_len: int,
                               shifts[jnp.argmax(canon7, axis=1)], 0)
             xs = sx + s_sel
             sp_final = sp_score - jnp.where(has_canon, 0, SJ_NONCANON_PEN)
-            win_sj = (sp_final > best_score + SJ_MARGIN) & (sp_score > 0)
+            win_c = (sp_final > best_score_j + SJ_MARGIN) & (sp_score > 0) \
+                & (selj < B)
 
             li1 = jnp.arange(L, dtype=jnp.int32)[None, :]
             pm = jnp.where(li1 <= xs[:, None], pref_l, BIG)
@@ -511,20 +529,28 @@ def make_aligner(idx: DeviceIndex, read_len: int,
             rend = jnp.argmax(cm, axis=1).astype(jnp.int32)
             xs1 = (xs + 1).astype(jnp.uint32)
             pdt = out["pos"].dtype
+
+            def scat(init, vals):
+                return init.at[selj].set(jnp.where(win_c, vals, init[sjc]),
+                                         mode="drop")
+
+            win_sj = jnp.zeros((B,), bool).at[selj].set(win_c, mode="drop")
             out["novel_sj"] = win_sj
-            out["sj_donor"] = (pos_l + xs1).astype(pdt)     # 1st intron base
-            out["sj_acceptor"] = (pos_r + xs1).astype(pdt)  # 1st base after
-            out["sj_left_len"] = xs - lstart + 1
-            out["sj_right_len"] = rend - xs
-            out["sj_score"] = sp_final
-            out["pos"] = jnp.where(win_sj, pos_l.astype(pdt), out["pos"])
-            out["strand"] = jnp.where(win_sj, sj_strand, out["strand"])
-            out["aln_start"] = jnp.where(win_sj, lstart, out["aln_start"])
-            out["aln_len"] = jnp.where(win_sj, xs - lstart + 1,
-                                       out["aln_len"])
+            out["sj_donor"] = scat(jnp.zeros((B,), pdt),
+                                   (pos_l + xs1).astype(pdt))
+            out["sj_acceptor"] = scat(jnp.zeros((B,), pdt),
+                                      (pos_r + xs1).astype(pdt))
+            out["sj_left_len"] = scat(jnp.zeros((B,), jnp.int32),
+                                      xs - lstart + 1)
+            out["sj_right_len"] = scat(jnp.zeros((B,), jnp.int32), rend - xs)
+            out["sj_score"] = scat(jnp.full((B,), -BIG, jnp.int32), sp_final)
+            out["pos"] = scat(out["pos"], pos_l.astype(pdt))
+            out["strand"] = scat(out["strand"], sj_strand)
+            out["aln_start"] = scat(out["aln_start"], lstart)
+            out["aln_len"] = scat(out["aln_len"], xs - lstart + 1)
             n_best = jnp.where(win_sj, 1, n_best)
             out["n_best"] = n_best
-            best_score = jnp.where(win_sj, sp_final, best_score)
+            best_score = scat(best_score, sp_final)
             out["score"] = best_score
 
         if sw_rescue:

@@ -125,6 +125,14 @@ def _cmd_mkref(args):
     print(json.dumps(ref.metadata, indent=2))
 
 
+def _cmd_mkfastq(args):
+    from .pipeline.mkfastq import run_mkfastq
+
+    summary = run_mkfastq(args.run, args.samplesheet, args.out,
+                          index_kit_csv=args.index_kit)
+    print(json.dumps(summary, indent=2))
+
+
 def _cmd_testrun(args):
     """Synthetic end-to-end smoke test (the `cellranger testrun` analog,
     cr_wrap/src/bin/cellranger.rs:579-639) — generates a miniature run and
@@ -248,6 +256,15 @@ def main(argv=None):
     m.add_argument("--genes", required=True)
     m.add_argument("--out", required=True)
     m.set_defaults(fn=_cmd_mkref)
+
+    mf = sub.add_parser("mkfastq", help="demultiplex a BCL run to FASTQs")
+    mf.add_argument("--run", required=True, help="BCL run directory")
+    mf.add_argument("--samplesheet", required=True,
+                    help="CSV: Lane,Sample,Index")
+    mf.add_argument("--index-kit", default=None,
+                    help="CSV mapping SI- set names to oligos")
+    mf.add_argument("--out", required=True)
+    mf.set_defaults(fn=_cmd_mkfastq)
 
     t = sub.add_parser("testrun", help="synthetic end-to-end smoke test")
     t.add_argument("--out", required=True)

@@ -143,20 +143,98 @@ def annotate_contig(contig: str, ref: VdjReference) -> ContigAnnotation:
     return ann
 
 
-def group_clonotypes(cells: dict[str, list[ContigAnnotation]]):
-    """{barcode: [annotations]} -> list of clonotypes: cells sharing the
-    identical set of (chain, cdr3_nt)."""
-    keyed = {}
+def _cluster_cdr3s(seqs: list[str], max_mm: int) -> dict[str, str]:
+    """Union-find clustering of same-length CDR3 nt sequences within
+    Hamming distance max_mm; returns seq -> representative (the
+    lexicographically smallest member, so output is deterministic)."""
+    parent = {s: s for s in seqs}
+
+    def find(s):
+        while parent[s] != s:
+            parent[s] = parent[parent[s]]
+            s = parent[s]
+        return s
+
+    ss = sorted(set(seqs))
+    for i, a in enumerate(ss):
+        for b in ss[i + 1:]:
+            if sum(x != y for x, y in zip(a, b)) <= max_mm:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {s: find(s) for s in ss}
+
+
+def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
+                     fuzzy: bool = True):
+    """{barcode: [annotations]} -> clonotypes.
+
+    fuzzy=True is the enclone-depth refinement
+    (lib/rust/clonotype_assigner/src/assigner.rs drives enclone_ranger):
+    within cells sharing (chain, V gene, J gene, CDR3 length), CDR3 nt
+    sequences within ~10% Hamming distance (somatic hypermutation / seq
+    error) cluster to one representative; cells whose productive chain set
+    is then identical join one clonotype, and a cell whose chains are a
+    strict SUBSET of exactly one larger clonotype merges into it
+    (single-chain dropout handling). fuzzy=False keeps exact-CDR3 keys."""
+    per_cell = {}
     for bc, anns in cells.items():
-        key = tuple(sorted({(a.chain or "", a.cdr3_nt)
-                            for a in anns if a.productive and a.cdr3_nt}))
-        if not key:
-            continue
-        keyed.setdefault(key, []).append(bc)
+        chains = {(a.chain or "",
+                   a.v.segment.gene_name if a.v else "",
+                   a.j.segment.gene_name if a.j else "",
+                   a.cdr3_nt)
+                  for a in anns if a.productive and a.cdr3_nt}
+        if chains:
+            per_cell[bc] = chains
+
+    if fuzzy:
+        # cluster CDR3s within (chain, v, j, len) buckets
+        buckets: dict = {}
+        for chains in per_cell.values():
+            for (ch, v, j, nt) in chains:
+                buckets.setdefault((ch, v, j, len(nt)), set()).add(nt)
+        rep = {}
+        for (ch, v, j, ln), seqs in buckets.items():
+            mm = max(1, ln // 10)
+            for s, r in _cluster_cdr3s(sorted(seqs), mm).items():
+                rep[(ch, v, j, s)] = r
+        per_cell = {bc: {(ch, v, j, rep[(ch, v, j, nt)])
+                         for (ch, v, j, nt) in chains}
+                    for bc, chains in per_cell.items()}
+
+    keyed: dict = {}
+    for bc, chains in per_cell.items():
+        keyed.setdefault(tuple(sorted(chains)), []).append(bc)
+
+    if fuzzy and len(keyed) > 1:
+        # subset merge: a key that is a strict subset of exactly ONE other
+        # key absorbs into it (dropout of a chain in some cells)
+        keys = sorted(keyed, key=lambda k: (-len(keyed[k]), k))
+        merged_into = {}
+        for k in keys:
+            supers = [o for o in keys
+                      if o is not k and set(k) < set(o)
+                      and o not in merged_into]
+            if len(supers) == 1:
+                merged_into[k] = supers[0]
+            elif len(supers) > 1:
+                # ambiguous: absorb only into a DOMINANT superset (unique
+                # max frequency) — the enclone light-chain-only heuristic
+                freqs = sorted((len(keyed[o]) for o in supers), reverse=True)
+                if freqs[0] > freqs[1]:
+                    merged_into[k] = max(supers, key=lambda o: len(keyed[o]))
+        for k, sup in merged_into.items():
+            while sup in merged_into:
+                sup = merged_into[sup]
+            if sup != k:
+                keyed[sup].extend(keyed.pop(k))
+
     out = []
-    for key, bcs in sorted(keyed.items(), key=lambda kv: -len(kv[1])):
+    order = sorted(keyed.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    for key, bcs in order:
         out.append(dict(
             clonotype_id=f"clonotype{len(out) + 1}",
-            chains=[dict(chain=ch, cdr3_nt=nt) for ch, nt in key],
+            chains=[dict(chain=ch, v_gene=v, j_gene=j, cdr3_nt=nt)
+                    for ch, v, j, nt in key],
             barcodes=sorted(bcs), frequency=len(bcs)))
     return out

@@ -1,0 +1,150 @@
+"""mkfastq: synthetic BCL run folder -> demuxed per-sample FASTQs."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from cellranger_tpu.pipeline.mkfastq import (parse_samplesheet, run_mkfastq,
+                                             _match_index)
+
+R1_LEN, I1_LEN, R2_LEN = 28, 8, 50
+BASES = "ACGT"
+
+
+def write_bcl(path, codes, quals):
+    """codes: 0..3 or 4=N."""
+    n = len(codes)
+    b = np.where(codes == 4, 0,
+                 (codes & 3) | (quals.astype(np.uint8) << 2)).astype(np.uint8)
+    with gzip.open(path, "wb") as f:
+        f.write(struct.pack("<I", n) + b.tobytes())
+
+
+def make_run(root, reads_by_tile):
+    """reads_by_tile: {tile: [(r1, i1, r2, pass_filter)]}."""
+    run = root / "bclrun"
+    bc = run / "Data" / "Intensities" / "BaseCalls" / "L001"
+    locd = run / "Data" / "Intensities" / "L001"
+    os.makedirs(locd, exist_ok=True)
+    with open(run / "RunInfo.xml", "w") as f:
+        f.write(
+            '<?xml version="1.0"?><RunInfo><Run Id="240101_M0_0001_FLOW1">'
+            '<Flowcell>FLOW1</Flowcell>'
+            '<Reads>'
+            f'<Read Number="1" NumCycles="{R1_LEN}" IsIndexedRead="N"/>'
+            f'<Read Number="2" NumCycles="{I1_LEN}" IsIndexedRead="Y"/>'
+            f'<Read Number="3" NumCycles="{R2_LEN}" IsIndexedRead="N"/>'
+            '</Reads>'
+            '<FlowcellLayout LaneCount="1"/>'
+            '</Run></RunInfo>')
+    for tile, rows in reads_by_tile.items():
+        full = ["".join(r) for r in
+                ((r1, i1, r2) for (r1, i1, r2, _pf) in rows)]
+        n = len(full)
+        codes = np.zeros((n, R1_LEN + I1_LEN + R2_LEN), np.uint8)
+        for i, s in enumerate(full):
+            codes[i] = [4 if c == "N" else BASES.index(c) for c in s]
+        quals = np.full_like(codes, 35)
+        for c in range(codes.shape[1]):
+            cdir = bc / f"C{c+1}.1"
+            os.makedirs(cdir, exist_ok=True)
+            write_bcl(str(cdir / f"s_1_{tile}.bcl.gz"),
+                      codes[:, c], quals[:, c])
+        pf = np.asarray([r[3] for r in rows], np.uint8)
+        with open(bc / f"s_1_{tile}.filter", "wb") as f:
+            f.write(struct.pack("<III", 0, 3, n) + pf.tobytes())
+        xy = np.zeros((n, 2), "<f4")
+        xy[:, 0] = np.arange(n)
+        xy[:, 1] = tile
+        with open(locd / f"s_1_{tile}.locs", "wb") as f:
+            f.write(struct.pack("<IfI", 1, 1.0, n) + xy.tobytes())
+    return str(run)
+
+
+IDX_A = "ACGTACGT"
+IDX_B1 = "TTTTCCCC"
+IDX_B2 = "GGGGAAAA"
+
+
+@pytest.fixture()
+def bcl_run(tmp_path):
+    rng = np.random.default_rng(5)
+
+    def rand(n):
+        return "".join(rng.choice(list(BASES), n))
+
+    rows1, rows2, truth = [], [], {"A": 0, "B": 0, "Undetermined": 0}
+    for i in range(120):
+        r1, r2 = rand(R1_LEN), rand(R2_LEN)
+        pick = i % 4
+        if pick == 0:
+            i1, s = IDX_A, "A"
+        elif pick == 1:  # 1-mismatch of A still routes to A
+            i1, s = "CCGTACGT", "A"
+        elif pick == 2:
+            i1, s = (IDX_B1 if i % 8 == 2 else IDX_B2), "B"
+        else:
+            i1, s = rand(I1_LEN), "Undetermined"
+            if min(sum(a != b for a, b in zip(i1, x))
+                   for x in (IDX_A, IDX_B1, IDX_B2)) <= 1:
+                continue  # skip accidental matches
+        pf = not (i % 10 == 9)  # 10% fail chastity filter
+        (rows1 if i % 2 == 0 else rows2).append((r1, i1, r2, pf))
+        if pf:
+            truth[s] += 1
+    return make_run(tmp_path, {1101: rows1, 1102: rows2}), truth
+
+
+def test_match_index_tolerance():
+    seqs = np.frombuffer(
+        (IDX_A + "ACGTACGA" + "TTTTCCCC" + "AAAATTTT").encode(),
+        np.uint8).reshape(4, 8)
+    assign = _match_index(seqs, [[IDX_A], [IDX_B1, IDX_B2]])
+    assert assign.tolist() == [0, 0, 1, -1]
+
+
+def test_mkfastq_end_to_end(bcl_run, tmp_path):
+    run_dir, truth = bcl_run
+    ss = tmp_path / "samplesheet.csv"
+    kit = tmp_path / "kit.csv"
+    with open(kit, "w") as f:
+        f.write(f"SI-TT-B1,{IDX_B1},{IDX_B2}\n")
+    with open(ss, "w") as f:
+        f.write("Lane,Sample,Index\n")
+        f.write(f"1,A,{IDX_A}\n")
+        f.write("1,B,SI-TT-B1\n")
+    out = str(tmp_path / "fq")
+    summary = run_mkfastq(run_dir, str(ss), out, index_kit_csv=str(kit))
+    assert summary["samples"]["A"] == truth["A"]
+    assert summary["samples"]["B"] == truth["B"]
+    assert summary["samples"]["Undetermined"] == truth["Undetermined"]
+
+    # outputs parse as FASTQ with consistent R1/R2/I1 lengths and names
+    def readfq(p):
+        with gzip.open(p, "rt") as f:
+            lines = f.read().splitlines()
+        return [(lines[i], lines[i + 1]) for i in range(0, len(lines), 4)]
+
+    r1 = readfq(os.path.join(out, "A", "A_S1_L001_R1_001.fastq.gz"))
+    r2 = readfq(os.path.join(out, "A", "A_S1_L001_R2_001.fastq.gz"))
+    i1 = readfq(os.path.join(out, "A", "A_S1_L001_I1_001.fastq.gz"))
+    assert len(r1) == len(r2) == len(i1) == truth["A"]
+    assert all(len(s) == R1_LEN for _, s in r1)
+    assert all(len(s) == R2_LEN for _, s in r2)
+    # I1 of sample A reads is within 1mm of the A oligo
+    for _, s in i1:
+        assert sum(a != b for a, b in zip(s, IDX_A)) <= 1
+    # read names match across R1/R2 (same cluster)
+    assert [n for n, _ in r1] == [n for n, _ in r2]
+    assert all(n.startswith("@240101:1:FLOW1:1:") for n, _ in r1)
+
+
+def test_samplesheet_si_requires_kit(tmp_path):
+    ss = tmp_path / "s.csv"
+    with open(ss, "w") as f:
+        f.write("Lane,Sample,Index\n1,X,SI-GA-A1\n")
+    with pytest.raises(ValueError, match="index kit"):
+        parse_samplesheet(str(ss))

@@ -163,3 +163,43 @@ def test_airr_and_websummary(vdj_world, tmp_path):
     assert row["junction"] == w["cdr3_a"]
     assert row["clone_id"] == "clonotype1"
     assert os.path.exists(os.path.join(out, "web_summary.html"))
+
+
+def test_fuzzy_clonotype_grouping():
+    """Enclone-depth refinement: hypermutated CDR3s cluster, chain-dropout
+    cells merge into their unique superset clonotype, different V genes
+    stay apart."""
+    from cellranger_tpu.vdj.annotate import ContigAnnotation, SegmentHit, \
+        group_clonotypes
+    from cellranger_tpu.vdj.reference import Segment
+
+    def seg(name, region, chain):
+        return Segment(name, name, region, chain, b"A" * 60)
+
+    def ann(chain, v, j, cdr3):
+        return ContigAnnotation(
+            contig_seq="A" * 100, chain=chain,
+            v=SegmentHit(seg(v, "V", chain), 100, 0, 50),
+            j=SegmentHit(seg(j, "J", chain), 80, 60, 100),
+            cdr3_nt=cdr3, cdr3_aa="X", productive=True)
+
+    cdr3a = "TGTGCCAGCAGCTTGGACACC"          # 21nt
+    cdr3a_mut = "TGTGCCAGCAGCTTGGACACG"      # 1 mismatch (<= 21//10 = 2)
+    cdr3b = "TGTGCCTGGAGTGAAGCTTTC"
+
+    cells = {
+        "bc1": [ann("TRA", "TRAV1", "TRAJ1", cdr3a),
+                ann("TRB", "TRBV2", "TRBJ2", cdr3b)],
+        "bc2": [ann("TRA", "TRAV1", "TRAJ1", cdr3a_mut),   # hypermutated
+                ann("TRB", "TRBV2", "TRBJ2", cdr3b)],
+        "bc3": [ann("TRB", "TRBV2", "TRBJ2", cdr3b)],      # TRA dropout
+        "bc4": [ann("TRA", "TRAV9", "TRAJ1", cdr3a),       # different V
+                ann("TRB", "TRBV2", "TRBJ2", cdr3b)],
+    }
+    cl = group_clonotypes(cells)
+    assert cl[0]["frequency"] == 3
+    assert set(cl[0]["barcodes"]) == {"bc1", "bc2", "bc3"}
+    assert cl[1]["barcodes"] == ["bc4"]
+
+    exact = group_clonotypes(cells, fuzzy=False)
+    assert all(c["frequency"] == 1 for c in exact)
