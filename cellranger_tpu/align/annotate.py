@@ -41,7 +41,7 @@ from ..io.gtf import Transcriptome
 from .index import GenomeIndex
 
 GRID_SHIFT = 7       # 128-base annotation grid bins
-ROW_E = 8            # exons per packed table row
+ROW_E = 16           # intervals per packed table row (256-byte rows)
 
 REGION_EXONIC = 0
 REGION_INTRONIC = 1
@@ -53,21 +53,24 @@ GENE_MULTI = -2
 _PAD_START = np.uint32(0xFFFFFFFF)  # never < any query end
 
 
-def _pack_interval_rows(start, end, gene, strand):
-    """Sorted interval table -> ([R+2, 32] uint32 rows of 8 packed
-    intervals: start*8 | end*8 | meta*8 | pad, with meta = gene|strand<<30,
-    grid int32 [GB]) is built separately. Coordinates are FULL uint32
-    (parity-safe for >2Gb text). Pad entries: start=0xFFFFFFFF (never < e),
-    end=0 (never > s)."""
+def _pack_interval_rows(start, end, gene, strand, is_tx):
+    """Sorted COMBINED interval table (exons + transcript spans) ->
+    [R+2, 3*ROW_E] uint32 rows: start*16 | end*16 | meta*16 with
+    meta = gene | is_tx<<29 | strand<<30. One 192-byte row gather surfaces
+    16 intervals; exon and transcript-span probes share the SAME fetch
+    (halves annotation row gathers vs separate tables). Coordinates are
+    FULL uint32 (parity-safe for >2Gb text). Pad entries: start=0xFFFFFFFF
+    (never < e), end=0 (never > s)."""
     n = len(start)
     R = (n + ROW_E - 1) // ROW_E + 2
-    rows = np.zeros((R, 4 * ROW_E), np.uint32)
+    rows = np.zeros((R, 3 * ROW_E), np.uint32)
     flat_s = np.full(R * ROW_E, _PAD_START, np.uint32)
     flat_e = np.zeros(R * ROW_E, np.uint32)
     flat_m = np.zeros(R * ROW_E, np.int32)
     flat_s[:n] = start.astype(np.uint32)
     flat_e[:n] = end.astype(np.uint32)
-    flat_m[:n] = gene | (strand.astype(np.int32) << 30)
+    flat_m[:n] = (gene | (is_tx.astype(np.int32) << 29)
+                  | (strand.astype(np.int32) << 30))
     rows[:, :ROW_E] = flat_s.reshape(R, ROW_E)
     rows[:, ROW_E:2 * ROW_E] = flat_e.reshape(R, ROW_E)
     rows[:, 2 * ROW_E:3 * ROW_E] = flat_m.reshape(R, ROW_E).astype(np.uint32)
@@ -88,10 +91,8 @@ class AnnotationIndex:
     """Device arrays for annotation (absolute text coordinates).
     A jax pytree: arrays pass through jit as arguments (n_genes static)."""
 
-    ex_rows: jnp.ndarray    # uint32 [XR+2, 32] packed dedup'd exons
-    ex_grid: jnp.ndarray    # int32 [GB]
-    tx_rows: jnp.ndarray    # uint32 [TR+2, 32] packed dedup'd tx spans
-    tx_grid: jnp.ndarray    # int32 [GB]
+    iv_rows: jnp.ndarray    # uint32 [R+2, 48] packed dedup'd intervals
+    iv_grid: jnp.ndarray    # int32 [GB]
     sj_rows: jnp.ndarray    # int32 [J, 2]: (gene or GENE_MULTI, strand)
     n_genes: int = field(metadata=dict(static=True), default=0)
 
@@ -115,21 +116,24 @@ class AnnotationIndex:
                 exg.append(t.gene_index)
                 exstr.append(strand)
 
-        def dedup_sort(start, end, gene, strand):
-            if not len(start):
-                z = np.zeros(0, np.int32)
-                return z, z, z, z
-            arr = np.unique(np.stack([
-                np.asarray(start, np.int64), np.asarray(end, np.int64),
-                np.asarray(gene, np.int64), np.asarray(strand, np.int64)],
-                axis=1), axis=0)
-            order = np.argsort(arr[:, 0], kind="stable")
-            arr = arr[order]
-            return (arr[:, 0].astype(np.uint32), arr[:, 1].astype(np.uint32),
-                    arr[:, 2].astype(np.int32), arr[:, 3].astype(np.int32))
-
-        ex_start, ex_end, ex_gene, ex_strand = dedup_sort(exs, exe, exg, exstr)
-        tx_start, tx_end, tx_gene, tx_strand = dedup_sort(txs, txe, txg, txstr)
+        # one combined table: exons (is_tx=0) + transcript spans (is_tx=1)
+        all_s = np.asarray(exs + txs, np.int64)
+        all_e = np.asarray(exe + txe, np.int64)
+        all_g = np.asarray(exg + txg, np.int64)
+        all_st = np.asarray(exstr + txstr, np.int64)
+        all_tx = np.concatenate([np.zeros(len(exs), np.int64),
+                                 np.ones(len(txs), np.int64)])
+        if len(all_s):
+            arr = np.unique(np.stack(
+                [all_s, all_e, all_g, all_st, all_tx], axis=1), axis=0)
+            arr = arr[np.argsort(arr[:, 0], kind="stable")]
+        else:
+            arr = np.zeros((0, 5), np.int64)
+        iv_start = arr[:, 0].astype(np.uint32)
+        iv_end = arr[:, 1].astype(np.uint32)
+        iv_gene = arr[:, 2].astype(np.int32)
+        iv_strand = arr[:, 3].astype(np.int32)
+        iv_tx = arr[:, 4].astype(np.int32)
         span = int(gi.genome_len)
 
         # junction annotation: distinct genes/strands of transcripts sharing it
@@ -150,25 +154,22 @@ class AnnotationIndex:
             if j_gene else np.zeros((0, 2), np.int32)
 
         return AnnotationIndex(
-            ex_rows=jnp.asarray(_pack_interval_rows(
-                ex_start, ex_end, ex_gene, ex_strand)),
-            ex_grid=jnp.asarray(_build_grid(ex_start, span)),
-            tx_rows=jnp.asarray(_pack_interval_rows(
-                tx_start, tx_end, tx_gene, tx_strand)),
-            tx_grid=jnp.asarray(_build_grid(tx_start, span)),
+            iv_rows=jnp.asarray(_pack_interval_rows(
+                iv_start, iv_end, iv_gene, iv_strand, iv_tx)),
+            iv_grid=jnp.asarray(_build_grid(iv_start, span)),
             sj_rows=jnp.asarray(sj),
             n_genes=len(txome.genes),
         )
 
 
 def _window_fetch(rows, grid, s, e):
-    """Query intervals [s,e): returns (start, end, gene, strand, valid) each
-    [B, 2*ROW_E] — the last <=16 table intervals with start < e that
-    overlap [s,e). Three row gathers total (grid + two packed rows)."""
+    """Query intervals [s,e): returns (start, end, gene, strand, is_tx,
+    valid) each [B, 2*ROW_E] — the last <=32 table intervals with start < e
+    that overlap [s,e). Three row gathers total (grid + two packed rows)."""
     GB = grid.shape[0]
     hi = grid[jnp.clip((e >> GRID_SHIFT).astype(jnp.int32), 0, GB - 1)]
-    r = hi >> 3
-    ra = rows[jnp.maximum(r - 1, 0)]                    # [B, 32]
+    r = hi >> 4                                         # ROW_E = 16
+    ra = rows[jnp.maximum(r - 1, 0)]                    # [B, 48]
     rb = rows[r]
     # coordinates stay uint32 (full 4Gb space); meta reinterprets as int32
     starts = jnp.concatenate([ra[:, :ROW_E], rb[:, :ROW_E]], -1)
@@ -180,9 +181,10 @@ def _window_fetch(rows, grid, s, e):
     eidx = (r[:, None] - 1) * ROW_E + j                 # global interval idx
     ok = (eidx >= 0) & (eidx < hi[:, None]) \
         & (starts < e[:, None]) & (ends > s[:, None])
-    gene = meta & ((1 << 30) - 1)
+    gene = meta & ((1 << 29) - 1)
+    is_tx = (meta >> 29) & 1
     strand = (meta >> 30) & 1
-    return starts, ends, gene, strand, ok
+    return starts, ends, gene, strand, is_tx, ok
 
 
 def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
@@ -200,27 +202,26 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
         e = s + aln_len.astype(jnp.uint32)
         alen = aln_len
 
-        # ---- genomic alignments: exon window probe ----
-        ex_s, ex_e, ex_g, ex_str, eov = _window_fetch(
-            ann.ex_rows, ann.ex_grid, s, e)
-        ov_len = (jnp.minimum(ex_e, e[:, None])
-                  - jnp.maximum(ex_s, s[:, None]))
-        exonic_hit = eov & (ov_len.astype(jnp.float32)
-                            >= REGION_MIN_OVERLAP * alen[:, None].astype(jnp.float32))
+        # ---- genomic alignments: ONE combined interval window probe ----
+        iv_s, iv_e, iv_g, iv_str, iv_tx, iov = _window_fetch(
+            ann.iv_rows, ann.iv_grid, s, e)
+        is_ex = iov & (iv_tx == 0)
+        is_txs = iov & (iv_tx == 1)
+        ov_len = (jnp.minimum(iv_e, e[:, None])
+                  - jnp.maximum(iv_s, s[:, None]))
+        exonic_hit = is_ex & (ov_len.astype(jnp.float32)
+                              >= REGION_MIN_OVERLAP * alen[:, None].astype(jnp.float32))
         # sense: antisense iff (read_strand != tx_strand) xor chem'-'
-        ex_sense = (ex_str == strand[:, None]) ^ (flip == 1)
-        exonic_sense = exonic_hit & ex_sense
+        iv_sense = (iv_str == strand[:, None]) ^ (flip == 1)
+        exonic_sense = exonic_hit & iv_sense
         any_exonic = exonic_hit.any(axis=1)
-        ex_genes = jnp.where(exonic_sense, ex_g, GENE_NONE)
+        ex_genes = jnp.where(exonic_sense, iv_g, GENE_NONE)
 
-        tx_s, tx_e, tx_g, tx_str2, tov = _window_fetch(
-            ann.tx_rows, ann.tx_grid, s, e)
-        tx_sense = (tx_str2 == strand[:, None]) ^ (flip == 1)
         # intronic requires full containment in the transcript span
         # (transcript.rs:462-463 get_overlap >= 1.0)
-        intronic_hit = tov & (tx_s <= s[:, None]) & (tx_e >= e[:, None])
+        intronic_hit = is_txs & (iv_s <= s[:, None]) & (iv_e >= e[:, None])
         any_intronic = intronic_hit.any(axis=1)
-        in_genes = jnp.where(intronic_hit & tx_sense, tx_g, GENE_NONE)
+        in_genes = jnp.where(intronic_hit & iv_sense, iv_g, GENE_NONE)
 
         # Gene priority (transcript.rs:376-404): transcriptomic (exonic) sense
         # genes win; intronic sense genes count only when no exonic-sense hit
@@ -244,7 +245,7 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
             jnp.where(any_intronic, REGION_INTRONIC, REGION_INTERGENIC))
         # antisense flag: no sense gene but an antisense one exists
         any_sense = n_genes > 0
-        anti_ex = (exonic_hit & ~ex_sense).any(axis=1)
+        anti_ex = (exonic_hit & ~iv_sense).any(axis=1)
         antisense_genomic = ~any_sense & anti_ex
 
         # ---- junction-contig alignments: one row gather ----

@@ -122,13 +122,22 @@ class CountMetrics:
         return d
 
 
-CORRECT_CAP_FRAC = 8   # correction capacity = batch // 8 invalid reads
+CORRECT_CAP_FRAC = 16  # correction capacity = batch // 16 invalid reads
+                       # (real runs are ~97% whitelist-valid; overflow is
+                       # counted in n_correct_overflow)
 SECOND_CAP_FRAC = 4    # 2nd-locus annotation capacity = batch // 4
 
 
 def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
-               chem: Chemistry, read_len: int):
+               chem: Chemistry, read_len: int, fused: bool = True):
     """Fused jit step: correct barcodes + align + annotate one batch.
+
+    fused=False returns an ADAPTIVE wrapper instead: the jit omits the
+    48-probe posterior correction (which otherwise always pays its B/8
+    capacity, ~25% of a clean batch's step time), and correction runs as a
+    separate small jit whose capacity is the power-of-two bucket of the
+    batch's ACTUAL invalid count — valid-heavy batches pay ~nothing. The
+    fused form remains for shard_map (a single pure SPMD program).
 
     The genome/annotation indices are BOUND AS ARGUMENTS of the returned
     closure's inner jit — large arrays captured as jit constants get
@@ -151,20 +160,27 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
         B = bc_packed.shape[0]
         hit, idx = bcops.whitelist_lookup(bc_packed, wl_table)
 
-        # ---- compacted posterior correction of invalid barcodes ----
-        C = max(B // CORRECT_CAP_FRAC, 1)
-        invalid = ~hit & slot_valid
-        sel = jnp.nonzero(invalid, size=C, fill_value=B)[0]
-        sel_c = jnp.minimum(sel, B - 1)
-        corr_bc_c, corr_idx_c, acc_c = bcops.correct_barcodes(
-            bc_packed[sel_c], bc_qual[sel_c], wl_table, bc_len)
-        corr_bc = bc_packed.at[sel].set(
-            jnp.where(acc_c, corr_bc_c, bc_packed[sel_c]), mode="drop")
-        corr_idx = jnp.full((B,), -1, jnp.int32).at[sel].set(
-            corr_idx_c, mode="drop")
-        corrected = jnp.zeros((B,), bool).at[sel].set(acc_c, mode="drop")
-        n_correct_overflow = jnp.maximum(
-            jnp.sum(invalid.astype(jnp.int32)) - C, 0)
+        if fused:
+            # ---- compacted posterior correction of invalid barcodes ----
+            C = max(B // CORRECT_CAP_FRAC, 1)
+            invalid = ~hit & slot_valid
+            sel = jnp.nonzero(invalid, size=C, fill_value=B)[0]
+            sel_c = jnp.minimum(sel, B - 1)
+            corr_bc_c, corr_idx_c, acc_c = bcops.correct_barcodes(
+                bc_packed[sel_c], bc_qual[sel_c], wl_table, bc_len)
+            corr_bc = bc_packed.at[sel].set(
+                jnp.where(acc_c, corr_bc_c, bc_packed[sel_c]), mode="drop")
+            corr_idx = jnp.full((B,), -1, jnp.int32).at[sel].set(
+                corr_idx_c, mode="drop")
+            corrected = jnp.zeros((B,), bool).at[sel].set(acc_c, mode="drop")
+            n_correct_overflow = jnp.maximum(
+                jnp.sum(invalid.astype(jnp.int32)) - C, 0)
+        else:
+            # adaptive mode: correction happens outside this jit
+            corr_bc = bc_packed
+            corr_idx = jnp.full((B,), -1, jnp.int32)
+            corrected = jnp.zeros((B,), bool)
+            n_correct_overflow = jnp.int32(0)
 
         bc_ok = (hit | corrected) & slot_valid
         bc_idx = jnp.where(hit, idx, corr_idx)
@@ -242,7 +258,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             n_usable=jnp.sum(conf_ok.astype(jnp.int32)),
             n_correct_overflow=n_correct_overflow,
         )
-        return dict(
+        out = dict(
             bc_idx=bc_idx.astype(jnp.uint32),
             gene=jnp.maximum(ann["gene"], 0).astype(jnp.uint32),
             umi=umi_packed,
@@ -258,9 +274,74 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             sj_right_len=aln.get("sj_right_len", jnp.zeros((B,), jnp.int32)),
             metrics=m,
         )
+        if not fused:
+            out["hit"] = hit
+            out["wl_idx"] = idx
+            out["conf_base"] = (ann["conf_mapped"] & umi_valid & slot_valid)
+        return out
 
-    def step(*args):
-        return step_impl(didx, ann_idx, *args)
+    if fused:
+        def step(*args):
+            return step_impl(didx, ann_idx, *args)
+
+        return step
+
+    # ---- adaptive wrapper: bucketed out-of-step correction ----
+    correct_jits: dict[int, object] = {}
+
+    def correct_fn(C: int):
+        if C not in correct_jits:
+            @jax.jit
+            def corr(bc_c, qual_c, wl_table):
+                return bcops.correct_barcodes(bc_c, qual_c, wl_table, bc_len)
+            correct_jits[C] = corr
+        return correct_jits[C]
+
+    def step(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
+             rna, rna_nmask, slot_valid, wl_table):
+        out = dict(step_impl(didx, ann_idx, bc_packed, bc_qual, bc_exact,
+                             umi_packed, umi_valid, rna, rna_nmask,
+                             slot_valid, wl_table))
+        hit = np.asarray(out.pop("hit"))
+        wl_idx = np.asarray(out.pop("wl_idx"))
+        conf_base = np.asarray(out.pop("conf_base"))
+        slot = np.asarray(slot_valid)
+        B = len(hit)
+        bc_np = np.asarray(bc_packed)
+        inv = np.flatnonzero(~hit & slot)
+        corrected = np.zeros(B, bool)
+        corr_idx = np.full(B, -1, np.int32)
+        corr_bc = bc_np.copy()
+        if len(inv):
+            C = 1024
+            while C < len(inv):
+                C *= 2
+            C = min(C, B)
+            sel = inv[:C]
+            pad = C - len(sel)
+            bq_np = np.asarray(bc_qual)
+            bc_c = np.pad(bc_np[sel], (0, pad))
+            q_c = np.pad(bq_np[sel], ((0, pad), (0, 0)))
+            cb, cidx, acc = correct_fn(C)(
+                jnp.asarray(bc_c), jnp.asarray(q_c), wl_table)
+            acc = np.asarray(acc)[:len(sel)]
+            hits_sel = sel[acc]
+            corrected[hits_sel] = True
+            corr_bc[hits_sel] = np.asarray(cb)[:len(sel)][acc]
+            corr_idx[hits_sel] = np.asarray(cidx)[:len(sel)][acc]
+        bc_ok = (hit | corrected) & slot
+        bc_idx = np.where(hit, wl_idx, corr_idx)
+        conf_ok = conf_base & bc_ok
+        out["bc_idx"] = bc_idx.astype(np.uint32)
+        out["bc_ok"] = bc_ok
+        out["conf_ok"] = conf_ok
+        out["corrected_bc"] = corr_bc
+        m = {k: int(v) for k, v in out["metrics"].items()}
+        m["n_corrected"] = int((corrected & ~hit & slot).sum())
+        m["n_usable"] = int(conf_ok.sum())
+        m["n_correct_overflow"] = int(max(len(inv) - B, 0))
+        out["metrics"] = m
+        return out
 
     return step
 
@@ -357,6 +438,10 @@ def run_count(cfg: CountConfig, out_dir: str,
                                                         cfg.read_len)
 
     libraries = cfg.libraries or [LibraryDef(cfg.fastq_pairs, "Gene Expression")]
+    # fused=True: on tunneled/remote TPU backends the adaptive split-step's
+    # per-batch host round-trips cost far more than the correction capacity
+    # it saves (measured 15x worse); the fused single program stays on
+    # device. fused=False remains available for local-attached deployments.
     step = (None if probe_set is not None
             else _make_step(didx, ann_idx, whitelist.size, chem, cfg.read_len))
     # whitelist as a bucket-row table: ONE row gather per membership /
@@ -689,6 +774,14 @@ def run_count(cfg: CountConfig, out_dir: str,
         "sample_id": cfg.sample_id,
         "chemistry": cfg.chemistry,
     })
+    # depth-subsampling curves (SUBSAMPLE_READS analog)
+    if len(mbc):
+        from ..analysis.subsample import subsample_metrics
+        ss = subsample_metrics(mbc, mgene, mreads, cells_idx)
+        extra.update({k: v for k, v in ss.items() if k != "curves"})
+        extra["subsample_curves"] = {str(r): c
+                                     for r, c in ss["curves"].items()}
+
     # mergeable histogram metrics (metric crate SimpleHistogram analog)
     from ..metrics import SimpleHistogram
     h_rpm = SimpleHistogram()

@@ -23,6 +23,28 @@ from ..ops import encode
 MIN_WHITELIST_FRAC = 0.10  # below this no chemistry is credible
 DEFAULT_CANDIDATES = ("SC3Pv4", "SC3Pv3", "SC3Pv2", "SC5P-R2", "SFRP")
 
+# 10x template-switch oligo: 5' chemistries carry it on R1 right after the
+# barcode+UMI (cr_types chemistry geometry: SC5P rna starts at R1 offset
+# 26+13); its presence separates SC5P-* from SC3Pv2, which share the
+# 737K-august-2016 whitelist and a 10bp UMI.
+TSO = b"TTTCTTATATGGG"
+TSO_OFFSET = 26
+TSO_MAX_MM = 2
+TSO_MIN_FRAC = 0.25
+
+
+def tso_frac(r1_seqs: list[bytes]) -> float:
+    """Fraction of R1 reads carrying the TSO motif at offset 26."""
+    tso = np.frombuffer(TSO, np.uint8)
+    n = hit = 0
+    for s in r1_seqs:
+        if len(s) < TSO_OFFSET + len(TSO):
+            continue
+        w = np.frombuffer(s[TSO_OFFSET:TSO_OFFSET + len(TSO)], np.uint8)
+        n += 1
+        hit += int((w != tso).sum()) <= TSO_MAX_MM
+    return hit / n if n else 0.0
+
 
 def sample_reads(r1_path: str, n: int = DETECT_CHEMISTRY_MIN_READS):
     seqs = []
@@ -91,6 +113,16 @@ def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
             "unable to detect chemistry: best whitelist hit fraction "
             f"{viable[best]:.3f} ({best}); check inputs/whitelists. "
             f"Per-candidate: { {k: round(v, 3) for k, v in fracs.items()} }")
+
+    # endedness disambiguation among near-tied candidates sharing a
+    # whitelist (SC3Pv2 vs SC5P-*): the TSO motif marks 5' libraries
+    tf = tso_frac(seqs)
+    near = {c for c, f in viable.items() if f >= viable[best] - 0.02}
+    five = [c for c in near if get_chemistry(c).endedness == "five_prime"]
+    three = [c for c in near if get_chemistry(c).endedness == "three_prime"]
+    if five and three:
+        pool = five if tf >= TSO_MIN_FRAC else three
+        best = max(pool, key=lambda c: viable[c])
     return dict(chemistry=best, frac=viable[best],
                 per_candidate={k: round(v, 4) for k, v in fracs.items()},
-                r1_len=r1_len)
+                r1_len=r1_len, tso_frac=round(tf, 4))

@@ -16,6 +16,11 @@ import os
 import numpy as np
 
 CSS = """
+.alerts{margin:12px 0}
+.alert{padding:10px 14px;border-radius:6px;margin:6px 0;font-size:14px}
+.alert.warn{background:#fff6e0;border:1px solid #e8c76a;color:#6b5410}
+.alert.error{background:#fde8e8;border:1px solid #e07a7a;color:#7a1f1f}
+
 body { font-family: -apple-system, 'Segoe UI', Helvetica, Arial, sans-serif;
        margin: 0; background: #f6f7f9; color: #1e2430; }
 .header { background: #14365c; color: white; padding: 18px 32px; }
@@ -62,6 +67,90 @@ def _table(rows):
                    f"<td>{html.escape(str(val))}</td></tr>")
     out.append("</table>")
     return "".join(out)
+
+
+# QC alert thresholds — the cr_websummary alert system analog
+# (lib/rust/cr_websummary/src/alert.rs): each rule yields a WARN/ERROR
+# banner in the summary when its metric crosses the threshold.
+ALERT_RULES = [
+    ("valid_barcode_frac", "<", 0.75, "error",
+     "Fraction of valid barcodes is very low",
+     "Check the barcode whitelist and chemistry setting."),
+    ("valid_barcode_frac", "<", 0.85, "warn",
+     "Fraction of valid barcodes is low",
+     "May indicate sequencing quality or chemistry mismatch."),
+    ("conf_mapped_frac", "<", 0.30, "warn",
+     "Low fraction of reads confidently mapped to transcriptome",
+     "Check that the reference matches the sample species."),
+    ("antisense_frac", ">", 0.10, "warn",
+     "High fraction of antisense reads",
+     "May indicate an unsupported chemistry orientation."),
+    ("reads_in_cells_frac", "<", 0.70, "warn",
+     "Low fraction of reads in cells",
+     "High ambient RNA or failed cell calling."),
+    ("q30_rna_frac", "<", 0.65, "warn",
+     "Low Q30 base fraction in RNA reads",
+     "Sequencing quality issue."),
+    ("q30_barcode_frac", "<", 0.55, "warn",
+     "Low Q30 base fraction in barcodes",
+     "Sequencing quality issue."),
+    ("estimated_cells", "<", 100, "warn",
+     "Very few cells detected",
+     "Sample quality or cell-calling issue."),
+    ("estimated_cells", ">", 100_000, "warn",
+     "Unusually many cells detected",
+     "Possible barcode whitelist or multiplet issue."),
+]
+
+
+def alerts_for(m: dict) -> list[dict]:
+    """Evaluate ALERT_RULES against a metrics dict; first matching rule per
+    metric wins (error outranks warn by ordering)."""
+    out, seen = [], set()
+    for key, op, thr, level, title, detail in ALERT_RULES:
+        v = m.get(key)
+        if v is None or key in seen:
+            continue
+        hit = v < thr if op == "<" else v > thr
+        if hit:
+            seen.add(key)
+            out.append(dict(level=level, title=title, detail=detail,
+                            metric=key, value=v, threshold=thr))
+    return out
+
+
+def line_svg(xs, ys, title: str, xlabel: str, ylabel: str,
+             w=440, h=320, ymax_hint=None) -> str:
+    """Simple line chart (saturation / genes-per-cell curves)."""
+    xs = np.asarray(xs, float)
+    ys = np.asarray(ys, float)
+    if len(xs) == 0:
+        return "<svg/>"
+    xmax = max(xs.max(), 1e-9)
+    ymax = max(ys.max() if ymax_hint is None else ymax_hint, 1e-9)
+    pad = 46
+
+    def X(x):
+        return pad + (x / xmax) * (w - pad - 12)
+
+    def Y(y):
+        return h - 30 - (y / ymax) * (h - 44)
+
+    pts = "M" + " L".join(f"{X(x):.1f} {Y(y):.1f}" for x, y in zip(xs, ys))
+    ticks = []
+    for f in (0.0, 0.5, 1.0):
+        ticks.append(f'<text x="{X(f * xmax):.0f}" y="{h-12}" font-size="10" '
+                     f'fill="#66707f" text-anchor="middle">{f * xmax:.2g}</text>')
+        ticks.append(f'<text x="{pad-6}" y="{Y(f * ymax)+3:.0f}" font-size="10" '
+                     f'fill="#66707f" text-anchor="end">{f * ymax:.2g}</text>')
+    return f"""<svg viewBox="0 0 {w} {h}" width="{w}" height="{h}">
+<rect width="{w}" height="{h}" fill="white"/>
+<path d="{pts}" stroke="#4472c4" stroke-width="2.5" fill="none"/>
+{''.join(ticks)}
+<text x="{w/2}" y="{h-1}" font-size="11" fill="#444" text-anchor="middle">{html.escape(xlabel)}</text>
+<text x="12" y="{h/2}" font-size="11" fill="#444" transform="rotate(-90 12 {h/2})" text-anchor="middle">{html.escape(ylabel)}</text>
+<text x="{w/2}" y="14" font-size="12" fill="#222" text-anchor="middle">{html.escape(title)}</text>
+</svg>"""
 
 
 def barcode_rank_svg(umis_per_bc: np.ndarray, n_cells: int,
@@ -190,6 +279,33 @@ def build_web_summary(out_dir: str, sample_id: str = "sample",
         ("Total molecules", _fmt(m.get("total_molecules"))),
     ]
 
+    # QC alerts banner (cr_websummary alert.rs analog)
+    alerts = alerts_for(m)
+    alert_html = ""
+    if alerts:
+        items = "".join(
+            f'<div class="alert {a["level"]}"><b>{html.escape(a["title"])}'
+            f'</b> — {html.escape(a["detail"])} '
+            f'({a["metric"]}={_fmt(a["value"])})</div>' for a in alerts)
+        alert_html = f'<div class="alerts">{items}</div>'
+
+    # depth-subsampling curves (SUBSAMPLE_READS plots)
+    curves_html = ""
+    sc = m.get("subsample_curves") or {}
+    if sc:
+        rates = sorted(float(r) for r in sc)
+        reads = [sc[str(r)]["subsampled_reads"] for r in rates]
+        sats = [sc[str(r)]["saturation"] for r in rates]
+        genes = [sc[str(r)]["median_genes_per_cell"] for r in rates]
+        curves_html = (
+            "<div class='row'><div class='panel'>"
+            + line_svg(reads, sats, "Sequencing saturation",
+                       "Reads", "Saturation", ymax_hint=1.0)
+            + "</div><div class='panel'>"
+            + line_svg(reads, genes, "Median genes per cell",
+                       "Reads", "Genes")
+            + "</div></div>")
+
     # barcode rank plot from raw matrix
     rank_svg = "<svg/>"
     try:
@@ -218,6 +334,7 @@ def build_web_summary(out_dir: str, sample_id: str = "sample",
 <div class="header"><h1>{html.escape(sample_id)}</h1>
 <div class="sub">cellranger-tpu {pipeline} · {html.escape(str(m.get('chemistry', '')))}</div></div>
 <div class="wrap">
+{alert_html}
 <div class="cards">{''.join(f'<div class="card"><div class="big">{v}</div><div class="label">{l}</div></div>' for v, l in cards)}</div>
 <div class="row">
 <div class="panel"><h2>Sequencing</h2>{_table(seq_rows)}</div>
@@ -227,6 +344,7 @@ def build_web_summary(out_dir: str, sample_id: str = "sample",
 <div class="panel"><h2>Cells</h2>{_table(cell_rows)}</div>
 <div class="panel"><h2>Barcode rank</h2>{rank_svg}</div>
 </div>
+{curves_html}
 {f'<div class="panel"><h2>Clustering</h2><div class="row">{analysis_html}</div></div>' if analysis_html else ''}
 <div class="footnote">Generated by cellranger-tpu 0.1.0 — a TPU-native
 single-cell engine. Metrics definitions follow the reference pipeline.</div>

@@ -54,3 +54,26 @@ def test_struct_merge_and_report():
     assert rep["frac"] == 0.5
     assert rep["hist"] == {1: 3, 2: 3}
     assert rep["n"] == 10
+
+
+def test_subsample_metrics():
+    from cellranger_tpu.analysis.subsample import subsample_metrics
+    rng = np.random.default_rng(1)
+    n = 5000
+    mol_bc = rng.integers(0, 50, n)
+    mol_gene = rng.integers(0, 30, n)
+    mol_reads = rng.integers(1, 6, n)
+    cells = np.arange(40)
+    out = subsample_metrics(mol_bc, mol_gene, mol_reads, cells)
+    full = out["curves"][1.0]
+    assert full["subsampled_reads"] == mol_reads.sum()
+    assert abs(full["saturation"] - (1 - n / mol_reads.sum())) < 1e-9
+    # saturation decreases with depth; reads increase monotonically
+    rates = sorted(out["curves"])
+    sats = [out["curves"][r]["saturation"] for r in rates]
+    reads = [out["curves"][r]["subsampled_reads"] for r in rates]
+    assert all(a <= b + 0.03 for a, b in zip(sats, sats[1:]))
+    assert all(a <= b for a, b in zip(reads, reads[1:]))
+    # deterministic under the pinned seed
+    out2 = subsample_metrics(mol_bc, mol_gene, mol_reads, cells)
+    assert out2["curves"][0.5] == out["curves"][0.5]

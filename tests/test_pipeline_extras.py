@@ -228,3 +228,35 @@ def test_barnyard_multigenome(tmp_path):
     assert rows[0] == "barcode,hg,mm,call"
     calls = [r.split(",")[-1] for r in rows[1:]]
     assert calls.count("Multiplet") == 2
+
+
+def test_detect_chemistry_tso_endedness(tmp_path):
+    """SC3Pv2 and SC5P-R2 share the whitelist and UMI length; the TSO
+    motif on R1 is the 5' signal (reference endedness probe)."""
+    import gzip
+    from cellranger_tpu.io.whitelist import Whitelist
+    from cellranger_tpu.pipeline.detect_chemistry import detect_chemistry
+    rng = np.random.default_rng(3)
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(100)})
+    wlp = tmp_path / "wl.txt"
+    open(wlp, "w").writelines(s + "\n" for s in wl)
+    whitelists = {"737K-august-2016": Whitelist.load(str(wlp))}
+
+    def write_r1(path, with_tso):
+        with gzip.open(path, "wt") as f:
+            for i in range(400):
+                umi = "".join(rng.choice(list("ACGT"), 10))
+                tail = ("TTTCTTATATGGG" if with_tso else
+                        "".join(rng.choice(list("ACGT"), 13)))
+                cdna = "".join(rng.choice(list("ACGT"), 40))
+                f.write(f"@r{i}\n{wl[i % 50]}{umi}{tail}{cdna}\n+\n"
+                        f"{'F' * 79}\n")
+
+    p5 = str(tmp_path / "five_S1_L001_R1_001.fastq.gz")
+    p3 = str(tmp_path / "three_S1_L001_R1_001.fastq.gz")
+    write_r1(p5, True)
+    write_r1(p3, False)
+    d5 = detect_chemistry(p5, whitelists, candidates=("SC3Pv2", "SC5P-R2"))
+    d3 = detect_chemistry(p3, whitelists, candidates=("SC3Pv2", "SC5P-R2"))
+    assert d5["chemistry"] == "SC5P-R2" and d5["tso_frac"] > 0.9
+    assert d3["chemistry"] == "SC3Pv2" and d3["tso_frac"] < 0.05
