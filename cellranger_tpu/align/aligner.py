@@ -403,19 +403,22 @@ def make_aligner(idx: DeviceIndex, read_len: int,
 
         best_pos = take(cand_pos)
         best_strand = take(cand_strand)
-        # second-best DISTINCT locus (for multimapper gene promotion,
-        # read.rs:117-149): smallest (canon, strand) among best-scoring
-        # candidates at a different canonical position
-        ckey_best = jnp.take_along_axis(ckey, pick[:, None], axis=1)
-        ckey2 = jnp.where(ckey != ckey_best, ckey, BIGK)
-        pick2 = jnp.argmin(ckey2, axis=1)
-        take2 = lambda a: jnp.take_along_axis(a, pick2[:, None], axis=1)[:, 0]
+        # ALL distinct best-scoring loci in canonical order (multimapper
+        # gene promotion considers every alignment of the read,
+        # read.rs:117-149): sort the locus keys; duplicates mask off
+        order_l = jnp.argsort(ckey, axis=1)                   # [B, D]
+        ckey_s = jnp.take_along_axis(ckey, order_l, axis=1)
+        loci_ok = jnp.concatenate(
+            [ckey_s[:, :1] != BIGK,
+             (ckey_s[:, 1:] != ckey_s[:, :-1]) & (ckey_s[:, 1:] != BIGK)],
+            axis=1)
+        takeL = lambda a: jnp.take_along_axis(a, order_l, axis=1)
         out = dict(
             pos=best_pos, strand=best_strand, score=best_score,
             aln_start=take(start_i), aln_len=take(aln_len), n_best=n_best,
-            pos2=take2(cand_pos), strand2=take2(cand_strand),
-            aln_start2=take2(start_i), aln_len2=take2(aln_len),
-            has_second=take2(ckey2) != BIGK,
+            loci_pos=takeL(cand_pos), loci_strand=takeL(cand_strand),
+            loci_start=takeL(start_i), loci_len=takeL(aln_len),
+            loci_ok=loci_ok,
         )
 
         if novel_sj:

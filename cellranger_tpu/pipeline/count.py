@@ -32,7 +32,7 @@ import numpy as np
 
 from ..align.aligner import DeviceIndex, make_aligner
 from ..align.annotate import AnnotationIndex, make_annotator, REGION_EXONIC, \
-    REGION_INTRONIC, REGION_INTERGENIC
+    REGION_INTRONIC, REGION_INTERGENIC, GENE_MULTI
 from ..align.index import GenomeIndex
 from ..analysis import cell_calling
 from ..io.chemistry import Chemistry, get_chemistry
@@ -217,27 +217,41 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
                                ann["conf_mapped"])
             ann = dict(ann, gene=gene_n, region=region_n, conf_mapped=conf_n)
 
-        # ---- compacted second-locus annotation (2-locus reads only) ----
+        # ---- compacted multi-locus annotation (2..4-locus reads) ----
+        # multimapper gene promotion (tx_annotation/src/read.rs:117-149):
+        # a read mapping to several loci whose alignments together hit
+        # EXACTLY ONE gene is promoted to confidently-mapped, MAPQ 255.
+        # Loci 2..D of the compacted multimapped reads annotate in ONE
+        # batched call (stacked rows).
+        ND = aln["loci_pos"].shape[1]                  # D distinct loci
         C2 = max(B // SECOND_CAP_FRAC, 1)
-        need2 = (aln["has_second"] & aln["mapped"] & (aln["n_best"] == 2)
-                 & ~ann["conf_mapped"])
+        need2 = (aln["mapped"] & (aln["n_best"] >= 2) & ~ann["conf_mapped"])
         sel2 = jnp.nonzero(need2, size=C2, fill_value=B)[0]
         sel2_c = jnp.minimum(sel2, B - 1)
+        lp = aln["loci_pos"][sel2_c][:, 1:].reshape(-1)      # [(ND-1)*C2]
+        ll = aln["loci_len"][sel2_c][:, 1:].reshape(-1)
+        lst = aln["loci_strand"][sel2_c][:, 1:].reshape(-1)
+        lok = aln["loci_ok"][sel2_c][:, 1:]                  # [C2, ND-1]
+        NK = (ND - 1) * C2
         ann2_c = annotate_impl(
-            ann_idx, aln["pos2"][sel2_c], aln["aln_len2"][sel2_c],
-            aln["strand2"][sel2_c], jnp.full((C2,), 255, jnp.int32),
-            jnp.ones((C2,), bool))
-        g2 = jnp.full((B,), -1, jnp.int32).at[sel2].set(
-            ann2_c["gene"], mode="drop")
-
-        # multimapper gene promotion (tx_annotation/src/read.rs:117-149):
-        # a 2-locus read whose loci agree on a single gene (the other having
-        # none) is promoted to confidently-mapped with MAPQ 255
-        g1 = ann["gene"]
-        g2 = jnp.where(need2, g2, -1)
-        mm_gene = jnp.where((g1 >= 0) & ((g2 == g1) | (g2 == -1)), g1,
-                            jnp.where((g2 >= 0) & (g1 == -1), g2, -1))
-        promoted = need2 & (mm_gene >= 0)
+            ann_idx, lp, ll, lst, jnp.full((NK,), 255, jnp.int32),
+            jnp.ones((NK,), bool))
+        g_loci = jnp.where(lok, ann2_c["gene"].reshape(C2, ND - 1), -1)
+        g1 = ann["gene"][sel2_c]
+        genes_all = jnp.concatenate([g1[:, None], g_loci], axis=1)
+        # exactly one distinct sense gene across loci, none multi-gene
+        any_multi = (genes_all == GENE_MULTI).any(axis=1)
+        gs2 = jnp.sort(genes_all, axis=1)
+        isg = gs2 >= 0
+        dist2 = jnp.concatenate(
+            [jnp.ones((C2, 1), bool), gs2[:, 1:] != gs2[:, :-1]], axis=1) & isg
+        n_genes2 = dist2.sum(axis=1)
+        mm_gene_c = jnp.max(jnp.where(isg, gs2, -1), axis=1)
+        promote_c = (n_genes2 == 1) & ~any_multi & (sel2 < B)
+        promoted = jnp.zeros((B,), bool).at[sel2].set(promote_c, mode="drop")
+        mm_gene = jnp.full((B,), -1, jnp.int32).at[sel2].set(
+            mm_gene_c, mode="drop")
+        promoted = promoted & need2
         gene_eff = jnp.where(promoted, mm_gene, ann["gene"])
         conf_eff = ann["conf_mapped"] | promoted
         mapq_eff = jnp.where(promoted, 255, aln["mapq"])

@@ -193,6 +193,45 @@ def test_multimapper_gene_promotion(tmp_path):
     assert s["total_molecules"] == 20
 
 
+def test_three_locus_gene_promotion(tmp_path):
+    """A read mapping equally to THREE loci where exactly one is genic is
+    still promoted (read.rs:117-149 considers every alignment, not two)."""
+    import gzip
+    from cellranger_tpu.io.reference import ReferencePackage
+    rng = np.random.default_rng(56)
+    seg = ("".join(rng.choice(list("ACGT"), 400))).encode()
+    f1_ = ("".join(rng.choice(list("ACGT"), 1000))).encode()
+    f2_ = ("".join(rng.choice(list("ACGT"), 2000))).encode()
+    f3_ = ("".join(rng.choice(list("ACGT"), 1500))).encode()
+    # triplicated segment: one genic copy, two intergenic copies
+    genome = f1_ + seg + f2_ + seg + f3_ + seg + f1_
+    write_fasta(str(tmp_path / "g.fa"), {"chr1": genome})
+    with open(tmp_path / "g.gtf", "w") as f:
+        f.write('chr1\tt\texon\t1001\t1400\t.\t+\t.\t'
+                'gene_id "GM"; transcript_id "TM"; gene_name "GM";\n')
+    ReferencePackage.build(str(tmp_path / "g.fa"), str(tmp_path / "g.gtf"),
+                           str(tmp_path / "ref"))
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(40)})
+    open(tmp_path / "wl.txt", "w").writelines(s + "\n" for s in wl)
+    with gzip.open(tmp_path / "m_S1_L001_R1_001.fastq.gz", "wt") as r1, \
+         gzip.open(tmp_path / "m_S1_L001_R2_001.fastq.gz", "wt") as r2:
+        for i in range(20):
+            umi = "".join(rng.choice(list("ACGT"), 12))
+            p = int(rng.integers(0, 400 - READ_LEN))
+            cdna = seg[p:p + READ_LEN].decode()
+            r1.write(f"@mm{i}\n{wl[i % 5]}{umi}\n+\n{'F' * 28}\n")
+            r2.write(f"@mm{i}\n{cdna}\n+\n{'F' * READ_LEN}\n")
+    out = str(tmp_path / "out")
+    s = run_count(CountConfig(
+        fastq_pairs=[(str(tmp_path / "m_S1_L001_R1_001.fastq.gz"),
+                      str(tmp_path / "m_S1_L001_R2_001.fastq.gz"))],
+        reference_path=str(tmp_path / "ref"), whitelist_path=str(tmp_path / "wl.txt"),
+        chemistry="SC3Pv3", read_len=READ_LEN, batch_size=256,
+        secondary_analysis=False), out)
+    assert s["conf_mapped_frac"] == 1.0
+    assert s["total_molecules"] == 20
+
+
 def test_partitioned_dedup_matches_single(synthetic_run, tmp_path, monkeypatch):
     """Forcing tiny dedup partitions must not change the matrix."""
     import cellranger_tpu.pipeline.count as cnt
