@@ -32,7 +32,7 @@ import numpy as np
 
 from ..align.aligner import DeviceIndex, make_aligner
 from ..align.annotate import AnnotationIndex, make_annotator, REGION_EXONIC, \
-    REGION_INTRONIC, REGION_INTERGENIC, GENE_MULTI
+    REGION_INTRONIC, REGION_INTERGENIC, GENE_MULTI, GENE_NONE
 from ..align.index import GenomeIndex
 from ..analysis import cell_calling
 from ..io.chemistry import Chemistry, get_chemistry
@@ -217,41 +217,42 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
                                ann["conf_mapped"])
             ann = dict(ann, gene=gene_n, region=region_n, conf_mapped=conf_n)
 
-        # ---- compacted multi-locus annotation (2..4-locus reads) ----
+        # ---- compacted multi-locus annotation (2..D-locus reads) ----
         # multimapper gene promotion (tx_annotation/src/read.rs:117-149):
         # a read mapping to several loci whose alignments together hit
         # EXACTLY ONE gene is promoted to confidently-mapped, MAPQ 255.
-        # Loci 2..D of the compacted multimapped reads annotate in ONE
-        # batched call (stacked rows).
+        # Compaction is over (read, locus) PAIRS, not reads: only the VALID
+        # extra loci of multimapped reads occupy annotate slots, so the
+        # annotate row count stays C2 (the old 2-locus cost) while covering
+        # every distinct locus the aligner surfaced.
         ND = aln["loci_pos"].shape[1]                  # D distinct loci
         C2 = max(B // SECOND_CAP_FRAC, 1)
         need2 = (aln["mapped"] & (aln["n_best"] >= 2) & ~ann["conf_mapped"])
-        sel2 = jnp.nonzero(need2, size=C2, fill_value=B)[0]
-        sel2_c = jnp.minimum(sel2, B - 1)
-        lp = aln["loci_pos"][sel2_c][:, 1:].reshape(-1)      # [(ND-1)*C2]
-        ll = aln["loci_len"][sel2_c][:, 1:].reshape(-1)
-        lst = aln["loci_strand"][sel2_c][:, 1:].reshape(-1)
-        lok = aln["loci_ok"][sel2_c][:, 1:]                  # [C2, ND-1]
-        NK = (ND - 1) * C2
+        pair_ok = need2[:, None] & aln["loci_ok"][:, 1:]     # [B, ND-1]
+        NP = B * (ND - 1)
+        selp = jnp.nonzero(pair_ok.reshape(-1), size=C2, fill_value=NP)[0]
+        selp_c = jnp.minimum(selp, NP - 1)
+        lp = aln["loci_pos"][:, 1:].reshape(-1)[selp_c]
+        ll = aln["loci_len"][:, 1:].reshape(-1)[selp_c]
+        lst = aln["loci_strand"][:, 1:].reshape(-1)[selp_c]
         ann2_c = annotate_impl(
-            ann_idx, lp, ll, lst, jnp.full((NK,), 255, jnp.int32),
-            jnp.ones((NK,), bool))
-        g_loci = jnp.where(lok, ann2_c["gene"].reshape(C2, ND - 1), -1)
-        g1 = ann["gene"][sel2_c]
-        genes_all = jnp.concatenate([g1[:, None], g_loci], axis=1)
+            ann_idx, lp, ll, lst, jnp.full((C2,), 255, jnp.int32),
+            jnp.ones((C2,), bool))
+        g_loci = jnp.full((NP,), GENE_NONE, jnp.int32).at[selp].set(
+            ann2_c["gene"], mode="drop").reshape(B, ND - 1)
+        # a read only participates if ALL its pairs got slots (pairs are
+        # selected in read order, so overflow drops a suffix of reads)
+        fits = jnp.cumsum(pair_ok.sum(axis=1)) <= C2
+        genes_all = jnp.concatenate([ann["gene"][:, None], g_loci], axis=1)
         # exactly one distinct sense gene across loci, none multi-gene
         any_multi = (genes_all == GENE_MULTI).any(axis=1)
         gs2 = jnp.sort(genes_all, axis=1)
         isg = gs2 >= 0
         dist2 = jnp.concatenate(
-            [jnp.ones((C2, 1), bool), gs2[:, 1:] != gs2[:, :-1]], axis=1) & isg
+            [jnp.ones((B, 1), bool), gs2[:, 1:] != gs2[:, :-1]], axis=1) & isg
         n_genes2 = dist2.sum(axis=1)
-        mm_gene_c = jnp.max(jnp.where(isg, gs2, -1), axis=1)
-        promote_c = (n_genes2 == 1) & ~any_multi & (sel2 < B)
-        promoted = jnp.zeros((B,), bool).at[sel2].set(promote_c, mode="drop")
-        mm_gene = jnp.full((B,), -1, jnp.int32).at[sel2].set(
-            mm_gene_c, mode="drop")
-        promoted = promoted & need2
+        mm_gene = jnp.max(jnp.where(isg, gs2, -1), axis=1)
+        promoted = need2 & fits & (n_genes2 == 1) & ~any_multi
         gene_eff = jnp.where(promoted, mm_gene, ann["gene"])
         conf_eff = ann["conf_mapped"] | promoted
         mapq_eff = jnp.where(promoted, 255, aln["mapq"])

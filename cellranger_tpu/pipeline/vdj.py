@@ -140,7 +140,7 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
                 cdr3=ann.cdr3_aa or "None", cdr3_nt=ann.cdr3_nt or "None",
                 full_length=ann.full_length, productive=ann.productive,
                 is_cell=bc_str in cells,
-                sequence=contig.seq))
+                sequence=contig.seq, _ann=ann, _contig=contig))
 
     clonotypes = group_clonotypes(cells)
     clonotype_of_bc = {}
@@ -148,16 +148,111 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
         for bc in c["barcodes"]:
             clonotype_of_bc[bc] = c["clonotype_id"]
 
-    # outputs (reference: all_contig_annotations.csv, clonotypes.csv, fasta)
-    with open(os.path.join(out_dir, "all_contig_annotations.csv"), "w") as f:
+    # outputs (reference vdj outs, _sc_vdj_clonotype_assigner.mro:3 chain:
+    # all/filtered contig annotations + fasta/fastq, cell_barcodes.json,
+    # consensus + concat_ref, clonotypes.csv, AIRR TSV)
+    def write_contig_csv(path, rows):
         cols = ["barcode", "is_cell", "contig_id", "length", "chain",
                 "v_gene", "j_gene", "c_gene", "cdr3", "cdr3_nt",
                 "reads", "umis", "full_length", "productive"]
-        f.write(",".join(cols) + "\n")
-        for r in contig_rows:
-            f.write(",".join(str(r[c]) for c in cols) + "\n")
+        with open(path, "w") as f:
+            f.write(",".join(cols) + "\n")
+            for r in rows:
+                f.write(",".join(str(r[c]) for c in cols) + "\n")
+
+    def write_fastq(path, rows):
+        # per-base qualities are not tracked by the device assembler yet;
+        # emit the contig at a constant Q37 (reference derives them from
+        # read pileups, vdj_asm_utils/src/sw.rs:59)
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(f"@{r['contig_id']}\n{r['sequence']}\n+\n"
+                        f"{'F' * len(r['sequence'])}\n")
+
+    filt_rows = [r for r in contig_rows if r["is_cell"]]
+    write_contig_csv(os.path.join(out_dir, "all_contig_annotations.csv"),
+                     contig_rows)
+    write_contig_csv(os.path.join(out_dir, "filtered_contig_annotations.csv"),
+                     filt_rows)
     write_fasta(os.path.join(out_dir, "all_contig.fasta"),
                 {r["contig_id"]: r["sequence"].encode() for r in contig_rows})
+    write_fasta(os.path.join(out_dir, "filtered_contig.fasta"),
+                {r["contig_id"]: r["sequence"].encode() for r in filt_rows})
+    write_fastq(os.path.join(out_dir, "all_contig.fastq"), contig_rows)
+    write_fastq(os.path.join(out_dir, "filtered_contig.fastq"), filt_rows)
+    with open(os.path.join(out_dir, "cell_barcodes.json"), "w") as f:
+        json.dump(sorted(cells), f, indent=2)
+
+    # all_contig_annotations.json: contig records with segment alignment
+    # coordinates (reference writes these from the vdj_proto contig protos)
+    def seg_json(hit, region):
+        if hit is None:
+            return None
+        return dict(feature=dict(region_type=f"{region}-REGION",
+                                 gene_name=hit.segment.gene_name,
+                                 chain=hit.segment.chain),
+                    contig_match_start=hit.contig_start,
+                    contig_match_end=hit.contig_end,
+                    score=hit.score)
+    with open(os.path.join(out_dir, "all_contig_annotations.json"), "w") as f:
+        json.dump([dict(
+            barcode=r["barcode"], contig_name=r["contig_id"],
+            sequence=r["sequence"], length=r["length"],
+            chain=r["chain"], cdr3=r["cdr3"], cdr3_seq=r["cdr3_nt"],
+            umi_count=r["umis"], read_count=r["reads"],
+            productive=r["productive"], full_length=r["full_length"],
+            is_cell=r["is_cell"], high_confidence=r["is_cell"],
+            clonotype=clonotype_of_bc.get(r["barcode"]),
+            annotations=[a for a in (seg_json(r["_ann"].v, "V"),
+                                     seg_json(r["_ann"].j, "J"),
+                                     seg_json(r["_ann"].c, "C")) if a],
+        ) for r in contig_rows], f, indent=1)
+
+    # consensus per (clonotype, chain): the member contig with the highest
+    # UMI support (deterministic medoid stand-in for the reference's
+    # pileup consensus); concat_ref = its germline V[+C] segment splice
+    consensus_fa, concat_fa, cons_rows = {}, {}, []
+    for c in clonotypes:
+        member_anns = []
+        for bc in c["barcodes"]:
+            member_anns.extend(contigs_by_bc.get(bc, []))
+        for i, ch in enumerate(c["chains"]):
+            cand = [(ct, an) for ct, an in member_anns
+                    if an.productive and an.chain == ch["chain"]
+                    and (an.v and an.v.segment.gene_name == ch["v_gene"])
+                    and (an.j and an.j.segment.gene_name == ch["j_gene"])]
+            if not cand:
+                continue
+            ct, an = max(cand, key=lambda p: (p[0].n_umis, p[0].seq))
+            cid = f"{c['clonotype_id']}_consensus_{i + 1}"
+            consensus_fa[cid] = ct.seq.encode()
+            germ = an.v.segment.seq + an.j.segment.seq
+            if an.c:
+                germ += an.c.segment.seq
+            concat_fa[f"{cid}_concat_ref"] = germ
+            cons_rows.append(dict(
+                clonotype_id=c["clonotype_id"], consensus_id=cid,
+                length=len(ct.seq), chain=ch["chain"],
+                v_gene=ch["v_gene"], j_gene=ch["j_gene"],
+                c_gene=an.c.segment.gene_name if an.c else "None",
+                cdr3=an.cdr3_aa or "None", cdr3_nt=ch["cdr3_nt"],
+                umis=sum(x.n_umis for x, a2 in cand),
+                reads=sum(x.n_reads for x, a2 in cand)))
+    write_fasta(os.path.join(out_dir, "consensus.fasta"), consensus_fa)
+    write_fasta(os.path.join(out_dir, "concat_ref.fasta"), concat_fa)
+    with open(os.path.join(out_dir, "consensus_annotations.csv"), "w") as f:
+        cols = ["clonotype_id", "consensus_id", "length", "chain", "v_gene",
+                "j_gene", "c_gene", "cdr3", "cdr3_nt", "reads", "umis"]
+        f.write(",".join(cols) + "\n")
+        for r in cons_rows:
+            f.write(",".join(str(r[c]) for c in cols) + "\n")
+
+    # vdj_reference/ copy (clonotype_assigner/copy_vdj_reference.rs analog)
+    refdir = os.path.join(out_dir, "vdj_reference", "fasta")
+    os.makedirs(refdir, exist_ok=True)
+    import shutil
+    shutil.copyfile(cfg.vdj_reference_fasta,
+                    os.path.join(refdir, "regions.fa"))
     with open(os.path.join(out_dir, "clonotypes.csv"), "w") as f:
         f.write("clonotype_id,frequency,proportion,cdr3s_nt\n")
         for c in clonotypes:

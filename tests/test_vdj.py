@@ -132,6 +132,34 @@ def test_vdj_pipeline_end_to_end(vdj_world, tmp_path):
     assert w["cdr3_a"] in clon[1]
     assert os.path.exists(os.path.join(out, "all_contig.fasta"))
 
+    # expanded vdj out surface (filtered/consensus/concat_ref/json)
+    import json as _json
+    cellbcs = _json.load(open(os.path.join(out, "cell_barcodes.json")))
+    assert len(cellbcs) == 6 and all(b.endswith("-1") for b in cellbcs)
+    filt = open(os.path.join(out, "filtered_contig_annotations.csv")).read() \
+        .splitlines()
+    assert 6 <= len(filt) - 1 <= len(rows) - 1
+    assert all(",True," in r for r in filt[1:])  # is_cell column
+    fq = open(os.path.join(out, "filtered_contig.fastq")).read().splitlines()
+    assert len(fq) == 4 * (len(filt) - 1)
+    cj = _json.load(open(os.path.join(out, "all_contig_annotations.json")))
+    assert len(cj) == len(rows) - 1
+    full = [c for c in cj if c["full_length"]]
+    assert full and all(
+        a["contig_match_end"] > a["contig_match_start"]
+        for c in full for a in c["annotations"])
+    assert {a["feature"]["region_type"] for a in full[0]["annotations"]} >= \
+        {"V-REGION", "J-REGION"}
+    cons = open(os.path.join(out, "consensus_annotations.csv")).read() \
+        .splitlines()
+    assert len(cons) - 1 == 2  # one consensus chain per clonotype
+    cfa = open(os.path.join(out, "consensus.fasta")).read()
+    assert "clonotype1_consensus_1" in cfa
+    crf = open(os.path.join(out, "concat_ref.fasta")).read()
+    assert "clonotype1_consensus_1_concat_ref" in crf
+    assert os.path.exists(os.path.join(out, "vdj_reference", "fasta",
+                                       "regions.fa"))
+
 
 def test_airr_and_websummary(vdj_world, tmp_path):
     w = vdj_world
