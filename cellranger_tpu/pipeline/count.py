@@ -765,6 +765,17 @@ def run_count(cfg: CountConfig, out_dir: str,
         call_metrics.update({f"multigenome_{k}": v
                              for k, v in mg_summary.items()})
 
+    # ---- CRISPR / antigen feature assignment on called cells ----
+    # (feature_assigner.py analog; CMO tags go through JIBES in demux)
+    if fb_ref is not None and len(cells_idx):
+        from ..analysis.feature_assigner import run_feature_assignment
+        for ftype, sub, prefix in (
+                ("CRISPR Guide Capture", "crispr_analysis", "protospacer"),
+                ("Antigen Capture", "antigen_analysis", "antigen")):
+            fa = run_feature_assignment(
+                filtered, ftype, os.path.join(out_dir, sub), prefix)
+            call_metrics.update(fa)
+
     # ---- secondary analysis (SC_RNA_ANALYZER analog) ----
     if cfg.secondary_analysis and len(cells_idx) >= 2:
         from ..analysis.run import run_secondary_analysis

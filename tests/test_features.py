@@ -134,6 +134,78 @@ def test_dual_library_pipeline(synthetic_run, tmp_path):
     assert 30 <= summary["estimated_cells"] <= 32
 
 
+def test_call_features_gmm():
+    """Two-component mixture separates expressing cells from ambient."""
+    from cellranger_tpu.analysis.feature_assigner import call_features
+    rng = np.random.default_rng(3)
+    C = 400
+    counts = np.zeros((2, C), np.int64)
+    # guide 0: cells 0..99 express (~100 UMIs), everyone has ~2 ambient
+    counts[0] = rng.poisson(2, C)
+    counts[0, :100] = rng.poisson(100, 100)
+    # guide 1: cells 50..149 express
+    counts[1] = rng.poisson(1, C)
+    counts[1, 50:150] = rng.poisson(80, 100)
+    a = call_features(counts)
+    assert a[0, :100].mean() > 0.97 and a[0, 100:].mean() < 0.03
+    assert a[1, 50:150].mean() > 0.97
+    assert a[1, :50].mean() < 0.03 and a[1, 150:].mean() < 0.03
+    # degenerate feature: too few positives -> min-umi fallback
+    few = np.zeros((1, C), np.int64)
+    few[0, :3] = 50
+    assert call_features(few)[0].sum() == 3
+
+
+def test_crispr_protospacer_calls(synthetic_run, tmp_path):
+    """CRISPR library -> crispr_analysis/protospacer_calls_per_cell.csv
+    with per-cell guide assignments (feature_assigner.py analog)."""
+    s = synthetic_run
+    rng = np.random.default_rng(41)
+    fcsv = tmp_path / "guides.csv"
+    with open(fcsv, "w") as f:
+        f.write("id,name,read,pattern,sequence,feature_type\n")
+        for i, sq in enumerate(AB_SEQS[:2]):
+            f.write(f"GUIDE{i},g{i},R2,5PNNNNNNNNNN(BC),{sq},"
+                    "CRISPR Guide Capture\n")
+    r1p = str(tmp_path / "cr_S1_L001_R1_001.fastq.gz")
+    r2p = str(tmp_path / "cr_S1_L001_R2_001.fastq.gz")
+    truth = {}
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        n = 0
+        for ci, bc in enumerate(s["cells"]):
+            g = 0 if ci < 15 else 1
+            truth[bc] = f"GUIDE{g}"
+            for u in range(30):          # strongly expressing
+                umi = "".join(rng.choice(list("ACGT"), 12))
+                f1.write(f"@c{n}\n{bc}{umi}\n+\n{'F' * 28}\n")
+                f2.write(f"@c{n}\n{'T' * 10}{AB_SEQS[g]}{'A' * 46}\n+\n"
+                         f"{'F' * 71}\n")
+                n += 1
+            # ambient cross-contamination of the other guide
+            umi = "".join(rng.choice(list("ACGT"), 12))
+            f1.write(f"@c{n}\n{bc}{umi}\n+\n{'F' * 28}\n")
+            f2.write(f"@c{n}\n{'T' * 10}{AB_SEQS[1 - g]}{'A' * 46}\n+\n"
+                     f"{'F' * 71}\n")
+            n += 1
+    out = str(tmp_path / "out")
+    summary = run_count(CountConfig(
+        fastq_pairs=[], reference_path=s["ref"], whitelist_path=s["wl"],
+        feature_ref_csv=str(fcsv),
+        libraries=[LibraryDef([(s["r1"], s["r2"])], "Gene Expression"),
+                   LibraryDef([(r1p, r2p)], "CRISPR Guide Capture")],
+        chemistry="SC3Pv3", read_len=91, batch_size=2048,
+        secondary_analysis=False), out)
+    path = os.path.join(out, "crispr_analysis",
+                        "protospacer_calls_per_cell.csv")
+    rows = [r.split(",") for r in open(path).read().splitlines()[1:]]
+    calls = {r[0][:-2]: r[2] for r in rows}
+    hits = sum(calls.get(bc) == g for bc, g in truth.items())
+    assert hits >= 28, f"only {hits}/30 correct: {calls}"
+    assert summary["cells_with_one_protospacer_frac"] >= 0.9
+    assert os.path.exists(os.path.join(out, "crispr_analysis",
+                                       "protospacer_calls_summary.csv"))
+
+
 def test_multi_cmo_demux(synthetic_run, tmp_path):
     """multi config with GEX + Multiplexing Capture + [samples]: cells get
     demultiplexed into per-sample matrices via JIBES."""
