@@ -677,6 +677,38 @@ def run_count(cfg: CountConfig, out_dir: str,
                 chemistry_description=chem.description)
     raw.save_mex(os.path.join(out_dir, "raw_feature_bc_matrix"))
 
+    # ---- antibody/antigen aggregate-GEM removal (FILTER_BARCODES step 1,
+    # cell_calling_helpers.py:188-272) ----
+    agg_metrics: dict = {}
+    agg_bcs = np.zeros(0, np.int64)
+    if fb_ref is not None:
+        from ..analysis.aggregates import (detect_antibody_aggregates,
+                                           detect_outlier_umi_bcs)
+        fdefs = features.feature_defs
+        ab_rows = [i for i, d in enumerate(fdefs)
+                   if d.feature_type == "Antibody Capture"]
+        ag_rows = [i for i, d in enumerate(fdefs)
+                   if d.feature_type == "Antigen Capture"]
+        if ab_rows:
+            agg_bcs = detect_antibody_aggregates(
+                np.asarray(raw.m[ab_rows, :].todense()),
+                num_probe_barcodes=n_probe if n_probe > 1 else None)
+        if ag_rows:
+            agg_bcs = np.union1d(agg_bcs, detect_outlier_umi_bcs(
+                np.asarray(raw.m[ag_rows, :].todense())))
+        if len(agg_bcs):
+            per_bc_all = raw.counts_per_bc()
+            agg_metrics["number_aggregate_GEMs"] = int(len(agg_bcs))
+            agg_metrics["reads_lost_to_aggregate_GEMs"] = float(
+                per_bc_all[agg_bcs].sum() / max(per_bc_all.sum(), 1))
+            with open(os.path.join(out_dir, "aggregate_barcodes.csv"),
+                      "w") as f:
+                f.write("barcode,umis\n")
+                for b in agg_bcs:
+                    bc = raw.barcodes[b]
+                    f.write(f"{bc.decode() if isinstance(bc, bytes) else bc},"
+                            f"{int(per_bc_all[b])}\n")
+
     # ---- cell calling (on Gene Expression counts only when FB present,
     # filter_barcodes semantics) ----
     if fb_ref is not None and n_genes > 0:
@@ -686,10 +718,19 @@ def run_count(cfg: CountConfig, out_dir: str,
     else:
         umis_per_bc = raw.counts_per_bc()
         call_matrix = raw.m
+    if len(agg_bcs):
+        # aggregates never become cells (the reference removes them from
+        # the matrix before calling; we zero their calling weight instead
+        # so raw-matrix barcode indexing stays stable)
+        umis_per_bc = umis_per_bc.copy()
+        umis_per_bc[agg_bcs] = 0
     cells_idx, call_metrics = cell_calling.call_cells(
         call_matrix, umis_per_bc, cfg.chemistry,
         recovered_cells=cfg.recovered_cells, force_cells=cfg.force_cells,
         num_probe_bcs=n_probe if n_probe > 1 else None)
+    if len(agg_bcs):
+        cells_idx = np.setdiff1d(np.asarray(cells_idx), agg_bcs)
+        call_metrics.update(agg_metrics)
     filtered = raw.select_barcodes(cells_idx)
     filtered.save_h5(os.path.join(out_dir, "filtered_feature_bc_matrix.h5"),
                      chemistry_description=chem.description)

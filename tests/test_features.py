@@ -134,6 +134,36 @@ def test_dual_library_pipeline(synthetic_run, tmp_path):
     assert 30 <= summary["estimated_cells"] <= 32
 
 
+def test_antibody_aggregate_detection():
+    """A GEM enriched in most of the panel is an aggregate; a bright
+    singlet enriched in one antibody is not (antibody/analysis.py
+    semantics: panel-fraction membership in per-antibody top-25)."""
+    from cellranger_tpu.analysis.aggregates import (
+        detect_antibody_aggregates, detect_outlier_umi_bcs)
+    rng = np.random.default_rng(7)
+    F, N = 8, 3000
+    counts = rng.poisson(1.0, (F, N)).astype(np.int64)
+    cells = rng.choice(N, 60, replace=False)
+    for c in cells:           # each cell bright in ONE antibody
+        counts[rng.integers(F), c] += 400
+    agg = 17                  # aggregate: bright in EVERY antibody
+    counts[:, agg] += 500
+    called = detect_antibody_aggregates(counts)
+    assert agg in called
+    assert not set(called) & set(cells.tolist())
+    # under 5 signal antibodies: no calls
+    assert len(detect_antibody_aggregates(counts[:4])) == 0
+
+    # antigen outlier path: IQR blowout with a 1000-UMI floor
+    ag = np.zeros((2, N), np.int64)
+    ag[0, :100] = rng.integers(1200, 2000, 100)
+    ag[0, 5] = 50_000
+    assert detect_outlier_umi_bcs(ag).tolist() == [5]
+    ag[0, :100] = rng.integers(100, 300, 100)  # threshold < 1000 floor
+    ag[0, 5] = 50_000
+    assert len(detect_outlier_umi_bcs(ag)) == 0
+
+
 def test_call_features_gmm():
     """Two-component mixture separates expressing cells from ambient."""
     from cellranger_tpu.analysis.feature_assigner import call_features
