@@ -14,6 +14,42 @@ from ..analysis.jibes import fit_jibes
 from ..io.matrix_io import CountMatrix, MULTIPLEXING
 
 
+def write_sample_outs(sub: CountMatrix, sdir: str, sample_id: str,
+                      secondary: bool = True) -> dict:
+    """Per-sample outs (SAMPLE_ANALYZER + SAMPLE_REPORTER analog,
+    mro/rna/sc_multi_core.mro:230,273): matrix h5 + MEX, sample metrics
+    JSON, secondary analysis, web summary."""
+    import json
+
+    os.makedirs(sdir, exist_ok=True)
+    sub.save_h5(os.path.join(sdir, "sample_filtered_feature_bc_matrix.h5"))
+    sub.save_mex(os.path.join(sdir, "sample_filtered_feature_bc_matrix"))
+    umis = sub.counts_per_bc()
+    genes_per_cell = np.asarray((sub.m > 0).sum(axis=0)).ravel()
+    metrics = dict(
+        sample_id=sample_id,
+        cells=int(sub.m.shape[1]),
+        total_umis=int(umis.sum()),
+        median_umis_per_cell=float(np.median(umis)) if len(umis) else 0.0,
+        median_genes_per_cell=(float(np.median(genes_per_cell))
+                               if len(genes_per_cell) else 0.0),
+        total_features_detected=int((sub.counts_per_feature() > 0).sum()))
+    with open(os.path.join(sdir, "metrics_summary.json"), "w") as f:
+        json.dump(metrics, f, indent=2, default=float)
+    if secondary and sub.m.shape[1] >= 2:
+        from ..analysis.run import run_secondary_analysis
+        try:
+            run_secondary_analysis(sub, os.path.join(sdir, "analysis"))
+        except Exception as e:  # tiny samples can defeat PCA/clustering
+            metrics["secondary_analysis_error"] = str(e)
+    from .websummary import build_web_summary
+    try:
+        build_web_summary(sdir, sample_id, pipeline="count")
+    except Exception:
+        pass
+    return metrics
+
+
 def demux_samples(count_out_dir: str, samples: list[dict], out_dir: str) -> dict:
     """samples: rows with sample_id + cmo_ids ('|'-separated tag feature
     names). Returns summary dict."""
@@ -55,8 +91,7 @@ def demux_samples(count_out_dir: str, samples: list[dict], out_dir: str) -> dict
     for sample_id, cols in per_sample_cols.items():
         sub = filtered.select_barcodes(np.asarray(cols))
         sdir = os.path.join(out_dir, "per_sample_outs", sample_id)
-        os.makedirs(sdir, exist_ok=True)
-        sub.save_h5(os.path.join(sdir, "sample_filtered_feature_bc_matrix.h5"))
+        write_sample_outs(sub, sdir, sample_id)
         summary["samples"][sample_id] = len(cols)
     return summary
 
@@ -104,7 +139,6 @@ def demux_probe_samples(count_out_dir: str, samples: list[dict],
     for sample_id, cols in per_sample_cols.items():
         sub = filtered.select_barcodes(np.asarray(cols))
         sdir = os.path.join(out_dir, "per_sample_outs", sample_id)
-        os.makedirs(sdir, exist_ok=True)
-        sub.save_h5(os.path.join(sdir, "sample_filtered_feature_bc_matrix.h5"))
+        write_sample_outs(sub, sdir, sample_id)
         summary["samples"][sample_id] = len(cols)
     return summary

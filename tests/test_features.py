@@ -298,3 +298,11 @@ sampleB,CMO302
     assert called <= set(s["cells"][:15])
     rows = open(os.path.join(out, "demux", "assignments.csv")).read().splitlines()
     assert rows[0] == "barcode,tag_call,sample,posterior"
+    # per-sample outs: MEX + metrics + web summary (SAMPLE_REPORTER analog)
+    import json
+    sdir = os.path.join(out, "demux", "per_sample_outs", "sampleA")
+    assert os.path.exists(os.path.join(
+        sdir, "sample_filtered_feature_bc_matrix", "matrix.mtx.gz"))
+    sm = json.load(open(os.path.join(sdir, "metrics_summary.json")))
+    assert sm["cells"] == d["samples"]["sampleA"]
+    assert sm["median_umis_per_cell"] > 0
