@@ -77,6 +77,11 @@ class CountConfig:
     # RTL multiplexing (MFRP): probe barcode whitelist CSV (id,sequence);
     # molecules land in the (gel-bead x probe-bc) product barcode space
     probe_barcode_csv: str | None = None
+    # pipestance-style resume (SURVEY §5.4): persist the deduplicated
+    # molecule table under <out_dir>/_checkpoint/ and skip the FASTQ
+    # passes on rerun with unchanged inputs (BAM emission, which needs
+    # per-read state, reruns only on a fresh pass)
+    checkpoint: bool = True
 
 
 @dataclass
@@ -377,6 +382,8 @@ def run_count(cfg: CountConfig, out_dir: str,
     the metrics dict."""
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
+    from ..perf import PerfTrace
+    perf = PerfTrace()
     chem = get_chemistry(cfg.chemistry)
     if whitelist is None:
         whitelist = Whitelist.load(cfg.whitelist_path)
@@ -453,205 +460,249 @@ def run_count(cfg: CountConfig, out_dir: str,
                                                         cfg.read_len)
 
     libraries = cfg.libraries or [LibraryDef(cfg.fastq_pairs, "Gene Expression")]
-    # fused=True: on tunneled/remote TPU backends the adaptive split-step's
-    # per-batch host round-trips cost far more than the correction capacity
-    # it saves (measured 15x worse); the fused single program stays on
-    # device. fused=False remains available for local-attached deployments.
-    step = (None if probe_set is not None
-            else _make_step(didx, ann_idx, whitelist.size, chem, cfg.read_len))
-    # whitelist as a bucket-row table: ONE row gather per membership /
-    # correction-candidate probe; the count column (posterior prior) is
-    # filled in after pass 1
-    wl_table = BucketTable.build_exact(
-        whitelist.sorted_seqs, np.arange(whitelist.size, dtype=np.uint32),
-        entries=8, fields=3)
-
     metrics = CountMetrics()
 
-    # ---- pass 1: extract + count valid barcodes (the correction prior) ----
-    cached: list[tuple[int, ReadBatch]] = []  # (library index, batch)
-    wl_counts = jnp.zeros((whitelist.size,), jnp.int32)
-    for li, lib in enumerate(libraries):
-        for (r1, r2) in lib.fastq_pairs:
-            for batch in batches_from_fastqs(chem, r1, r2, cfg.batch_size,
-                                             cfg.read_len,
-                                             keep_names=cfg.write_bam):
+    perf.lap("load_reference_index")
+
+    # ---- checkpoint/resume (pipestance analog, pipeline/checkpoint.py) ----
+    ckpt = None
+    _resume = None
+    if cfg.checkpoint:
+        from .checkpoint import CountCheckpoint, count_fingerprint
+        ckpt = CountCheckpoint(out_dir, count_fingerprint(cfg))
+        # BAM needs per-read state only the FASTQ passes produce, so a
+        # BAM-requesting run never resumes from the molecule table
+        if not cfg.write_bam:
+            _resume = ckpt.load("molecules")
+    if _resume is not None:
+        mbc = _resume["mbc"]; mgene = _resume["mgene"]
+        mumi = _resume["mumi"]; mreads = _resume["mreads"]
+        sjk = _resume["sj_keys"]; sjv = _resume["sj_vals"]
+        sj_counts = {tuple(int(x) for x in k): int(v)
+                     for k, v in zip(sjk, sjv)}
+        if probe_set is not None and "probe_region_reads" in _resume:
+            probe_region_reads = _resume["probe_region_reads"]
+        metrics = CountMetrics(**_resume["__meta__"]["metrics"])
+        bam_collector = None
+        dd = None
+        perf.lap("resume_checkpoint")
+    else:
+        # fused=True: on tunneled/remote TPU backends the adaptive
+        # split-step's per-batch host round-trips cost far more than the
+        # correction capacity it saves (measured 15x worse); the fused
+        # single program stays on device. fused=False remains available
+        # for local-attached deployments.
+        step = (None if probe_set is not None
+                else _make_step(didx, ann_idx, whitelist.size, chem,
+                                cfg.read_len))
+        # whitelist as a bucket-row table: ONE row gather per membership /
+        # correction-candidate probe; the count column (posterior prior)
+        # is filled in after pass 1
+        wl_table = BucketTable.build_exact(
+            whitelist.sorted_seqs, np.arange(whitelist.size, dtype=np.uint32),
+            entries=8, fields=3)
+
+        # ---- pass 1: extract + count valid barcodes (the correction prior) ----
+        cached: list[tuple[int, ReadBatch]] = []  # (library index, batch)
+        wl_counts = jnp.zeros((whitelist.size,), jnp.int32)
+        for li, lib in enumerate(libraries):
+            for (r1, r2) in lib.fastq_pairs:
+                for batch in batches_from_fastqs(chem, r1, r2, cfg.batch_size,
+                                                 cfg.read_len,
+                                                 keep_names=cfg.write_bam):
+                    hit, idx = bcops.whitelist_lookup(
+                        jnp.asarray(batch.bc_packed), wl_table)
+                    wl_counts = wl_counts + bcops.count_valid_barcodes(
+                        idx, jnp.asarray(batch.slot_valid), whitelist.size)
+                    cached.append((li, batch))
+                    n = batch.n_reads
+                    metrics.q30_bc_bases += int((batch.bc_qual[:n] >= 63).sum())
+                    metrics.bc_bases += int(batch.bc_qual[:n].size)
+                    metrics.q30_umi_bases += int((batch.umi_qual[:n] >= 63).sum())
+                    metrics.umi_bases += int(batch.umi_qual[:n].size)
+                    in_len = batch.rna_qual[:n][batch.rna_nmask[:n]]
+                    metrics.q30_rna_bases += int((in_len >= 63).sum())
+                    metrics.rna_bases += int(in_len.size)
+
+        perf.lap("pass1_extract_whitelist")
+
+        # ---- pass 2: fused correct/align/annotate ----
+        # fill the whitelist rows' count column with the pass-1 prior so each
+        # correction candidate probe is a single row gather
+        wl_table = wl_table.with_counts(np.asarray(wl_counts))
+        mol_bc, mol_gene, mol_umi = [], [], []
+        sj_counts: dict = {}   # (donor_text, acceptor_text, strand, annotated) -> reads
+        bam_collector = None
+        if cfg.write_bam and gi is not None:
+            from .bam_out import BamCollector
+            bam_collector = BamCollector(gi, ref.transcriptome)
+        for li, batch in cached:
+            lib_type = libraries[li].library_type
+            if lib_type == "Gene Expression" and probe_set is not None:
+                # RTL: cell-barcode handling + probe alignment
                 hit, idx = bcops.whitelist_lookup(
                     jnp.asarray(batch.bc_packed), wl_table)
-                wl_counts = wl_counts + bcops.count_valid_barcodes(
-                    idx, jnp.asarray(batch.slot_valid), whitelist.size)
-                cached.append((li, batch))
-                n = batch.n_reads
-                metrics.q30_bc_bases += int((batch.bc_qual[:n] >= 63).sum())
-                metrics.bc_bases += int(batch.bc_qual[:n].size)
-                metrics.q30_umi_bases += int((batch.umi_qual[:n] >= 63).sum())
-                metrics.umi_bases += int(batch.umi_qual[:n].size)
-                in_len = batch.rna_qual[:n][batch.rna_nmask[:n]]
-                metrics.q30_rna_bases += int((in_len >= 63).sum())
-                metrics.rna_bases += int(in_len.size)
-
-    # ---- pass 2: fused correct/align/annotate ----
-    # fill the whitelist rows' count column with the pass-1 prior so each
-    # correction candidate probe is a single row gather
-    wl_table = wl_table.with_counts(np.asarray(wl_counts))
-    mol_bc, mol_gene, mol_umi = [], [], []
-    sj_counts: dict = {}   # (donor_text, acceptor_text, strand, annotated) -> reads
-    bam_collector = None
-    if cfg.write_bam and gi is not None:
-        from .bam_out import BamCollector
-        bam_collector = BamCollector(gi, ref.transcriptome)
-    for li, batch in cached:
-        lib_type = libraries[li].library_type
-        if lib_type == "Gene Expression" and probe_set is not None:
-            # RTL: cell-barcode handling + probe alignment
-            hit, idx = bcops.whitelist_lookup(
-                jnp.asarray(batch.bc_packed), wl_table)
-            corr_bc, corr_idx, corrected = bcops.correct_barcodes(
-                jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
-                wl_table, chem.barcode_length)
-            slot = jnp.asarray(batch.slot_valid)
-            bc_ok = (hit | corrected) & slot
-            bc_idx = jnp.where(hit, idx, corr_idx)
-            pa = probe_align(jnp.asarray(batch.rna),
-                             jnp.asarray(batch.rna_nmask))
-            conf = (np.asarray(pa["conf_mapped"]) & np.asarray(bc_ok)
-                    & batch.umi_valid)
-            bc_combined = np.asarray(bc_idx).astype(np.int64)
-            if probe_bc_packed is not None:
-                from ..io.probe_bc import assign_probe_bcs
-                pidx, pok = assign_probe_bcs(
-                    batch.probe_bc_packed, probe_bc_packed,
-                    chem.probe_bc.length)
-                conf = conf & pok
-                bc_combined = bc_combined * n_probe + np.maximum(pidx, 0)
-            metrics.total_reads += batch.n_reads
-            metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
-            metrics.corrected_barcode_reads += int(
-                jnp.sum(corrected & ~hit & slot))
-            metrics.valid_umi_reads += int(
-                jnp.sum(jnp.asarray(batch.umi_valid) & slot))
-            metrics.mapped_reads += int(np.asarray(pa["mapped"]).sum())
-            metrics.conf_mapped_reads += int(np.asarray(pa["conf_mapped"]).sum())
-            metrics.usable_reads += int(conf.sum())
-            probes_conf = np.asarray(pa["probe"])[conf]
-            np.add.at(probe_region_reads, region_of_probe[probes_conf], 1)
-            mol_bc.append(bc_combined.astype(np.uint32)[conf])
-            mol_gene.append(np.asarray(pa["gene"])[conf].astype(np.uint32))
-            mol_umi.append(np.asarray(batch.umi_packed)[conf])
-        elif lib_type == "Gene Expression":
-            out = step(jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
-                       jnp.asarray(batch.bc_exact), jnp.asarray(batch.umi_packed),
-                       jnp.asarray(batch.umi_valid), jnp.asarray(batch.rna),
-                       jnp.asarray(batch.rna_nmask), jnp.asarray(batch.slot_valid),
-                       wl_table)
-            m = {k: int(v) for k, v in out["metrics"].items()}
-            metrics.total_reads += batch.n_reads
-            metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
-            metrics.corrected_barcode_reads += m["n_corrected"]
-            metrics.valid_umi_reads += m["n_valid_umi"]
-            metrics.mapped_reads += m["n_mapped"]
-            metrics.conf_mapped_reads += m["n_conf"]
-            metrics.exonic_reads += m["n_exonic"]
-            metrics.intronic_reads += m["n_intronic"]
-            metrics.intergenic_reads += m["n_intergenic"]
-            metrics.antisense_reads += m["n_antisense"]
-            metrics.usable_reads += m["n_usable"]
-            metrics.correction_capacity_overflow += m["n_correct_overflow"]
-            conf = np.asarray(out["conf_ok"])
-            mol_bc.append(np.asarray(out["bc_idx"])[conf])
-            mol_gene.append(np.asarray(out["gene"])[conf])
-            mol_umi.append(np.asarray(out["umi"])[conf])
-            # splice junction read support (SJ.out.tab analog): novel
-            # junctions from split alignments, annotated ones from
-            # junction-contig placements; unique mappers only
-            m255 = (np.asarray(out["mapped"])
-                    & (np.asarray(out["mapq"]) == 255))[:batch.n_reads]
-            nsj = np.asarray(out["novel_sj"])[:batch.n_reads] & m255
-            if nsj.any():
-                dn = np.asarray(out["sj_donor"]).astype(np.int64)[:batch.n_reads][nsj]
-                an = np.asarray(out["sj_acceptor"]).astype(np.int64)[:batch.n_reads][nsj]
-                st = np.asarray(out["strand"])[:batch.n_reads][nsj]
-                for t in zip(dn.tolist(), an.tolist(), st.tolist()):
-                    key = (t[0], t[1], t[2], 0)
-                    sj_counts[key] = sj_counts.get(key, 0) + 1
-            posa = np.asarray(out["pos"]).astype(np.int64)[:batch.n_reads]
-            on_contig = m255 & (posa >= gi.genome_len) & ~nsj
-            if on_contig.any():
-                ji = ((posa[on_contig] - gi.genome_len)
-                      // (2 * gi.sj_overhang)).astype(np.int64)
-                st = np.asarray(out["strand"])[:batch.n_reads][on_contig]
-                for j, s in zip(ji.tolist(), st.tolist()):
-                    key = (int(gi.sj_donor_end[j]),
-                           int(gi.sj_acceptor_start[j]), int(s), 1)
-                    sj_counts[key] = sj_counts.get(key, 0) + 1
-            if bam_collector is not None:
-                bam_collector.add_batch(batch, out)
-        else:
-            # feature-barcode library: cell bc handling + feature extraction
-            hit, idx = bcops.whitelist_lookup(
-                jnp.asarray(batch.bc_packed), wl_table)
-            corr_bc, corr_idx, corrected = bcops.correct_barcodes(
-                jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
-                wl_table, chem.barcode_length)
-            slot = jnp.asarray(batch.slot_valid)
-            bc_ok = (hit | corrected) & slot
-            bc_idx = jnp.where(hit, idx, corr_idx)
-            metrics.total_reads += batch.n_reads
-            metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
-            metrics.valid_umi_reads += int(
-                jnp.sum(jnp.asarray(batch.umi_valid) & slot))
-            for pat, extract in fb_extractors.items():
-                if pat.read != "R2":
-                    continue
-                fo = extract(jnp.asarray(batch.rna),
-                             jnp.asarray(batch.rna_nmask),
-                             jnp.asarray(batch.rna_len))
-                conf = (np.asarray(fo["found"]) & np.asarray(bc_ok)
+                corr_bc, corr_idx, corrected = bcops.correct_barcodes(
+                    jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
+                    wl_table, chem.barcode_length)
+                slot = jnp.asarray(batch.slot_valid)
+                bc_ok = (hit | corrected) & slot
+                bc_idx = jnp.where(hit, idx, corr_idx)
+                pa = probe_align(jnp.asarray(batch.rna),
+                                 jnp.asarray(batch.rna_nmask))
+                conf = (np.asarray(pa["conf_mapped"]) & np.asarray(bc_ok)
                         & batch.umi_valid)
+                bc_combined = np.asarray(bc_idx).astype(np.int64)
+                if probe_bc_packed is not None:
+                    from ..io.probe_bc import assign_probe_bcs
+                    pidx, pok = assign_probe_bcs(
+                        batch.probe_bc_packed, probe_bc_packed,
+                        chem.probe_bc.length)
+                    conf = conf & pok
+                    bc_combined = bc_combined * n_probe + np.maximum(pidx, 0)
+                metrics.total_reads += batch.n_reads
+                metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
+                metrics.corrected_barcode_reads += int(
+                    jnp.sum(corrected & ~hit & slot))
+                metrics.valid_umi_reads += int(
+                    jnp.sum(jnp.asarray(batch.umi_valid) & slot))
+                metrics.mapped_reads += int(np.asarray(pa["mapped"]).sum())
+                metrics.conf_mapped_reads += int(np.asarray(pa["conf_mapped"]).sum())
                 metrics.usable_reads += int(conf.sum())
-                metrics.conf_mapped_reads += int(conf.sum())
-                mol_bc.append(np.asarray(bc_idx).astype(np.uint32)[conf])
-                mol_gene.append((np.asarray(fo["feature"])[conf]
-                                 + n_genes).astype(np.uint32))
+                probes_conf = np.asarray(pa["probe"])[conf]
+                np.add.at(probe_region_reads, region_of_probe[probes_conf], 1)
+                mol_bc.append(bc_combined.astype(np.uint32)[conf])
+                mol_gene.append(np.asarray(pa["gene"])[conf].astype(np.uint32))
                 mol_umi.append(np.asarray(batch.umi_packed)[conf])
+            elif lib_type == "Gene Expression":
+                out = step(jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
+                           jnp.asarray(batch.bc_exact), jnp.asarray(batch.umi_packed),
+                           jnp.asarray(batch.umi_valid), jnp.asarray(batch.rna),
+                           jnp.asarray(batch.rna_nmask), jnp.asarray(batch.slot_valid),
+                           wl_table)
+                m = {k: int(v) for k, v in out["metrics"].items()}
+                metrics.total_reads += batch.n_reads
+                metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
+                metrics.corrected_barcode_reads += m["n_corrected"]
+                metrics.valid_umi_reads += m["n_valid_umi"]
+                metrics.mapped_reads += m["n_mapped"]
+                metrics.conf_mapped_reads += m["n_conf"]
+                metrics.exonic_reads += m["n_exonic"]
+                metrics.intronic_reads += m["n_intronic"]
+                metrics.intergenic_reads += m["n_intergenic"]
+                metrics.antisense_reads += m["n_antisense"]
+                metrics.usable_reads += m["n_usable"]
+                metrics.correction_capacity_overflow += m["n_correct_overflow"]
+                conf = np.asarray(out["conf_ok"])
+                mol_bc.append(np.asarray(out["bc_idx"])[conf])
+                mol_gene.append(np.asarray(out["gene"])[conf])
+                mol_umi.append(np.asarray(out["umi"])[conf])
+                # splice junction read support (SJ.out.tab analog): novel
+                # junctions from split alignments, annotated ones from
+                # junction-contig placements; unique mappers only
+                m255 = (np.asarray(out["mapped"])
+                        & (np.asarray(out["mapq"]) == 255))[:batch.n_reads]
+                nsj = np.asarray(out["novel_sj"])[:batch.n_reads] & m255
+                if nsj.any():
+                    dn = np.asarray(out["sj_donor"]).astype(np.int64)[:batch.n_reads][nsj]
+                    an = np.asarray(out["sj_acceptor"]).astype(np.int64)[:batch.n_reads][nsj]
+                    st = np.asarray(out["strand"])[:batch.n_reads][nsj]
+                    for t in zip(dn.tolist(), an.tolist(), st.tolist()):
+                        key = (t[0], t[1], t[2], 0)
+                        sj_counts[key] = sj_counts.get(key, 0) + 1
+                posa = np.asarray(out["pos"]).astype(np.int64)[:batch.n_reads]
+                on_contig = m255 & (posa >= gi.genome_len) & ~nsj
+                if on_contig.any():
+                    ji = ((posa[on_contig] - gi.genome_len)
+                          // (2 * gi.sj_overhang)).astype(np.int64)
+                    st = np.asarray(out["strand"])[:batch.n_reads][on_contig]
+                    for j, s in zip(ji.tolist(), st.tolist()):
+                        key = (int(gi.sj_donor_end[j]),
+                               int(gi.sj_acceptor_start[j]), int(s), 1)
+                        sj_counts[key] = sj_counts.get(key, 0) + 1
+                if bam_collector is not None:
+                    bam_collector.add_batch(batch, out)
+            else:
+                # feature-barcode library: cell bc handling + feature extraction
+                hit, idx = bcops.whitelist_lookup(
+                    jnp.asarray(batch.bc_packed), wl_table)
+                corr_bc, corr_idx, corrected = bcops.correct_barcodes(
+                    jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
+                    wl_table, chem.barcode_length)
+                slot = jnp.asarray(batch.slot_valid)
+                bc_ok = (hit | corrected) & slot
+                bc_idx = jnp.where(hit, idx, corr_idx)
+                metrics.total_reads += batch.n_reads
+                metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
+                metrics.valid_umi_reads += int(
+                    jnp.sum(jnp.asarray(batch.umi_valid) & slot))
+                for pat, extract in fb_extractors.items():
+                    if pat.read != "R2":
+                        continue
+                    fo = extract(jnp.asarray(batch.rna),
+                                 jnp.asarray(batch.rna_nmask),
+                                 jnp.asarray(batch.rna_len))
+                    conf = (np.asarray(fo["found"]) & np.asarray(bc_ok)
+                            & batch.umi_valid)
+                    metrics.usable_reads += int(conf.sum())
+                    metrics.conf_mapped_reads += int(conf.sum())
+                    mol_bc.append(np.asarray(bc_idx).astype(np.uint32)[conf])
+                    mol_gene.append((np.asarray(fo["feature"])[conf]
+                                     + n_genes).astype(np.uint32))
+                    mol_umi.append(np.asarray(batch.umi_packed)[conf])
+
+            perf.lap("pass2_correct_align_annotate")
 
     # ---- global dedup (barcode-partitioned when too large for one sort) ----
-    bc_all = np.concatenate(mol_bc) if mol_bc else np.zeros(0, np.uint32)
-    gene_all = np.concatenate(mol_gene) if mol_gene else np.zeros(0, np.uint32)
-    umi_all = np.concatenate(mol_umi) if mol_umi else np.zeros(0, np.uint32)
-    n_parts = max(1, -(-len(bc_all) // DEDUP_CHUNK_LIMIT))
-    parts_out = []
-    dd = None
-    for p in range(n_parts):
-        if n_parts == 1:
-            sel = slice(None)
-            b, g, u = bc_all, gene_all, umi_all
-        else:
-            # barcode-hash partitions are independent under dedup (all reads
-            # of a barcode land in one partition) — the ALIGN_AND_COUNT
-            # barcode-range chunking analog (align_and_count.rs:518-524)
-            mask = (bc_all % n_parts) == p
-            b, g, u = bc_all[mask], gene_all[mask], umi_all[mask]
-        N = _pow2_pad(max(len(b), 1))
-        pad = N - len(b)
-        dd = dedup_molecules(
-            jnp.asarray(np.pad(b, (0, pad))),
-            jnp.asarray(np.pad(g, (0, pad))),
-            jnp.asarray(np.pad(u, (0, pad))),
-            jnp.asarray(np.pad(np.ones(len(b), bool), (0, pad))),
-            chem.umi_length)
-        valid = np.asarray(dd["mol_valid"])
-        parts_out.append((np.asarray(dd["mol_bc"])[valid],
-                          np.asarray(dd["mol_gene"])[valid],
-                          np.asarray(dd["mol_umi"])[valid],
-                          np.asarray(dd["mol_reads"])[valid]))
-    mbc = np.concatenate([x[0] for x in parts_out])
-    mgene = np.concatenate([x[1] for x in parts_out])
-    mumi = np.concatenate([x[2] for x in parts_out])
-    mreads = np.concatenate([x[3] for x in parts_out])
-    order = np.lexsort((mumi, mgene, mbc))
-    mbc, mgene, mumi, mreads = mbc[order], mgene[order], mumi[order], mreads[order]
-    metrics.total_molecules = int(len(mbc))
+        bc_all = np.concatenate(mol_bc) if mol_bc else np.zeros(0, np.uint32)
+        gene_all = np.concatenate(mol_gene) if mol_gene else np.zeros(0, np.uint32)
+        umi_all = np.concatenate(mol_umi) if mol_umi else np.zeros(0, np.uint32)
+        n_parts = max(1, -(-len(bc_all) // DEDUP_CHUNK_LIMIT))
+        parts_out = []
+        dd = None
+        for p in range(n_parts):
+            if n_parts == 1:
+                sel = slice(None)
+                b, g, u = bc_all, gene_all, umi_all
+            else:
+                # barcode-hash partitions are independent under dedup (all reads
+                # of a barcode land in one partition) — the ALIGN_AND_COUNT
+                # barcode-range chunking analog (align_and_count.rs:518-524)
+                mask = (bc_all % n_parts) == p
+                b, g, u = bc_all[mask], gene_all[mask], umi_all[mask]
+            N = _pow2_pad(max(len(b), 1))
+            pad = N - len(b)
+            dd = dedup_molecules(
+                jnp.asarray(np.pad(b, (0, pad))),
+                jnp.asarray(np.pad(g, (0, pad))),
+                jnp.asarray(np.pad(u, (0, pad))),
+                jnp.asarray(np.pad(np.ones(len(b), bool), (0, pad))),
+                chem.umi_length)
+            valid = np.asarray(dd["mol_valid"])
+            parts_out.append((np.asarray(dd["mol_bc"])[valid],
+                              np.asarray(dd["mol_gene"])[valid],
+                              np.asarray(dd["mol_umi"])[valid],
+                              np.asarray(dd["mol_reads"])[valid]))
+        mbc = np.concatenate([x[0] for x in parts_out])
+        mgene = np.concatenate([x[1] for x in parts_out])
+        mumi = np.concatenate([x[2] for x in parts_out])
+        mreads = np.concatenate([x[3] for x in parts_out])
+        order = np.lexsort((mumi, mgene, mbc))
+        mbc, mgene, mumi, mreads = mbc[order], mgene[order], mumi[order], mreads[order]
+        metrics.total_molecules = int(len(mbc))
+
+        perf.lap("dedup")
+        if ckpt is not None:
+            sj_items = sorted(sj_counts.items())
+            save = dict(mbc=mbc, mgene=mgene, mumi=mumi, mreads=mreads,
+                        sj_keys=np.asarray([k for k, _ in sj_items],
+                                           np.int64).reshape(-1, 4),
+                        sj_vals=np.asarray([v for _, v in sj_items],
+                                           np.int64))
+            if probe_set is not None:
+                save["probe_region_reads"] = probe_region_reads
+            ckpt.save("molecules", save,
+                      meta=dict(metrics=dict(metrics.__dict__)))
 
     # ---- matrix assembly over the full whitelist barcode space ----
     # translated whitelists (whitelist.rs WithTranslation) emit the
@@ -676,6 +727,8 @@ def run_count(cfg: CountConfig, out_dir: str,
     raw.save_h5(os.path.join(out_dir, "raw_feature_bc_matrix.h5"),
                 chemistry_description=chem.description)
     raw.save_mex(os.path.join(out_dir, "raw_feature_bc_matrix"))
+
+    perf.lap("matrix_assembly")
 
     # ---- antibody/antigen aggregate-GEM removal (FILTER_BARCODES step 1,
     # cell_calling_helpers.py:188-272) ----
@@ -736,6 +789,8 @@ def run_count(cfg: CountConfig, out_dir: str,
                      chemistry_description=chem.description)
     filtered.save_mex(os.path.join(out_dir, "filtered_feature_bc_matrix"))
 
+    perf.lap("cell_calling")
+
     # ---- BAM output ----
     # (multi-partition dedup keeps only the last partition's raw-triple view;
     # UB tags then fall back to raw UMIs for other partitions' reads)
@@ -786,6 +841,8 @@ def run_count(cfg: CountConfig, out_dir: str,
                  "usable_read_pairs": metrics.usable_reads,
                  "chemistry": cfg.chemistry, "sample_id": cfg.sample_id})
 
+    perf.lap("bam_junctions_molinfo")
+
     # ---- barnyard GEM classification (multi-genome references) ----
     if ref is not None and len(ref.genomes) > 1 and len(cells_idx):
         from ..analysis.multigenome import classify_gems
@@ -821,6 +878,8 @@ def run_count(cfg: CountConfig, out_dir: str,
     if cfg.secondary_analysis and len(cells_idx) >= 2:
         from ..analysis.run import run_secondary_analysis
         run_secondary_analysis(filtered, os.path.join(out_dir, "analysis"))
+
+    perf.lap("analysis_reporting")
 
     # ---- summary metrics ----
     bc_space = whitelist.size * n_probe
@@ -893,4 +952,8 @@ def run_count(cfg: CountConfig, out_dir: str,
     # web summary (MULTI_REPORTER analog)
     from .websummary import build_web_summary
     build_web_summary(out_dir, cfg.sample_id)
+
+    # per-phase perf trace (pipestance _perf analog, perf.py)
+    perf.lap("reporting")
+    perf.write(os.path.join(out_dir, "_perf.json"))
     return summary

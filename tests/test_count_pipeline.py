@@ -135,6 +135,13 @@ def test_count_end_to_end(synthetic_run, tmp_path):
         mj = json.load(f)
     assert 30 <= mj["estimated_cells"] <= 32
 
+    # per-phase perf trace (_perf analog)
+    with open(os.path.join(out, "_perf.json")) as f:
+        pj = json.load(f)
+    names = [p["name"] for p in pj["phases"]]
+    assert "pass2_correct_align_annotate" in names and "dedup" in names
+    assert pj["total_wall_s"] > 0
+
     # molecule_info.h5 round-trips and agrees with the matrix
     from cellranger_tpu.io.molecule_info import load_molecule_info
     mi = load_molecule_info(os.path.join(out, "molecule_info.h5"))
@@ -191,6 +198,46 @@ def test_multimapper_gene_promotion(tmp_path):
     # promotion must recover them as confidently mapped to GM
     assert s["conf_mapped_frac"] == 1.0
     assert s["total_molecules"] == 20
+
+
+def test_checkpoint_resume(synthetic_run, tmp_path):
+    """Re-running count into the same out_dir resumes from the saved
+    molecule table (pipestance analog) and reproduces the matrix exactly;
+    changed inputs invalidate the checkpoint."""
+    s = synthetic_run
+    out = str(tmp_path / "out")
+    cfg = CountConfig(fastq_pairs=[(s["r1"], s["r2"])], reference_path=s["ref"],
+                      whitelist_path=s["wl"], chemistry="SC3Pv3",
+                      read_len=READ_LEN, batch_size=2048,
+                      secondary_analysis=False)
+    s1 = run_count(cfg, out)
+    assert os.path.exists(os.path.join(out, "_checkpoint", "manifest.json"))
+    m1 = CountMatrix.load_h5(os.path.join(out, "raw_feature_bc_matrix.h5"))
+
+    # resumed run: passes are skipped (no aligner work), outputs identical
+    import cellranger_tpu.pipeline.count as cnt
+    import unittest.mock as mock
+    with mock.patch.object(cnt, "_make_step",
+                           side_effect=AssertionError("must not realign")):
+        s2 = run_count(cfg, out)
+    m2 = CountMatrix.load_h5(os.path.join(out, "raw_feature_bc_matrix.h5"))
+    assert (m1.m != m2.m).nnz == 0
+    assert s2["total_molecules"] == s1["total_molecules"]
+    assert s2["total_reads"] == s1["total_reads"]
+    assert s2["conf_mapped_frac"] == s1["conf_mapped_frac"]
+
+    # fingerprint invalidation: a changed input FASTQ forces a fresh run
+    from cellranger_tpu.pipeline.checkpoint import (CountCheckpoint,
+                                                    count_fingerprint)
+    import shutil
+    r1b = str(tmp_path / "o_S1_L001_R1_001.fastq.gz")
+    shutil.copy(s["r1"], r1b)
+    cfg2 = CountConfig(fastq_pairs=[(r1b, s["r2"])], reference_path=s["ref"],
+                       whitelist_path=s["wl"], chemistry="SC3Pv3",
+                       read_len=READ_LEN, batch_size=2048)
+    assert count_fingerprint(cfg2) != count_fingerprint(cfg)
+    assert CountCheckpoint(out, count_fingerprint(cfg2)).load("molecules") \
+        is None
 
 
 def test_three_locus_gene_promotion(tmp_path):
