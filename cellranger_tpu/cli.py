@@ -55,6 +55,19 @@ def _cmd_count(args):
     print(f"outputs: {out_dir}")
 
 
+def _cmd_multi(args):
+    from .io.multi_config import run_multi
+
+    out_dir = os.path.join(args.output_dir or ".", args.id, "outs")
+    summary = run_multi(args.csv, out_dir, args.whitelist,
+                        read_len=args.read_len, batch_size=args.batch_size,
+                        sample_id=args.id)
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k in ("count", "demux", "demux_probe")},
+                     indent=2, default=str))
+    print(f"outputs: {out_dir}")
+
+
 def _cmd_vdj(args):
     from .io.fastq import find_fastqs
     from .pipeline.vdj import VdjConfig, run_vdj
@@ -219,6 +232,16 @@ def main(argv=None):
     c.add_argument("--bam", action="store_true", help="write possorted BAM")
     c.add_argument("--output-dir", dest="output_dir")
     c.set_defaults(fn=_cmd_count)
+
+    mu = sub.add_parser("multi", help="CSV-config multi-library analysis "
+                        "(GEX + FB + VDJ + sample multiplexing)")
+    mu.add_argument("--id", required=True)
+    mu.add_argument("--csv", required=True, help="multi config CSV")
+    mu.add_argument("--whitelist", required=True)
+    mu.add_argument("--read-len", type=int, default=91, dest="read_len")
+    mu.add_argument("--batch-size", type=int, default=8192, dest="batch_size")
+    mu.add_argument("--output-dir", dest="output_dir")
+    mu.set_defaults(fn=_cmd_multi)
 
     v = sub.add_parser("vdj", help="V(D)J contig assembly + clonotypes")
     v.add_argument("--id", required=True)

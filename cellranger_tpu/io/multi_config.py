@@ -150,4 +150,29 @@ def run_multi(config_csv: str, out_dir: str, whitelist_path: str,
             whitelist_path=whitelist_path, sample_id=sample_id)
         summary.setdefault("vdj", {})[row.get("fastq_id", "vdj")] = run_vdj(
             vcfg, os.path.join(out_dir, "vdj", row.get("fastq_id", "vdj")))
+
+    # top-level combined summary + web summary (MULTI_WEBSUMMARY_BUILDER
+    # analog, mro/rna/sc_multi_core.mro:346): flatten the per-pipeline
+    # summaries into one metrics file at the run root
+    import json
+    flat: dict = {"sample_id": sample_id}
+    for k, v in (summary.get("count") or {}).items():
+        if not isinstance(v, (dict, list)):
+            flat[k] = v
+    for dkey in ("demux", "demux_probe"):
+        d = summary.get(dkey)
+        if d:
+            for sname, n in d.get("samples", {}).items():
+                flat[f"cells_{sname}"] = n
+    for vid, vs in (summary.get("vdj") or {}).items():
+        for k in ("estimated_cells", "n_clonotypes"):
+            if k in vs:
+                flat[f"vdj_{vid}_{k}"] = vs[k]
+    with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:
+        json.dump(flat, f, indent=2, default=float)
+    from ..pipeline.websummary import build_web_summary
+    try:
+        build_web_summary(out_dir, sample_id, pipeline="multi")
+    except Exception:
+        pass
     return summary

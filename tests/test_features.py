@@ -306,3 +306,8 @@ sampleB,CMO302
     sm = json.load(open(os.path.join(sdir, "metrics_summary.json")))
     assert sm["cells"] == d["samples"]["sampleA"]
     assert sm["median_umis_per_cell"] > 0
+    # top-level combined multi summary + web summary
+    top = json.load(open(os.path.join(out, "metrics_summary.json")))
+    assert top["cells_sampleA"] == d["samples"]["sampleA"]
+    assert top["estimated_cells"] >= 30
+    assert os.path.exists(os.path.join(out, "web_summary.html"))
