@@ -276,12 +276,19 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
                 r["cdr3_nt"], r["cdr3"], r["umis"], r["reads"],
                 r["chain"]]) + "\n")
 
+    from ..stats import n50
+    cell_lens = [r["length"] for r in contig_rows if r["is_cell"]]
     summary = dict(
         total_reads=total_reads,
         valid_barcode_frac=valid_bc_reads / max(total_reads, 1),
         barcodes_with_contigs=len(contigs_by_bc),
         estimated_cells=len(cells),
         n_clonotypes=len(clonotypes),
+        # contig length N50s (vdj metrics parity; stats crate nx.rs)
+        all_contig_n50=n50([r["length"] for r in contig_rows]),
+        cell_contig_n50=n50(cell_lens),
+        median_cell_contig_length=(float(np.median(cell_lens))
+                                   if cell_lens else 0.0),
         sample_id=cfg.sample_id,
     )
     with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:
