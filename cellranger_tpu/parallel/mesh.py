@@ -39,33 +39,51 @@ def shard_batch_arrays(mesh: Mesh, arrays: dict, axis: str = "data") -> dict:
 
 def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data"):
     """Wrap the fused count step for SPMD execution: batch dims sharded,
-    whitelist arrays replicated, metrics psummed across chips."""
+    whitelist arrays replicated, metrics psummed across chips.
+
+    out_specs are pytree PREFIXES (arrays -> P(axis), metrics -> P()) so the
+    wrapper keeps working as the step grows new output fields."""
 
     def spmd(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
              rna, rna_nmask, slot_valid, wl_table):
-        out = step_fn(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
-                      rna, rna_nmask, slot_valid, wl_table)
-        out["metrics"] = jax.tree.map(
-            lambda x: jax.lax.psum(x, axis), out["metrics"])
+        out = dict(step_fn(bc_packed, bc_qual, bc_exact, umi_packed,
+                           umi_valid, rna, rna_nmask, slot_valid, wl_table))
+        metrics = jax.tree.map(lambda x: jax.lax.psum(x, axis),
+                               out.pop("metrics"))
+        return out, metrics
+
+    batch_spec = (P(axis),) * 8 + (P(None),)
+    fn = jax.jit(jax.shard_map(
+        spmd, mesh=mesh, in_specs=batch_spec, out_specs=(P(axis), P()),
+        check_vma=False))
+
+    def wrapped(*args):
+        out, metrics = fn(*args)
+        out = dict(out)
+        out["metrics"] = metrics
         return out
 
-    batch_spec = [P(axis)] * 8 + [P(None)]
-    out_spec = dict(
-        bc_idx=P(axis), gene=P(axis), umi=P(axis), conf_ok=P(axis),
-        pos=P(axis), mapq=P(axis), strand=P(axis), mapped=P(axis),
-        aln_len=P(axis),
-        aln_start=P(axis), region=P(axis), antisense=P(axis),
-        corrected_bc=P(axis), bc_ok=P(axis),
-        novel_sj=P(axis), sj_donor=P(axis), sj_acceptor=P(axis),
-        sj_right_len=P(axis),
-        metrics=jax.tree.map(lambda _: P(), dict(
-            n_valid_bc=0, n_corrected=0, n_valid_umi=0, n_mapped=0,
-            n_conf=0, n_exonic=0, n_intronic=0, n_intergenic=0,
-            n_antisense=0, n_usable=0, n_correct_overflow=0)),
-    )
-    return jax.jit(jax.shard_map(
-        spmd, mesh=mesh, in_specs=tuple(batch_spec), out_specs=out_spec,
-        check_vma=False))
+    return wrapped
+
+
+def make_sharded_part_dedup(mesh: Mesh, umi_len: int, axis: str = "data"):
+    """Sharded dedup over PRE-PARTITIONED molecule rows: device i receives
+    the rows of barcode-hash partition i (stacked [n*N] arrays sharded on
+    dim 0), runs the sorted-segment dedup locally, and returns sharded
+    outputs.  No collective is needed because the host spill already routed
+    every read of a barcode to one partition (pipeline/spill.MoleculeSpill)
+    — the production analog of the shardio shuffle, with disk as the
+    exchange medium (SURVEY §2.7 P2/P3).  For HBM-resident runs the
+    all_to_all route is parallel/shuffle.make_sharded_dedup."""
+    from ..ops.dedup import dedup_molecules
+
+    def f(bc, gene, umi, valid):
+        dd = dedup_molecules(bc, gene, umi, valid, umi_len)
+        dd.pop("n_molecules")
+        return dd
+
+    return jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(P(axis),) * 4,
+                                 out_specs=P(axis), check_vma=False))
 
 
 def make_sharded_bc_histogram(mesh: Mesh, wl_size: int, axis: str = "data"):

@@ -1,18 +1,21 @@
 """Position-sorted BAM assembly for the count pipeline — the WRITE_POS_BAM
 analog (lib/rust/cr_lib/src/stages/write_pos_bam.rs), without the
-samtools-cat subprocess: per-batch alignment arrays are collected on host,
-argsorted by (chrom, pos) once, and streamed through the pure-python BGZF
-writer.
+samtools-cat subprocess: per-batch alignment arrays are bucketed into
+genome-position bands on disk (pipeline/spill.BamSpool) as they stream off
+the device, and the final write loads one band at a time, sorts it, and
+streams it through the pure-python BGZF writer.  Peak RAM is O(one band),
+not O(run) — the per-chunk-BAM + samtools-cat structure re-expressed.
 
 Tag semantics (cr_bam/src/bam_tags.rs): CR/CY always; CB only when the
 barcode is on the whitelist (possibly corrected); UR/UY always; UB for valid
-UMIs (corrected per the dedup map); GX/GN + RE on mapped reads; xf flags
+UMIs (corrected per the dedup raw-triple views of EVERY partition — the r1
+last-partition-only fallback is gone); GX/GN + RE on mapped reads; xf flags
 mark conf-mapped / UMI-count / dup reads.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import os
 
 import numpy as np
 
@@ -23,85 +26,117 @@ from ..io.bam_index import IndexingBamWriter as BamWriter
 from ..io.gtf import Transcriptome
 from ..ops import encode
 from ..align.index import GenomeIndex
+from .spill import BamSpool, lex3_join_np
 
 REGION_CHARS = {0: "E", 1: "I", 2: "N"}
 
+_CHUNK_KEYS = ("rna", "rna_qual", "rna_len", "nmask", "bc_packed", "bc_qual",
+               "umi_packed", "umi_valid", "umi_qual", "pos", "mapq", "strand",
+               "aln_len", "aln_start", "mapped", "region", "gene", "conf_ok",
+               "bc_ok", "corrected_bc", "bc_idx", "novel_sj", "sj_donor",
+               "sj_acceptor", "sj_right_len")
 
-@dataclass
+
 class BamCollector:
-    """Accumulates per-batch host arrays until the final sorted write."""
+    """Streams per-batch host arrays into a position-banded disk spool."""
 
-    gi: GenomeIndex
-    txome: Transcriptome
-    chunks: list[dict] = field(default_factory=list)
+    def __init__(self, gi: GenomeIndex, txome: Transcriptome,
+                 spool_dir: str, n_bands: int = 64):
+        self.gi = gi
+        self.txome = txome
+        self.n_bands = n_bands
+        self.spool = BamSpool(spool_dir, n_bands)
+        # sort key = chrom << 33 | genomic pos (33 bits cover any chrom)
+        self._max_key = (len(gi.chrom_names) + 1) << 33
+        self.n_reads = 0
 
-    def add_batch(self, batch, step_out: dict):
+    def _sort_keys(self, pos, aln_len, mapped):
+        g = self.gi.pos_to_genomic(pos.astype(np.int64),
+                                   aln_len.astype(np.int64))
+        key = np.where(mapped, g["chrom"].astype(np.int64), 2**31) * (1 << 33) \
+            + np.where(mapped, g["gpos"], 0)
+        return key, g
+
+    def add_batch(self, batch, ho: dict):
+        """ho: host-side (numpy) step output dict for this batch."""
         n = batch.n_reads
         take = lambda a: np.asarray(a)[:n]
-        self.chunks.append(dict(
+        chunk = dict(
             names=batch.names[:n] if batch.names else
                   [b"read%d" % i for i in batch.read_id[:n]],
             rna=take(batch.rna), rna_qual=take(batch.rna_qual),
             rna_len=take(batch.rna_len), nmask=take(batch.rna_nmask),
             bc_packed=take(batch.bc_packed), bc_qual=take(batch.bc_qual),
             umi_packed=take(batch.umi_packed), umi_valid=take(batch.umi_valid),
-            umi_qual=take(batch.umi_qual),
-            pos=take(step_out["pos"]), mapq=take(step_out["mapq"]),
-            strand=take(step_out["strand"]), aln_len=take(step_out["aln_len"]),
-            aln_start=take(step_out["aln_start"]),
-            mapped=take(step_out["mapped"]),
-            region=take(step_out["region"]), gene=take(step_out["gene"]),
-            conf_ok=take(step_out["conf_ok"]), bc_ok=take(step_out["bc_ok"]),
-            corrected_bc=take(step_out["corrected_bc"]),
-            bc_idx=take(step_out["bc_idx"]),
-            novel_sj=take(step_out["novel_sj"]) if "novel_sj" in step_out
-                else np.zeros(n, bool),
-            sj_donor=take(step_out["sj_donor"]) if "sj_donor" in step_out
-                else np.zeros(n, np.int64),
-            sj_acceptor=take(step_out["sj_acceptor"])
-                if "sj_acceptor" in step_out else np.zeros(n, np.int64),
-            sj_right_len=take(step_out["sj_right_len"])
-                if "sj_right_len" in step_out else np.zeros(n, np.int32),
-        ))
+            umi_qual=take(batch.umi_qual))
+        for k in _CHUNK_KEYS:
+            if k not in chunk:
+                src = ho.get(k)
+                chunk[k] = (take(src) if src is not None
+                            else np.zeros(n, np.int64))
+        key, g = self._sort_keys(chunk["pos"], chunk["aln_len"],
+                                 chunk["mapped"])
+        chunk["sort_key"] = key
+        chunk["g_chrom"] = g["chrom"][:n].astype(np.int32)
+        chunk["g_gpos"] = g["gpos"][:n].astype(np.int64)
+        chunk["g_spliced"] = g["spliced"][:n].astype(bool)
+        chunk["g_intron_len"] = g["intron_len"][:n].astype(np.int64)
+        chunk["g_donor_off"] = g["donor_off"][:n].astype(np.int64)
+        band = np.minimum((key * self.n_bands) // self._max_key,
+                          self.n_bands - 1)
+        band = np.where(chunk["mapped"].astype(bool), band, self.n_bands)
+        self.spool.add(band.astype(np.int64), chunk)
+        self.n_reads += n
 
-    def write(self, path: str, dedup_out: dict, bc_len: int, umi_len: int,
+    def write(self, path: str, raw_views: dict, bc_len: int, umi_len: int,
               gem_group: int = 1):
+        """raw_views: concatenated dedup raw-triple views across ALL dedup
+        partitions (raw_bc/raw_gene/raw_umi/raw_corr_umi/raw_low arrays of
+        distinct conf-mapped triples)."""
         gi, txome = self.gi, self.txome
-        if not self.chunks:
-            BamWriter(path, gi.chrom_names,
-                      list(np.diff(gi.chrom_starts).astype(int))).close()
-            return
-
-        cat = {k: (np.concatenate([c[k] for c in self.chunks])
-                   if isinstance(self.chunks[0][k], np.ndarray)
-                   else sum((c[k] for c in self.chunks), []))
-               for k in self.chunks[0] if self.chunks[0][k] is not None}
-        n = len(cat["pos"])
-        mapped = cat["mapq"] > 0 if "mapped" not in cat else cat["mapped"]
-
-        # corrected-UMI / low-support lookup from the dedup raw-triple view
-        raw_bc = np.asarray(dedup_out["raw_bc"])
-        raw_gene = np.asarray(dedup_out["raw_gene"])
-        raw_umi = np.asarray(dedup_out["raw_umi"])
-        raw_corr = np.asarray(dedup_out["raw_corr_umi"])
-        raw_low = np.asarray(dedup_out["raw_low"])
-        triple_map = {}
-        for i in np.flatnonzero(np.asarray(dedup_out["raw_is_repr"])):
-            triple_map[(int(raw_bc[i]), int(raw_gene[i]), int(raw_umi[i]))] = (
-                int(raw_corr[i]), bool(raw_low[i]))
-
-        g = gi.pos_to_genomic(cat["pos"].astype(np.int64),
-                              cat["aln_len"].astype(np.int64))
-        sort_key = np.where(mapped, g["chrom"].astype(np.int64), 2**31) * (1 << 33) \
-            + np.where(mapped, g["gpos"] + g["donor_off"] * 0, 0)
-        order = np.argsort(sort_key, kind="stable")
-
         ref_lens = list(np.diff(gi.chrom_starts).astype(int))
         w = BamWriter(path, gi.chrom_names, ref_lens)
+        if self.n_reads == 0:
+            w.close()
+            self.spool.close()
+            return
         gene_ids = [g_.id for g_ in txome.genes]
         gene_names = [g_.name for g_ in txome.genes]
-        seen_umi_count: set = set()
+        rb = np.asarray(raw_views.get("raw_bc", np.zeros(0, np.uint32)))
+        rg = np.asarray(raw_views.get("raw_gene", np.zeros(0, np.uint32)))
+        ru = np.asarray(raw_views.get("raw_umi", np.zeros(0, np.uint32)))
+        rc = np.asarray(raw_views.get("raw_corr_umi", np.zeros(0, np.uint32)))
+        rl = np.asarray(raw_views.get("raw_low", np.zeros(0, bool)))
+        seen_mol: set = set()  # packed (bc, gene, corr_umi) already counted
 
+        for band in range(self.n_bands + 1):
+            chunks = list(self.spool.iter_band(band))
+            if not chunks:
+                continue
+            cat = {k: (np.concatenate([c[k] for c in chunks])
+                       if isinstance(chunks[0][k], np.ndarray)
+                       else sum((c[k] for c in chunks), []))
+                   for k in chunks[0]}
+            order = np.argsort(cat["sort_key"], kind="stable")
+            # corrected-UMI / low-support join against the raw-triple views
+            if len(rb):
+                jidx, jfound = lex3_join_np(
+                    rb, rg, ru, cat["bc_idx"].astype(np.uint32),
+                    cat["gene"].astype(np.uint32), cat["umi_packed"])
+                corr_umi = np.where(jfound, rc[jidx],
+                                    cat["umi_packed"].astype(np.uint32))
+                low_sup = jfound & rl[jidx]
+            else:
+                corr_umi = cat["umi_packed"].astype(np.uint32)
+                low_sup = np.zeros(len(corr_umi), bool)
+            self._write_rows(w, cat, order, corr_umi, low_sup, seen_mol,
+                             gene_ids, gene_names, bc_len, umi_len, gem_group)
+        w.close()
+        self.spool.close()
+
+    def _write_rows(self, w, cat, order, corr_umi_arr, low_arr, seen_mol,
+                    gene_ids, gene_names, bc_len, umi_len, gem_group):
+        mapped = cat["mapped"].astype(bool)
         for i in order:
             L = int(cat["rna_len"][i])
             st = int(cat["strand"][i])
@@ -134,16 +169,17 @@ class BamCollector:
                 continue
             if st == 1:
                 flag |= FLAG_REVERSE
-            chrom = int(g["chrom"][i])
-            gpos = int(g["gpos"][i])
+            chrom = int(cat["g_chrom"][i])
+            gpos = int(cat["g_gpos"][i])
             alen = int(cat["aln_len"][i])
             astart = int(cat["aln_start"][i])
             cig = []
             if astart:
                 cig.append((astart, BAM_CSOFT_CLIP))
-            if g["spliced"][i] and g["intron_len"][i] > 0:
-                d = int(g["donor_off"][i])
-                cig += [(d, BAM_CMATCH), (int(g["intron_len"][i]), BAM_CREF_SKIP),
+            if cat["g_spliced"][i] and cat["g_intron_len"][i] > 0:
+                d = int(cat["g_donor_off"][i])
+                cig += [(d, BAM_CMATCH),
+                        (int(cat["g_intron_len"][i]), BAM_CREF_SKIP),
                         (alen - d, BAM_CMATCH)]
                 rclip = L - astart - alen
             elif cat["novel_sj"][i]:
@@ -166,26 +202,23 @@ class BamCollector:
                 tags.append(("GX", "Z", gene_ids[gene]))
                 tags.append(("GN", "Z", gene_names[gene]))
                 xf |= XF_CONF_MAPPED
-                key = (int(cat["bc_idx"][i]), gene, int(cat["umi_packed"][i]))
-                corr_umi, low = triple_map.get(
-                    key, (int(cat["umi_packed"][i]), False))
+                cu = int(corr_umi_arr[i])
                 if cat["umi_valid"][i]:
                     ub = encode.decode_codes(encode.unpack_np(
-                        np.uint32(corr_umi), umi_len))
+                        np.uint32(cu), umi_len))
                     tags.append(("UB", "Z", ub))
-                if low:
+                if low_arr[i]:
                     xf |= XF_LOW_SUPPORT_UMI
                 else:
-                    mol_key = (key[0], gene, corr_umi)
-                    if mol_key not in seen_umi_count:
-                        # first conf read of the molecule in coordinate order
-                        # is the UMI-count representative (the reference picks
-                        # min (UmiType, qname); parity TODO)
-                        seen_umi_count.add(mol_key)
+                    mol_key = (int(cat["bc_idx"][i]), gene, cu)
+                    if mol_key not in seen_mol:
+                        # first conf read of the molecule in coordinate
+                        # order is the UMI-count representative (the
+                        # reference picks min (UmiType, qname); parity TODO)
+                        seen_mol.add(mol_key)
                         xf |= XF_UMI_COUNT
                     else:
                         xf |= XF_DUP
             w.write_record(cat["names"][i], flag, chrom, gpos,
                            int(cat["mapq"][i]), cig, seq, qual,
                            tags + [("xf", "i", xf)])
-        w.close()

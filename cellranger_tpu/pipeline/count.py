@@ -43,7 +43,6 @@ from ..io.reference import ReferencePackage
 from ..io.whitelist import Whitelist
 from ..ops import barcode as bcops
 from ..ops.bucket_table import BucketTable
-from ..ops.dedup import dedup_molecules
 from ..ops.lookup import SortedTable
 from ..ops import encode
 
@@ -105,8 +104,14 @@ class CountMetrics:
     q30_rna_bases: int = 0
     rna_bases: int = 0
     # reads whose invalid barcode exceeded the per-batch correction
-    # capacity (left uncorrected; nonzero means raise CORRECT_CAP_FRAC)
+    # capacity on the first pass (zero after the host retry loop; kept for
+    # observability of how often the retry fired)
     correction_capacity_overflow: int = 0
+    # batches whose correction overflow triggered the full-width host retry
+    correction_retries: int = 0
+    # multimapped reads whose loci pairs overflowed the promotion capacity
+    # (never considered for gene promotion; silent in r1, counted now)
+    promote_overflow: int = 0
 
     def to_dict(self, extra: dict | None = None) -> dict:
         d = dict(self.__dict__)
@@ -262,6 +267,9 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
         conf_eff = ann["conf_mapped"] | promoted
         mapq_eff = jnp.where(promoted, 255, aln["mapq"])
         ann = dict(ann, gene=gene_eff, conf_mapped=conf_eff)
+        # reads whose loci pairs overflowed the promotion capacity (they
+        # were never considered for promotion; counted, unlike r1)
+        n_promote_overflow = jnp.sum((need2 & ~fits).astype(jnp.int32))
 
         conf_ok = (ann["conf_mapped"] & bc_ok & umi_valid & slot_valid)
         mapped = aln["mapped"] & slot_valid
@@ -277,6 +285,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             n_antisense=jnp.sum((mapped & ann["antisense"]).astype(jnp.int32)),
             n_usable=jnp.sum(conf_ok.astype(jnp.int32)),
             n_correct_overflow=n_correct_overflow,
+            n_promote_overflow=n_promote_overflow,
         )
         out = dict(
             bc_idx=bc_idx.astype(jnp.uint32),
@@ -292,12 +301,15 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             sj_donor=aln.get("sj_donor", jnp.zeros((B,), jnp.int32)),
             sj_acceptor=aln.get("sj_acceptor", jnp.zeros((B,), jnp.int32)),
             sj_right_len=aln.get("sj_right_len", jnp.zeros((B,), jnp.int32)),
+            # conf-mapped & UMI-valid, independent of barcode validity:
+            # the host correction-overflow retry recomputes
+            # conf_ok = conf_base & bc_ok after late corrections
+            conf_base=(ann["conf_mapped"] & umi_valid & slot_valid),
             metrics=m,
         )
         if not fused:
             out["hit"] = hit
             out["wl_idx"] = idx
-            out["conf_base"] = (ann["conf_mapped"] & umi_valid & slot_valid)
         return out
 
     if fused:
@@ -324,7 +336,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
                              slot_valid, wl_table))
         hit = np.asarray(out.pop("hit"))
         wl_idx = np.asarray(out.pop("wl_idx"))
-        conf_base = np.asarray(out.pop("conf_base"))
+        conf_base = np.asarray(out["conf_base"])
         slot = np.asarray(slot_valid)
         B = len(hit)
         bc_np = np.asarray(bc_packed)
@@ -367,6 +379,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
 
 
 DEDUP_CHUNK_LIMIT = 1 << 26  # dedup rows per device sort (~0.8GB working set)
+SPILL_PARTS = 8              # barcode-hash spill partitions (>= mesh size)
 
 
 def _pow2_pad(n: int, minimum: int = 1024) -> int:
@@ -376,14 +389,117 @@ def _pow2_pad(n: int, minimum: int = 1024) -> int:
     return p
 
 
+def _make_correct_cache(bc_len: int):
+    """Power-of-two-bucketed jits of the posterior correction, for the
+    overflow retry path (one compile per bucket size)."""
+    cache: dict[int, object] = {}
+
+    def get(C: int):
+        if C not in cache:
+            @jax.jit
+            def corr(bc_c, qual_c, wl_table):
+                return bcops.correct_barcodes(bc_c, qual_c, wl_table, bc_len)
+            cache[C] = corr
+        return cache[C]
+
+    return get
+
+
+def _retry_correction(ho: dict, batch, wl_table, bc_len: int,
+                      correct_fn) -> int:
+    """Host retry when the in-step correction capacity overflowed: run the
+    posterior correction over EVERY still-invalid read of the batch (the
+    reference corrects all of them, barcode_correction.rs:265).  Re-running
+    already-rejected candidates is deterministic-idempotent, so the final
+    corrected set is independent of the in-step capacity — this is what
+    makes single-chip and mesh runs (different per-device capacities)
+    byte-identical.  Mutates ho in place; returns newly corrected count."""
+    inv = np.flatnonzero(batch.slot_valid & ~ho["bc_ok"])
+    if not len(inv):
+        return 0
+    C = _pow2_pad(len(inv))
+    bc_c = np.zeros(C, np.uint32)
+    bc_c[:len(inv)] = batch.bc_packed[inv]
+    q_c = np.zeros((C, batch.bc_qual.shape[1]), np.uint8)
+    q_c[:len(inv)] = batch.bc_qual[inv]
+    cb, cidx, acc = correct_fn(C)(jnp.asarray(bc_c), jnp.asarray(q_c),
+                                  wl_table)
+    acc = np.asarray(acc)[:len(inv)]
+    rows = inv[acc]
+    if len(rows):
+        ho["bc_ok"] = ho["bc_ok"].copy()
+        ho["bc_ok"][rows] = True
+        ho["bc_idx"] = ho["bc_idx"].copy()
+        ho["bc_idx"][rows] = np.asarray(cidx)[:len(inv)][acc].astype(np.uint32)
+        ho["corrected_bc"] = ho["corrected_bc"].copy()
+        ho["corrected_bc"][rows] = np.asarray(cb)[:len(inv)][acc]
+        ho["conf_ok"] = ho["conf_base"] & ho["bc_ok"]
+    return int(len(rows))
+
+
+def _tally_sj(sj_counts: dict, ho: dict, n: int, gi) -> None:
+    """Vectorized splice-junction read tallies (SJ.out.tab analog): novel
+    junctions from split alignments, annotated ones from junction-contig
+    placements; unique mappers only.  np.unique over the batch replaces the
+    r1 per-read Python loop (a wall at 1e9 reads)."""
+    m255 = ho["mapped"][:n] & (ho["mapq"][:n] == 255)
+    nsj = ho["novel_sj"][:n] & m255
+    if nsj.any():
+        dn = ho["sj_donor"][:n][nsj].astype(np.int64)
+        an = ho["sj_acceptor"][:n][nsj].astype(np.int64)
+        st = ho["strand"][:n][nsj].astype(np.int64)
+        uniq, cnt = np.unique(np.stack([dn, an, st], 1), axis=0,
+                              return_counts=True)
+        for (d, a, s), c in zip(uniq.tolist(), cnt.tolist()):
+            key = (d, a, s, 0)
+            sj_counts[key] = sj_counts.get(key, 0) + c
+    pos = ho["pos"][:n].astype(np.int64)
+    on_contig = m255 & (pos >= gi.genome_len) & ~nsj
+    if on_contig.any():
+        ji = (pos[on_contig] - gi.genome_len) // (2 * gi.sj_overhang)
+        st = ho["strand"][:n][on_contig].astype(np.int64)
+        uniq, cnt = np.unique(np.stack([ji, st], 1), axis=0,
+                              return_counts=True)
+        for (j, s), c in zip(uniq.tolist(), cnt.tolist()):
+            key = (int(gi.sj_donor_end[j]), int(gi.sj_acceptor_start[j]),
+                   int(s), 1)
+            sj_counts[key] = sj_counts.get(key, 0) + c
+
+
 def run_count(cfg: CountConfig, out_dir: str,
-              whitelist: Whitelist | None = None) -> dict:
+              whitelist: Whitelist | None = None,
+              mesh=None) -> dict:
     """Run the full count pipeline; writes outputs into out_dir and returns
-    the metrics dict."""
+    the metrics dict.
+
+    mesh: optional jax.sharding.Mesh — the fused counting step, pass-1
+    histogram, and partition dedup run SPMD over it (data-parallel reads,
+    replicated index, psum metrics).  Results are identical to the
+    single-chip run (the step is row-wise; dedup partitions are
+    barcode-coherent; the correction-overflow retry removes the
+    capacity-fraction dependence on per-device batch size).
+
+    Multi-host (jax.process_count() > 1 after
+    parallel.distributed.init_from_env): every host runs this same
+    function; FASTQ pairs are round-robin assigned per host, molecule rows
+    spill under the shared out_dir, and host 0 merges partials after a
+    barrier — the Martian chunk/join structure over a shared filesystem
+    (SURVEY §2.7 P1/P5/P7) with no per-batch cross-host synchronization.
+    """
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     from ..perf import PerfTrace
+    from ..parallel import distributed as dist
+    from ..parallel.executor import Executor
+    from .spill import MoleculeSpill
     perf = PerfTrace()
+    executor = Executor(mesh)
+    nproc, pid = dist.process_count(), dist.process_index()
+    multihost = nproc > 1
+    if multihost and cfg.write_bam:
+        raise ValueError("write_bam is a single-host output; rerun the BAM "
+                         "pass on one host (reads stream, so this is cheap)")
+    batch_size = executor.round_batch(cfg.batch_size)
     chem = get_chemistry(cfg.chemistry)
     if whitelist is None:
         whitelist = Whitelist.load(cfg.whitelist_path)
@@ -467,7 +583,7 @@ def run_count(cfg: CountConfig, out_dir: str,
     # ---- checkpoint/resume (pipestance analog, pipeline/checkpoint.py) ----
     ckpt = None
     _resume = None
-    if cfg.checkpoint:
+    if cfg.checkpoint and not multihost:
         from .checkpoint import CountCheckpoint, count_fingerprint
         ckpt = CountCheckpoint(out_dir, count_fingerprint(cfg))
         # BAM needs per-read state only the FASTQ passes produce, so a
@@ -484,7 +600,7 @@ def run_count(cfg: CountConfig, out_dir: str,
             probe_region_reads = _resume["probe_region_reads"]
         metrics = CountMetrics(**_resume["__meta__"]["metrics"])
         bam_collector = None
-        dd = None
+        raw_views = None
         perf.lap("resume_checkpoint")
     else:
         # fused=True: on tunneled/remote TPU backends the adaptive
@@ -493,8 +609,10 @@ def run_count(cfg: CountConfig, out_dir: str,
         # single program stays on device. fused=False remains available
         # for local-attached deployments.
         step = (None if probe_set is not None
-                else _make_step(didx, ann_idx, whitelist.size, chem,
-                                cfg.read_len))
+                else executor.wrap_step(
+                    _make_step(didx, ann_idx, whitelist.size, chem,
+                               cfg.read_len)))
+        correct_fn = _make_correct_cache(chem.barcode_length)
         # whitelist as a bucket-row table: ONE row gather per membership /
         # correction-candidate probe; the count column (posterior prior)
         # is filled in after pass 1
@@ -502,41 +620,58 @@ def run_count(cfg: CountConfig, out_dir: str,
             whitelist.sorted_seqs, np.arange(whitelist.size, dtype=np.uint32),
             entries=8, fields=3)
 
-        # ---- pass 1: extract + count valid barcodes (the correction prior) ----
-        cached: list[tuple[int, ReadBatch]] = []  # (library index, batch)
-        wl_counts = jnp.zeros((whitelist.size,), jnp.int32)
-        for li, lib in enumerate(libraries):
-            for (r1, r2) in lib.fastq_pairs:
-                for batch in batches_from_fastqs(chem, r1, r2, cfg.batch_size,
+        # this host's share of the FASTQ work (all of it when single-host)
+        work = [(li, r1, r2) for li, lib in enumerate(libraries)
+                for (r1, r2) in lib.fastq_pairs]
+        my_work = dist.host_shard(work) if multihost else work
+
+        def my_batches():
+            for li, r1, r2 in my_work:
+                for batch in batches_from_fastqs(chem, r1, r2, batch_size,
                                                  cfg.read_len,
                                                  keep_names=cfg.write_bam):
-                    hit, idx = bcops.whitelist_lookup(
-                        jnp.asarray(batch.bc_packed), wl_table)
-                    wl_counts = wl_counts + bcops.count_valid_barcodes(
-                        idx, jnp.asarray(batch.slot_valid), whitelist.size)
-                    cached.append((li, batch))
-                    n = batch.n_reads
-                    metrics.q30_bc_bases += int((batch.bc_qual[:n] >= 63).sum())
-                    metrics.bc_bases += int(batch.bc_qual[:n].size)
-                    metrics.q30_umi_bases += int((batch.umi_qual[:n] >= 63).sum())
-                    metrics.umi_bases += int(batch.umi_qual[:n].size)
-                    in_len = batch.rna_qual[:n][batch.rna_nmask[:n]]
-                    metrics.q30_rna_bases += int((in_len >= 63).sum())
-                    metrics.rna_bases += int(in_len.size)
+                    yield li, batch
+
+        # ---- pass 1 (== MAKE_SHARD): stream + count valid barcodes ----
+        # Nothing is cached: pass 2 re-streams the FASTQs (the native
+        # reader decodes ~4M reads/s, far above the device step rate), so
+        # peak host RAM is O(one batch) — the SpillVec/shardio discipline
+        # (spill_vec.rs) instead of r1's all-in-RAM batch list.
+        wl_counts = jnp.zeros((whitelist.size,), jnp.int32)
+        for li, batch in my_batches():
+            hit, idx = bcops.whitelist_lookup(
+                jnp.asarray(batch.bc_packed), wl_table)
+            wl_counts = wl_counts + executor.histogram(
+                np.asarray(idx), batch.slot_valid, whitelist.size)
+            n = batch.n_reads
+            metrics.q30_bc_bases += int((batch.bc_qual[:n] >= 63).sum())
+            metrics.bc_bases += int(batch.bc_qual[:n].size)
+            metrics.q30_umi_bases += int((batch.umi_qual[:n] >= 63).sum())
+            metrics.umi_bases += int(batch.umi_qual[:n].size)
+            in_len = batch.rna_qual[:n][batch.rna_nmask[:n]]
+            metrics.q30_rna_bases += int((in_len >= 63).sum())
+            metrics.rna_bases += int(in_len.size)
+        # one cross-host collective merges the histogram (Metric::merge of
+        # MAKE_SHARD's join); every host needs the global prior for pass 2
+        wl_counts = dist.allsum_array(np.asarray(wl_counts))
 
         perf.lap("pass1_extract_whitelist")
 
-        # ---- pass 2: fused correct/align/annotate ----
+        # ---- pass 2: fused correct/align/annotate, spilling molecules ----
         # fill the whitelist rows' count column with the pass-1 prior so each
         # correction candidate probe is a single row gather
         wl_table = wl_table.with_counts(np.asarray(wl_counts))
-        mol_bc, mol_gene, mol_umi = [], [], []
-        sj_counts: dict = {}   # (donor_text, acceptor_text, strand, annotated) -> reads
+        n_parts = SPILL_PARTS if executor.n_devices <= SPILL_PARTS \
+            else executor.n_devices
+        spill = MoleculeSpill(os.path.join(out_dir, "_spill"), n_parts,
+                              prefix=f"host{pid}_" if multihost else "")
+        sj_counts: dict = {}   # (donor, acceptor, strand, annotated) -> reads
         bam_collector = None
         if cfg.write_bam and gi is not None:
             from .bam_out import BamCollector
-            bam_collector = BamCollector(gi, ref.transcriptome)
-        for li, batch in cached:
+            bam_collector = BamCollector(gi, ref.transcriptome,
+                                         os.path.join(out_dir, "_bam_spool"))
+        for li, batch in my_batches():
             lib_type = libraries[li].library_type
             if lib_type == "Gene Expression" and probe_set is not None:
                 # RTL: cell-barcode handling + probe alignment
@@ -571,16 +706,30 @@ def run_count(cfg: CountConfig, out_dir: str,
                 metrics.usable_reads += int(conf.sum())
                 probes_conf = np.asarray(pa["probe"])[conf]
                 np.add.at(probe_region_reads, region_of_probe[probes_conf], 1)
-                mol_bc.append(bc_combined.astype(np.uint32)[conf])
-                mol_gene.append(np.asarray(pa["gene"])[conf].astype(np.uint32))
-                mol_umi.append(np.asarray(batch.umi_packed)[conf])
+                spill.append(bc_combined.astype(np.uint32)[conf],
+                             np.asarray(pa["gene"])[conf].astype(np.uint32),
+                             np.asarray(batch.umi_packed)[conf])
             elif lib_type == "Gene Expression":
-                out = step(jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
-                           jnp.asarray(batch.bc_exact), jnp.asarray(batch.umi_packed),
-                           jnp.asarray(batch.umi_valid), jnp.asarray(batch.rna),
-                           jnp.asarray(batch.rna_nmask), jnp.asarray(batch.slot_valid),
-                           wl_table)
+                out = step(executor.put(batch.bc_packed),
+                           executor.put(batch.bc_qual),
+                           executor.put(batch.bc_exact),
+                           executor.put(batch.umi_packed),
+                           executor.put(batch.umi_valid),
+                           executor.put(batch.rna),
+                           executor.put(batch.rna_nmask),
+                           executor.put(batch.slot_valid), wl_table)
                 m = {k: int(v) for k, v in out["metrics"].items()}
+                ho = {k: np.asarray(v) for k, v in out.items()
+                      if k != "metrics"}
+                if m["n_correct_overflow"] > 0:
+                    # in-step correction capacity overflowed: retry on host
+                    # over every still-invalid read (no read is ever
+                    # dropped from correction — barcode_correction.rs:265)
+                    n_new = _retry_correction(ho, batch, wl_table,
+                                              chem.barcode_length, correct_fn)
+                    m["n_corrected"] += n_new
+                    m["n_usable"] = int(ho["conf_ok"].sum())
+                    metrics.correction_retries += 1
                 metrics.total_reads += batch.n_reads
                 metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
                 metrics.corrected_barcode_reads += m["n_corrected"]
@@ -593,35 +742,13 @@ def run_count(cfg: CountConfig, out_dir: str,
                 metrics.antisense_reads += m["n_antisense"]
                 metrics.usable_reads += m["n_usable"]
                 metrics.correction_capacity_overflow += m["n_correct_overflow"]
-                conf = np.asarray(out["conf_ok"])
-                mol_bc.append(np.asarray(out["bc_idx"])[conf])
-                mol_gene.append(np.asarray(out["gene"])[conf])
-                mol_umi.append(np.asarray(out["umi"])[conf])
-                # splice junction read support (SJ.out.tab analog): novel
-                # junctions from split alignments, annotated ones from
-                # junction-contig placements; unique mappers only
-                m255 = (np.asarray(out["mapped"])
-                        & (np.asarray(out["mapq"]) == 255))[:batch.n_reads]
-                nsj = np.asarray(out["novel_sj"])[:batch.n_reads] & m255
-                if nsj.any():
-                    dn = np.asarray(out["sj_donor"]).astype(np.int64)[:batch.n_reads][nsj]
-                    an = np.asarray(out["sj_acceptor"]).astype(np.int64)[:batch.n_reads][nsj]
-                    st = np.asarray(out["strand"])[:batch.n_reads][nsj]
-                    for t in zip(dn.tolist(), an.tolist(), st.tolist()):
-                        key = (t[0], t[1], t[2], 0)
-                        sj_counts[key] = sj_counts.get(key, 0) + 1
-                posa = np.asarray(out["pos"]).astype(np.int64)[:batch.n_reads]
-                on_contig = m255 & (posa >= gi.genome_len) & ~nsj
-                if on_contig.any():
-                    ji = ((posa[on_contig] - gi.genome_len)
-                          // (2 * gi.sj_overhang)).astype(np.int64)
-                    st = np.asarray(out["strand"])[:batch.n_reads][on_contig]
-                    for j, s in zip(ji.tolist(), st.tolist()):
-                        key = (int(gi.sj_donor_end[j]),
-                               int(gi.sj_acceptor_start[j]), int(s), 1)
-                        sj_counts[key] = sj_counts.get(key, 0) + 1
+                metrics.promote_overflow += m["n_promote_overflow"]
+                conf = ho["conf_ok"]
+                spill.append(ho["bc_idx"][conf], ho["gene"][conf],
+                             ho["umi"][conf])
+                _tally_sj(sj_counts, ho, batch.n_reads, gi)
                 if bam_collector is not None:
-                    bam_collector.add_batch(batch, out)
+                    bam_collector.add_batch(batch, ho)
             else:
                 # feature-barcode library: cell bc handling + feature extraction
                 hit, idx = bcops.whitelist_lookup(
@@ -646,43 +773,76 @@ def run_count(cfg: CountConfig, out_dir: str,
                             & batch.umi_valid)
                     metrics.usable_reads += int(conf.sum())
                     metrics.conf_mapped_reads += int(conf.sum())
-                    mol_bc.append(np.asarray(bc_idx).astype(np.uint32)[conf])
-                    mol_gene.append((np.asarray(fo["feature"])[conf]
-                                     + n_genes).astype(np.uint32))
-                    mol_umi.append(np.asarray(batch.umi_packed)[conf])
+                    spill.append(np.asarray(bc_idx).astype(np.uint32)[conf],
+                                 (np.asarray(fo["feature"])[conf]
+                                  + n_genes).astype(np.uint32),
+                                 np.asarray(batch.umi_packed)[conf])
 
             perf.lap("pass2_correct_align_annotate")
 
-    # ---- global dedup (barcode-partitioned when too large for one sort) ----
-        bc_all = np.concatenate(mol_bc) if mol_bc else np.zeros(0, np.uint32)
-        gene_all = np.concatenate(mol_gene) if mol_gene else np.zeros(0, np.uint32)
-        umi_all = np.concatenate(mol_umi) if mol_umi else np.zeros(0, np.uint32)
-        n_parts = max(1, -(-len(bc_all) // DEDUP_CHUNK_LIMIT))
-        parts_out = []
-        dd = None
+        # ---- multi-host handoff: workers publish partials and exit ----
+        # (the Martian chunk/join boundary: spill files + a metrics JSON on
+        # the shared filesystem; host 0 is the join)
+        spill.flush()
+        if multihost:
+            partial = dict(
+                metrics=dict(metrics.__dict__),
+                sj=[[list(k), v] for k, v in sorted(sj_counts.items())])
+            if probe_set is not None:
+                partial["probe_region_reads"] = probe_region_reads.tolist()
+            with open(os.path.join(out_dir, "_spill",
+                                   f"host{pid}.json"), "w") as f:
+                json.dump(partial, f)
+            dist.barrier("count-spill")
+            if pid != 0:
+                spill.close(remove=False)
+                return {"worker": pid, "total_reads": metrics.total_reads}
+            # host 0: fold every host's metric partial (Metric::merge)
+            merged = CountMetrics()
+            sj_counts = {}
+            if probe_set is not None:
+                probe_region_reads = np.zeros_like(probe_region_reads)
+            import glob as _glob
+            for path in sorted(_glob.glob(
+                    os.path.join(out_dir, "_spill", "host*.json"))):
+                with open(path) as f:
+                    part = json.load(f)
+                for k, v in part["metrics"].items():
+                    setattr(merged, k, getattr(merged, k) + v)
+                for k, v in part["sj"]:
+                    key = tuple(k)
+                    sj_counts[key] = sj_counts.get(key, 0) + v
+                if probe_set is not None:
+                    probe_region_reads += np.asarray(
+                        part["probe_region_reads"], np.int64)
+            metrics = merged
+
+        # ---- dedup over barcode-hash partitions (bounded memory) ----
+        # each spill partition holds complete barcodes; oversized
+        # partitions sub-split by a second barcode hash, so the device sort
+        # working set stays <= DEDUP_CHUNK_LIMIT rows regardless of run size
+        parts = []
         for p in range(n_parts):
-            if n_parts == 1:
-                sel = slice(None)
-                b, g, u = bc_all, gene_all, umi_all
+            if multihost:
+                b, g, u = MoleculeSpill.load_union(
+                    os.path.join(out_dir, "_spill"), n_parts, p)
             else:
-                # barcode-hash partitions are independent under dedup (all reads
-                # of a barcode land in one partition) — the ALIGN_AND_COUNT
-                # barcode-range chunking analog (align_and_count.rs:518-524)
-                mask = (bc_all % n_parts) == p
-                b, g, u = bc_all[mask], gene_all[mask], umi_all[mask]
-            N = _pow2_pad(max(len(b), 1))
-            pad = N - len(b)
-            dd = dedup_molecules(
-                jnp.asarray(np.pad(b, (0, pad))),
-                jnp.asarray(np.pad(g, (0, pad))),
-                jnp.asarray(np.pad(u, (0, pad))),
-                jnp.asarray(np.pad(np.ones(len(b), bool), (0, pad))),
-                chem.umi_length)
-            valid = np.asarray(dd["mol_valid"])
-            parts_out.append((np.asarray(dd["mol_bc"])[valid],
-                              np.asarray(dd["mol_gene"])[valid],
-                              np.asarray(dd["mol_umi"])[valid],
-                              np.asarray(dd["mol_reads"])[valid]))
+                b, g, u = spill.load_part(p)
+            k = max(1, -(-len(b) // DEDUP_CHUNK_LIMIT))
+            if k == 1:
+                parts.append((b, g, u))
+            else:
+                sub = (b // np.uint32(n_parts)) % np.uint32(k)
+                for j in range(k):
+                    msk = sub == j
+                    parts.append((b[msk], g[msk], u[msk]))
+        parts_out = []
+        raw_parts = []
+        for dd in executor.dedup_partitions(parts, chem.umi_length):
+            parts_out.append((dd["mol_bc"], dd["mol_gene"], dd["mol_umi"],
+                              dd["mol_reads"]))
+            if bam_collector is not None:
+                raw_parts.append(dd)
         mbc = np.concatenate([x[0] for x in parts_out])
         mgene = np.concatenate([x[1] for x in parts_out])
         mumi = np.concatenate([x[2] for x in parts_out])
@@ -690,6 +850,12 @@ def run_count(cfg: CountConfig, out_dir: str,
         order = np.lexsort((mumi, mgene, mbc))
         mbc, mgene, mumi, mreads = mbc[order], mgene[order], mumi[order], mreads[order]
         metrics.total_molecules = int(len(mbc))
+        raw_views = None
+        if bam_collector is not None:
+            raw_views = {k: np.concatenate([rp[k] for rp in raw_parts])
+                         for k in ("raw_bc", "raw_gene", "raw_umi",
+                                   "raw_corr_umi", "raw_low")}
+        spill.close(remove=True)
 
         perf.lap("dedup")
         if ckpt is not None:
@@ -792,13 +958,13 @@ def run_count(cfg: CountConfig, out_dir: str,
     perf.lap("cell_calling")
 
     # ---- BAM output ----
-    # (multi-partition dedup keeps only the last partition's raw-triple view;
-    # UB tags then fall back to raw UMIs for other partitions' reads)
+    # (UB tags and low-support flags join against the raw-triple views of
+    # EVERY dedup partition — the r1 last-partition-only fallback is gone)
     if bam_collector is not None:
         bam_collector.write(
             os.path.join(out_dir, "possorted_genome_bam.bam"),
-            {k: np.asarray(v) for k, v in dd.items()},
-            chem.barcode_length, chem.umi_length, gem_group=cfg.gem_group)
+            raw_views or {}, chem.barcode_length, chem.umi_length,
+            gem_group=cfg.gem_group)
 
     # ---- splice junction table (STAR SJ.out.tab analog) ----
     if sj_counts and gi is not None:
