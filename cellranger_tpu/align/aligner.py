@@ -389,13 +389,33 @@ def make_aligner(idx: DeviceIndex, read_len: int,
             ckey = (canon & jnp.uint32(0xFFFFFFFE)) | cand_strand.astype(jnp.uint32)
         else:
             ckey = (canon << 1) | cand_strand.astype(jnp.uint32)
-        ckey = jnp.where(is_best & (score > -BIG), ckey, BIGK)
+        ckey_full = ckey
+        ckey = jnp.where(is_best & (score > -BIG), ckey_full, BIGK)
         ckey_sorted = jnp.sort(ckey, axis=1)
         distinct = jnp.concatenate(
             [jnp.ones((B, 1), bool),
              ckey_sorted[:, 1:] != ckey_sorted[:, :-1]], axis=1)
         n_best = jnp.sum(
             jnp.where(distinct & (ckey_sorted != BIGK), 1, 0), axis=1)
+
+        # ---- candidate-cap honesty (repeat-rich genomes) ----
+        # D caps the EXAMINED loci, but the vote table saw every seeded
+        # diagonal. If every distinct examined locus ties at the best
+        # score AND more vote-positive diagonals exist than we examined,
+        # unexamined loci could tie too: report n_best = D+1 (MAPQ 0, the
+        # STAR >4-loci bucket) and flag the read so gene promotion skips
+        # it. Slightly conservative (a 1-vote noise diagonal can demote a
+        # true D-locus tie from MAPQ 1 to 0); never optimistic.
+        n_diags = jnp.sum((votes > 0).astype(jnp.int32), axis=1)
+        ckey_any = jnp.where(cand_ok & (score > -BIG), ckey_full, BIGK)
+        any_sorted = jnp.sort(ckey_any, axis=1)
+        distinct_any = jnp.concatenate(
+            [jnp.ones((B, 1), bool),
+             any_sorted[:, 1:] != any_sorted[:, :-1]], axis=1)
+        n_exam = jnp.sum(
+            jnp.where(distinct_any & (any_sorted != BIGK), 1, 0), axis=1)
+        saturated = (n_diags > D) & (n_best >= n_exam) & (n_best >= 1)
+        n_best = jnp.where(saturated, D + 1, n_best)
 
         # deterministic pick among ties: smallest (canon, strand) — stable
         pick = jnp.argmin(ckey, axis=1)
@@ -418,7 +438,7 @@ def make_aligner(idx: DeviceIndex, read_len: int,
             aln_start=take(start_i), aln_len=take(aln_len), n_best=n_best,
             loci_pos=takeL(cand_pos), loci_strand=takeL(cand_strand),
             loci_start=takeL(start_i), loci_len=takeL(aln_len),
-            loci_ok=loci_ok,
+            loci_ok=loci_ok, saturated=saturated,
         )
 
         if novel_sj:

@@ -81,6 +81,14 @@ class ReadBatch:
     probe_bc_packed: np.ndarray | None = None  # uint32 [B]
     probe_bc_exact: np.ndarray | None = None   # bool [B]
     probe_bc_qual: np.ndarray | None = None    # uint8 [B, plen]
+    # paired-end mate (chem.rna2, SC5P-PE / SCVDJ): second cDNA read
+    rna2: np.ndarray | None = None             # uint8 [B, L]
+    rna2_nmask: np.ndarray | None = None       # bool [B, L]
+    rna2_len: np.ndarray | None = None         # int32 [B]
+    rna2_qual: np.ndarray | None = None        # uint8 [B, L]
+    # OH multiplexing: overhang sample barcode view (chem.overhang)
+    overhang_packed: np.ndarray | None = None  # uint32 [B]
+    overhang_exact: np.ndarray | None = None   # bool [B]
 
     @property
     def batch_size(self) -> int:
@@ -120,40 +128,50 @@ def _rectangularize(records: list[tuple[bytes, bytes]], width: int):
     return seqs, quals, lens
 
 
-def required_widths(chem: Chemistry, read_len: int) -> tuple[int, int]:
-    """(R1 width, R2 width) of the rectangular buffers a chemistry needs."""
-    bc_span = chem.barcode[0].span
-    umi_span = chem.umi
-    r1_w = max(bc_span.offset + bc_span.length,
-               umi_span.offset + umi_span.length,
-               (chem.rna.offset + read_len) if chem.rna.read == "R1" else 0)
-    r2_w = (chem.rna.offset + read_len) if chem.rna.read == "R2" else read_len
-    if chem.probe_bc is not None:
-        p_end = chem.probe_bc.offset + chem.probe_bc.length
-        if chem.probe_bc.read == "R1":
-            r1_w = max(r1_w, p_end)
-        else:
-            r2_w = max(r2_w, p_end)
-    return r1_w, r2_w
+def required_widths(chem: Chemistry, read_len: int) -> dict[str, int]:
+    """Rectangular buffer width each physical read needs, keyed by read
+    name ("R1"/"R2"/"I1"); 0 when the chemistry never touches that read."""
+    w = {"R1": 0, "R2": 0, "I1": 0}
+
+    def need(span: Span | None, full=False):
+        if span is None:
+            return
+        end = span.offset + (read_len if (span.length is None or full)
+                             else span.length)
+        w[span.read] = max(w[span.read], end)
+
+    need(chem.barcode[0].span)
+    need(chem.umi)
+    need(chem.rna, full=True)
+    need(chem.rna2, full=True)
+    need(chem.probe_bc)
+    need(chem.overhang)
+    if w["R2"] == 0 and chem.rna.read != "R2":
+        pass  # R2 unused by this chemistry (e.g. SC5P-R1)
+    return w
 
 
 def extract_batch(chem: Chemistry, r1: list[tuple[bytes, bytes]],
                   r2: list[tuple[bytes, bytes]] | None,
                   read_len: int, batch_size: int,
                   start_read_id: int = 0,
-                  names: list[bytes] | None = None) -> ReadBatch:
-    """Extract barcode/UMI/cDNA planes from raw R1 (+R2) record lists."""
-    need_r1, need_r2 = required_widths(chem, read_len)
-    r1_arrays = _rectangularize(r1, need_r1)
-    r2_arrays = _rectangularize(r2, need_r2) if r2 is not None else None
+                  names: list[bytes] | None = None,
+                  i1: list[tuple[bytes, bytes]] | None = None) -> ReadBatch:
+    """Extract barcode/UMI/cDNA planes from raw R1 (+R2, +I1) record lists."""
+    w = required_widths(chem, read_len)
+    r1_arrays = _rectangularize(r1, max(w["R1"], 1))
+    r2_arrays = _rectangularize(r2, max(w["R2"], 1)) if r2 is not None else None
+    i1_arrays = _rectangularize(i1, max(w["I1"], 1)) if i1 is not None else None
     return extract_batch_arrays(chem, r1_arrays, r2_arrays, read_len,
-                                batch_size, start_read_id, names)
+                                batch_size, start_read_id, names,
+                                i1_arrays=i1_arrays)
 
 
 def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
                          read_len: int, batch_size: int,
                          start_read_id: int = 0,
-                         names: list[bytes] | None = None) -> ReadBatch:
+                         names: list[bytes] | None = None,
+                         i1_arrays=None) -> ReadBatch:
     """Extraction core over rectangular (seqs, quals, lens) arrays — the
     zero-copy path fed by the native reader."""
     r1seq, r1qual, r1len = r1_arrays
@@ -165,6 +183,8 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
     reads = {"R1": (r1seq, r1qual, r1len)}
     if r2_arrays is not None:
         reads["R2"] = r2_arrays
+    if i1_arrays is not None:
+        reads["I1"] = i1_arrays
 
     def span_arrays(span: Span, max_len=None):
         s, q, l = reads[span.read]
@@ -215,6 +235,31 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
         pad_shape = (batch_size - len(a),) + a.shape[1:]
         return np.concatenate([a, np.full(pad_shape, fill, dtype=a.dtype)])
 
+    # paired-end mate (chem.rna2): same clip/pad treatment as the cDNA
+    rna2 = rna2_nmask = rna2_len = rna2_qual = None
+    if chem.rna2 is not None:
+        c2seq, c2qual, c2len = span_arrays(chem.rna2, max_len=read_len)
+        c2codes, c2valid = encode.encode_seqs(c2seq)
+        W2 = c2seq.shape[1]
+        if W2 < read_len:
+            pw = read_len - W2
+            c2codes = np.pad(c2codes, ((0, 0), (0, pw)))
+            c2valid = np.pad(c2valid, ((0, 0), (0, pw)))
+            c2qual = np.pad(c2qual, ((0, 0), (0, pw)),
+                            constant_values=ord("!"))
+        c2pos = np.arange(read_len)[None, :]
+        rna2_nmask = c2valid & (c2pos < c2len[:, None])
+        rna2, rna2_len, rna2_qual = c2codes, c2len, c2qual
+
+    # overhang sample barcode (OH multiplexing): a 2bp view into R1
+    oh_packed = oh_exact = None
+    if chem.overhang is not None:
+        oseq, _oq, olen = span_arrays(chem.overhang)
+        ocodes, ovalid = encode.encode_seqs(oseq)
+        oh_exact = padb((ovalid.all(axis=1)
+                         & (olen == chem.overhang.length)).astype(bool))
+        oh_packed = padb(encode.pack_codes_np(ocodes, chem.overhang.length))
+
     # probe barcode (RTL multiplexing)
     probe_packed = probe_exact = probe_qual = None
     if chem.probe_bc is not None:
@@ -230,6 +275,13 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
     return ReadBatch(
         probe_bc_packed=probe_packed, probe_bc_exact=probe_exact,
         probe_bc_qual=probe_qual,
+        overhang_packed=oh_packed, overhang_exact=oh_exact,
+        rna2=padb(rna2[:, :read_len]) if rna2 is not None else None,
+        rna2_nmask=(padb(rna2_nmask[:, :read_len])
+                    if rna2_nmask is not None else None),
+        rna2_len=padb(rna2_len) if rna2_len is not None else None,
+        rna2_qual=(padb(rna2_qual[:, :read_len])
+                   if rna2_qual is not None else None),
         bc_packed=padb(bc_packed), bc_qual=padb(bqual), bc_exact=padb(bc_exact.astype(bool)),
         umi_packed=padb(umi_packed), umi_valid=padb(umi_valid.astype(bool)),
         umi_qual=padb(uqual),
@@ -244,21 +296,30 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
 def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
                         batch_size: int, read_len: int,
                         keep_names: bool = False,
-                        use_native: bool = True) -> Iterator[ReadBatch]:
-    """Stream ReadBatches from a (R1, R2) FASTQ pair; prefers the native
-    (C++/zlib) reader, falling back to the pure-python parser."""
+                        use_native: bool = True,
+                        i1_path: str | None = None) -> Iterator[ReadBatch]:
+    """Stream ReadBatches from a (R1, R2[, I1]) FASTQ set; prefers the
+    native (C++/zlib) reader, falling back to the pure-python parser.
+    I1 carries the barcode for SC3Pv1 (chemistry_defs.json SC3Pv1)."""
+    needs_i1 = required_widths(chem, read_len)["I1"] > 0
+    if needs_i1 and not i1_path:
+        raise ValueError(
+            f"chemistry {chem.name} reads the barcode from I1; pass the "
+            "_I1_ FASTQ (find_fastqs discovers it alongside R1/R2)")
     if use_native:
         try:
             yield from _batches_native(chem, r1_path, r2_path, batch_size,
-                                       read_len, keep_names)
+                                       read_len, keep_names, i1_path)
             return
         except RuntimeError:
             pass  # no toolchain: python fallback
     it1 = iter_fastq_records(r1_path)
     it2 = iter_fastq_records(r2_path) if r2_path else None
+    iti = iter_fastq_records(i1_path) if i1_path else None
     next_id = 0
     while True:
         r1, r2 = [], ([] if it2 else None)
+        i1 = [] if iti else None
         names = [] if keep_names else None
         for rec in it1:
             r1.append((rec[1], rec[2]))
@@ -269,12 +330,17 @@ def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
                 if rec2 is None:
                     raise ValueError("R1/R2 FASTQ length mismatch")
                 r2.append((rec2[1], rec2[2]))
+            if iti is not None:
+                reci = next(iti, None)
+                if reci is None:
+                    raise ValueError("R1/I1 FASTQ length mismatch")
+                i1.append((reci[1], reci[2]))
             if len(r1) == batch_size:
                 break
         if not r1:
             return
         yield extract_batch(chem, r1, r2, read_len, batch_size, next_id,
-                            names=names)
+                            names=names, i1=i1)
         next_id += len(r1)
         if len(r1) < batch_size:
             return
@@ -282,27 +348,36 @@ def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
 
 def _batches_native(chem: Chemistry, r1_path: str, r2_path: str | None,
                     batch_size: int, read_len: int,
-                    keep_names: bool) -> Iterator[ReadBatch]:
+                    keep_names: bool,
+                    i1_path: str | None = None) -> Iterator[ReadBatch]:
     from ..native import NativeFastqReader
 
-    need_r1, need_r2 = required_widths(chem, read_len)
+    w = required_widths(chem, read_len)
     rd1 = NativeFastqReader(r1_path, keep_names=keep_names)
     rd2 = NativeFastqReader(r2_path) if r2_path else None
+    rdi = NativeFastqReader(i1_path) if i1_path else None
     next_id = 0
     try:
         while True:
-            s1, q1, l1, names = rd1.read_batch(batch_size, need_r1)
+            s1, q1, l1, names = rd1.read_batch(batch_size, max(w["R1"], 1))
             n = len(s1)
             if n == 0:
                 return
             r2_arrays = None
             if rd2 is not None:
-                s2, q2, l2, _ = rd2.read_batch(batch_size, need_r2)
+                s2, q2, l2, _ = rd2.read_batch(batch_size, max(w["R2"], 1))
                 if len(s2) != n:
                     raise ValueError("R1/R2 FASTQ length mismatch")
                 r2_arrays = (s2, q2, l2)
+            i1_arrays = None
+            if rdi is not None:
+                si, qi, li, _ = rdi.read_batch(batch_size, max(w["I1"], 1))
+                if len(si) != n:
+                    raise ValueError("R1/I1 FASTQ length mismatch")
+                i1_arrays = (si, qi, li)
             yield extract_batch_arrays(chem, (s1, q1, l1), r2_arrays,
-                                       read_len, batch_size, next_id, names)
+                                       read_len, batch_size, next_id, names,
+                                       i1_arrays=i1_arrays)
             next_id += n
             if n < batch_size:
                 return
@@ -310,17 +385,27 @@ def _batches_native(chem: Chemistry, r1_path: str, r2_path: str | None,
         rd1.close()
         if rd2 is not None:
             rd2.close()
+        if rdi is not None:
+            rdi.close()
 
 
-def find_fastqs(directory: str, sample: str | None = None):
+def find_fastqs(directory: str, sample: str | None = None,
+                include_index: bool = False):
     """Discover Illumina bcl2fastq-style FASTQ pairs in a directory
-    (mirrors cr_wrap/src/fastqs.rs discovery: <sample>_S*_L*_R{1,2}_*.fastq.gz)."""
+    (mirrors cr_wrap/src/fastqs.rs discovery: <sample>_S*_L*_R{1,2}_*.fastq.gz).
+    include_index=True returns (r1, r2, i1) triples for I1-barcode
+    chemistries (SC3Pv1)."""
     out = []
     for fn in sorted(os.listdir(directory)):
         if "_R1_" in fn and (fn.endswith(".fastq.gz") or fn.endswith(".fastq")):
             if sample and not fn.startswith(sample + "_"):
                 continue
-            r2 = fn.replace("_R1_", "_R2_")
-            r2p = os.path.join(directory, r2)
-            out.append((os.path.join(directory, fn), r2p if os.path.exists(r2p) else None))
+            r2p = os.path.join(directory, fn.replace("_R1_", "_R2_"))
+            r2p = r2p if os.path.exists(r2p) else None
+            if include_index:
+                i1p = os.path.join(directory, fn.replace("_R1_", "_I1_"))
+                out.append((os.path.join(directory, fn), r2p,
+                            i1p if os.path.exists(i1p) else None))
+            else:
+                out.append((os.path.join(directory, fn), r2p))
     return out

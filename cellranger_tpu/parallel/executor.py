@@ -59,10 +59,11 @@ class Executor:
             return jnp.asarray(a)
         return jax.device_put(np.asarray(a), self._sharding)
 
-    def wrap_step(self, step_fn):
+    def wrap_step(self, step_fn, n_batch_args: int = 8):
         if self.mesh is None:
             return step_fn
-        return make_sharded_step(step_fn, self.mesh, self.axis)
+        return make_sharded_step(step_fn, self.mesh, self.axis,
+                                 n_batch_args=n_batch_args)
 
     def histogram(self, idx, valid, wl_size: int):
         """Whitelist count histogram of one batch (psum-merged on a mesh)."""

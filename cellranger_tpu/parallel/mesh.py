@@ -37,22 +37,24 @@ def shard_batch_arrays(mesh: Mesh, arrays: dict, axis: str = "data") -> dict:
     return {k: jax.device_put(v, sharding) for k, v in arrays.items()}
 
 
-def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data"):
+def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data",
+                      n_batch_args: int = 8):
     """Wrap the fused count step for SPMD execution: batch dims sharded,
     whitelist arrays replicated, metrics psummed across chips.
 
-    out_specs are pytree PREFIXES (arrays -> P(axis), metrics -> P()) so the
-    wrapper keeps working as the step grows new output fields."""
+    n_batch_args: leading per-read array arguments (8 single-end, 10 with a
+    paired-end mate); the trailing argument is always the replicated
+    whitelist table.  out_specs are pytree PREFIXES (arrays -> P(axis),
+    metrics -> P()) so the wrapper keeps working as the step grows new
+    output fields."""
 
-    def spmd(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
-             rna, rna_nmask, slot_valid, wl_table):
-        out = dict(step_fn(bc_packed, bc_qual, bc_exact, umi_packed,
-                           umi_valid, rna, rna_nmask, slot_valid, wl_table))
+    def spmd(*args):
+        out = dict(step_fn(*args))
         metrics = jax.tree.map(lambda x: jax.lax.psum(x, axis),
                                out.pop("metrics"))
         return out, metrics
 
-    batch_spec = (P(axis),) * 8 + (P(None),)
+    batch_spec = (P(axis),) * n_batch_args + (P(None),)
     fn = jax.jit(jax.shard_map(
         spmd, mesh=mesh, in_specs=batch_spec, out_specs=(P(axis), P()),
         check_vma=False))

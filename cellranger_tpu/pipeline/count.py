@@ -109,6 +109,13 @@ class CountMetrics:
     correction_capacity_overflow: int = 0
     # batches whose correction overflow triggered the full-width host retry
     correction_retries: int = 0
+    # reads whose cDNA matched the TSO adapter (score >= 20, aligner.rs:180)
+    tso_reads: int = 0
+    # reads with a trimmed polyA tail
+    polya_trimmed_reads: int = 0
+    # paired-end: pairs with a mapped mate that were not proper
+    # (discordant strand/distance or one-sided) -> whole pair unmapped
+    improper_pair_reads: int = 0
     # multimapped reads whose loci pairs overflowed the promotion capacity
     # (never considered for gene promotion; silent in r1, counted now)
     promote_overflow: int = 0
@@ -127,11 +134,14 @@ class CountMetrics:
         d["q30_barcode_frac"] = self.q30_bc_bases / max(self.bc_bases, 1)
         d["q30_umi_frac"] = self.q30_umi_bases / max(self.umi_bases, 1)
         d["q30_rna_frac"] = self.q30_rna_bases / max(self.rna_bases, 1)
+        d["tso_frac"] = self.tso_reads / t
         if extra:
             d.update(extra)
         return d
 
 
+MAX_INSERT = 2000      # max genomic span of a proper read pair (fragment
+                       # sizes are <1kb; generous bound like STAR's window)
 CORRECT_CAP_FRAC = 16  # correction capacity = batch // 16 invalid reads
                        # (real runs are ~97% whitelist-valid; overflow is
                        # counted in n_correct_overflow)
@@ -163,12 +173,22 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
     annotate_impl = make_annotator(ann_idx, didx.genome_len, didx.sj_overhang,
                                    chem.strandedness, bind=False)
     bc_len = chem.barcode_length
+    from ..ops.trim import make_trimmer
+    trim_impl = make_trimmer(read_len)
+    paired = chem.rna2 is not None
+    glen = didx.genome_len
 
-    @jax.jit
-    def step_impl(didx, ann_idx, bc_packed, bc_qual, bc_exact, umi_packed,
-                  umi_valid, rna, rna_nmask, slot_valid, wl_table):
+    def _body(didx, ann_idx, bc_packed, bc_qual, bc_exact, umi_packed,
+              umi_valid, rna, rna_nmask, rna2, rna2_nmask, slot_valid,
+              wl_table):
         B = bc_packed.shape[0]
         hit, idx = bcops.whitelist_lookup(bc_packed, wl_table)
+
+        # ---- TSO/polyA trimming (aligner.rs:101-166): mask, don't move —
+        # the aligner treats trimmed bases like N's and the CIGAR soft-clip
+        # arithmetic restores them (the :404 restore, for free) ----
+        tr = trim_impl(rna, rna_nmask)
+        rna_nmask = tr["nmask"]
 
         if fused:
             # ---- compacted posterior correction of invalid barcodes ----
@@ -237,7 +257,11 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
         # every distinct locus the aligner surfaced.
         ND = aln["loci_pos"].shape[1]                  # D distinct loci
         C2 = max(B // SECOND_CAP_FRAC, 1)
-        need2 = (aln["mapped"] & (aln["n_best"] >= 2) & ~ann["conf_mapped"])
+        # saturated reads (more vote diagonals than examined candidates,
+        # all examined tie) are never promoted: unexamined loci could add
+        # genes we cannot see
+        need2 = (aln["mapped"] & (aln["n_best"] >= 2) & ~ann["conf_mapped"]
+                 & ~aln.get("saturated", jnp.zeros((B,), bool)))
         pair_ok = need2[:, None] & aln["loci_ok"][:, 1:]     # [B, ND-1]
         NP = B * (ND - 1)
         selp = jnp.nonzero(pair_ok.reshape(-1), size=C2, fill_value=NP)[0]
@@ -271,6 +295,48 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
         # were never considered for promotion; counted, unlike r1)
         n_promote_overflow = jnp.sum((need2 & ~fits).astype(jnp.int32))
 
+        # ---- paired-end mate combination (aligner.rs:422 align_read_pair,
+        # read.rs:88-104 annotate_read_pe, transcript.rs:27 from_pair) ----
+        # mate 2 aligns independently; a PROPER pair = both mates mapped,
+        # opposite genomic strands, within the insert bound (or either on
+        # a junction contig).  Pair gene = the non-empty mate's gene set,
+        # or the intersection when both are non-empty.  An improper pair
+        # (either mate unmapped / discordant) is unmapped as a whole
+        # (new_pe at read.rs:1142-1152 treats one-sided pairs as Unmapped).
+        if paired:
+            aln2 = align_impl(didx, rna2, rna2_nmask)
+            # mate 2 reads toward the 5' end: its sense is the flip of its
+            # own genomic strand in the chemistry's frame
+            ann2 = annotate_impl(ann_idx, aln2["pos"], aln2["aln_len"],
+                                 aln2["strand"] ^ 1, aln2["mapq"],
+                                 aln2["mapped"])
+            glen_u = jnp.uint32(glen)
+            strand_ok = aln2["strand"] != aln["strand"]
+            on_contig = ((aln["pos"].astype(jnp.uint32) >= glen_u)
+                         | (aln2["pos"].astype(jnp.uint32) >= glen_u))
+            p1u = aln["pos"].astype(jnp.uint32)
+            p2u = aln2["pos"].astype(jnp.uint32)
+            dist = jnp.where(p2u > p1u, p2u - p1u, p1u - p2u)  # u32-safe
+            proper = (aln["mapped"] & aln2["mapped"] & strand_ok
+                      & (on_contig | (dist <= jnp.uint32(MAX_INSERT))))
+            g1, g2 = ann["gene"], ann2["gene"]
+            pair_gene = jnp.where(
+                g2 == GENE_NONE, g1,
+                jnp.where(g1 == GENE_NONE, g2,
+                          jnp.where(g1 == g2, g1,
+                                    jnp.where(g1 == GENE_MULTI, g2,
+                                              jnp.where(g2 == GENE_MULTI,
+                                                        g1, GENE_NONE)))))
+            n_improper = jnp.sum(((aln["mapped"] | aln2["mapped"]) & ~proper
+                                  & slot_valid).astype(jnp.int32))
+            gene_p = jnp.where(proper, pair_gene, GENE_NONE)
+            conf_p = proper & (mapq_eff == 255) & (gene_p >= 0)
+            ann = dict(ann, gene=gene_p, conf_mapped=conf_p)
+            aln = dict(aln, mapped=proper)
+            mapq_eff = jnp.where(proper, mapq_eff, 0)
+        else:
+            n_improper = jnp.int32(0)
+
         conf_ok = (ann["conf_mapped"] & bc_ok & umi_valid & slot_valid)
         mapped = aln["mapped"] & slot_valid
         m = dict(
@@ -286,6 +352,10 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             n_usable=jnp.sum(conf_ok.astype(jnp.int32)),
             n_correct_overflow=n_correct_overflow,
             n_promote_overflow=n_promote_overflow,
+            n_tso=jnp.sum((tr["matched_tso"] & slot_valid).astype(jnp.int32)),
+            n_polya_trimmed=jnp.sum(
+                ((tr["polya_trimmed"] > 0) & slot_valid).astype(jnp.int32)),
+            n_improper_pair=n_improper,
         )
         out = dict(
             bc_idx=bc_idx.astype(jnp.uint32),
@@ -312,11 +382,29 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             out["wl_idx"] = idx
         return out
 
+    if paired:
+        @jax.jit
+        def step_impl(didx, ann_idx, bc_packed, bc_qual, bc_exact,
+                      umi_packed, umi_valid, rna, rna_nmask, rna2,
+                      rna2_nmask, slot_valid, wl_table):
+            return _body(didx, ann_idx, bc_packed, bc_qual, bc_exact,
+                         umi_packed, umi_valid, rna, rna_nmask, rna2,
+                         rna2_nmask, slot_valid, wl_table)
+    else:
+        @jax.jit
+        def step_impl(didx, ann_idx, bc_packed, bc_qual, bc_exact,
+                      umi_packed, umi_valid, rna, rna_nmask, slot_valid,
+                      wl_table):
+            return _body(didx, ann_idx, bc_packed, bc_qual, bc_exact,
+                         umi_packed, umi_valid, rna, rna_nmask, None, None,
+                         slot_valid, wl_table)
+
     if fused:
         def step(*args):
             return step_impl(didx, ann_idx, *args)
 
         return step
+    assert not paired, "adaptive split-step supports single-read chems only"
 
     # ---- adaptive wrapper: bucketed out-of-step correction ----
     correct_jits: dict[int, object] = {}
@@ -611,7 +699,8 @@ def run_count(cfg: CountConfig, out_dir: str,
         step = (None if probe_set is not None
                 else executor.wrap_step(
                     _make_step(didx, ann_idx, whitelist.size, chem,
-                               cfg.read_len)))
+                               cfg.read_len),
+                    n_batch_args=10 if chem.rna2 is not None else 8))
         correct_fn = _make_correct_cache(chem.barcode_length)
         # whitelist as a bucket-row table: ONE row gather per membership /
         # correction-candidate probe; the count column (posterior prior)
@@ -621,15 +710,20 @@ def run_count(cfg: CountConfig, out_dir: str,
             entries=8, fields=3)
 
         # this host's share of the FASTQ work (all of it when single-host)
-        work = [(li, r1, r2) for li, lib in enumerate(libraries)
-                for (r1, r2) in lib.fastq_pairs]
+        # (pairs may be (r1, r2) or (r1, r2, i1) — I1 carries the barcode
+        # for SC3Pv1)
+        work = [(li, pair) for li, lib in enumerate(libraries)
+                for pair in lib.fastq_pairs]
         my_work = dist.host_shard(work) if multihost else work
 
         def my_batches():
-            for li, r1, r2 in my_work:
+            for li, pair in my_work:
+                r1, r2 = pair[0], pair[1]
+                i1 = pair[2] if len(pair) > 2 else None
                 for batch in batches_from_fastqs(chem, r1, r2, batch_size,
                                                  cfg.read_len,
-                                                 keep_names=cfg.write_bam):
+                                                 keep_names=cfg.write_bam,
+                                                 i1_path=i1):
                     yield li, batch
 
         # ---- pass 1 (== MAKE_SHARD): stream + count valid barcodes ----
@@ -710,14 +804,17 @@ def run_count(cfg: CountConfig, out_dir: str,
                              np.asarray(pa["gene"])[conf].astype(np.uint32),
                              np.asarray(batch.umi_packed)[conf])
             elif lib_type == "Gene Expression":
-                out = step(executor.put(batch.bc_packed),
-                           executor.put(batch.bc_qual),
-                           executor.put(batch.bc_exact),
-                           executor.put(batch.umi_packed),
-                           executor.put(batch.umi_valid),
-                           executor.put(batch.rna),
-                           executor.put(batch.rna_nmask),
-                           executor.put(batch.slot_valid), wl_table)
+                args = [executor.put(batch.bc_packed),
+                        executor.put(batch.bc_qual),
+                        executor.put(batch.bc_exact),
+                        executor.put(batch.umi_packed),
+                        executor.put(batch.umi_valid),
+                        executor.put(batch.rna),
+                        executor.put(batch.rna_nmask)]
+                if chem.rna2 is not None:
+                    args += [executor.put(batch.rna2),
+                             executor.put(batch.rna2_nmask)]
+                out = step(*args, executor.put(batch.slot_valid), wl_table)
                 m = {k: int(v) for k, v in out["metrics"].items()}
                 ho = {k: np.asarray(v) for k, v in out.items()
                       if k != "metrics"}
@@ -743,6 +840,9 @@ def run_count(cfg: CountConfig, out_dir: str,
                 metrics.usable_reads += m["n_usable"]
                 metrics.correction_capacity_overflow += m["n_correct_overflow"]
                 metrics.promote_overflow += m["n_promote_overflow"]
+                metrics.tso_reads += m["n_tso"]
+                metrics.polya_trimmed_reads += m["n_polya_trimmed"]
+                metrics.improper_pair_reads += m["n_improper_pair"]
                 conf = ho["conf_ok"]
                 spill.append(ho["bc_idx"][conf], ho["gene"][conf],
                              ho["umi"][conf])

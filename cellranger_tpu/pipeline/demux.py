@@ -96,6 +96,50 @@ def demux_samples(count_out_dir: str, samples: list[dict], out_dir: str) -> dict
     return summary
 
 
+def demux_overhang_samples(count_out_dir: str, samples: list[dict],
+                           chem, out_dir: str) -> dict:
+    """OH (overhang) sample demux: the 2bp overhang sample barcode is a
+    VIEW into the gel-bead barcode (chemistry_defs.json *-OH defs,
+    R1[7:9]), so sample assignment is a deterministic split of the
+    filtered matrix columns by those barcode bases.  samples rows carry
+    `overhang_ids`: '|'-separated overhang sequences (or ids resolved
+    upstream)."""
+    filtered = CountMatrix.load_h5(
+        os.path.join(count_out_dir, "filtered_feature_bc_matrix.h5"))
+    if chem.overhang is None:
+        raise ValueError(f"chemistry {chem.name} has no overhang segment")
+    o0 = chem.overhang.offset
+    o1 = o0 + chem.overhang.length
+    oh_to_sample = {}
+    for row in samples:
+        for oid in row.get("overhang_ids", "").split("|"):
+            if oid:
+                oh_to_sample[oid.strip().upper()] = row["sample_id"]
+
+    per_sample_cols: dict[str, list[int]] = {}
+    rows_csv = []
+    for ci, bc in enumerate(filtered.barcodes):
+        s = bc.decode()
+        oh = s[o0:o1]
+        rows_csv.append((s, oh))
+        if oh in oh_to_sample:
+            per_sample_cols.setdefault(oh_to_sample[oh], []).append(ci)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "overhang_assignments.csv"), "w") as f:
+        f.write("barcode,overhang,sample\n")
+        for s, oh in rows_csv:
+            f.write(f"{s},{oh},{oh_to_sample.get(oh, 'unassigned')}\n")
+    summary = dict(samples={}, n_unassigned=sum(
+        1 for _, oh in rows_csv if oh not in oh_to_sample))
+    for sample_id, cols in per_sample_cols.items():
+        sub = filtered.select_barcodes(np.asarray(cols))
+        sdir = os.path.join(out_dir, "per_sample_outs", sample_id)
+        write_sample_outs(sub, sdir, sample_id)
+        summary["samples"][sample_id] = len(cols)
+    return summary
+
+
 def demux_probe_samples(count_out_dir: str, samples: list[dict],
                         probe_barcode_csv: str, out_dir: str) -> dict:
     """RTL (MFRP) sample demux — DEMUX_PROBE_BC_MATRIX analog

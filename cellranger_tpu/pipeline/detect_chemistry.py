@@ -21,7 +21,12 @@ from ..io.whitelist import Whitelist
 from ..ops import encode
 
 MIN_WHITELIST_FRAC = 0.10  # below this no chemistry is credible
-DEFAULT_CANDIDATES = ("SC3Pv4", "SC3Pv3", "SC3Pv2", "SC5P-R2", "SFRP")
+# one representative per whitelist-distinct family (DETECT_CHEMISTRY's
+# candidate matrix, detect_chemistry.rs); HT variants share their base
+# chemistry's geometry and are user-declared, like the reference
+DEFAULT_CANDIDATES = ("SC3Pv4", "SC3Pv3", "SC3Pv2", "SC3Pv3LT", "SC5P-R2",
+                      "SC5P-R2-v3", "SC5P-PE", "ARC-v1", "SFRP", "MFRP-RNA")
+PROBE_BC_MIN_FRAC = 0.30   # R2 probe-barcode hit fraction marking MFRP
 
 # 10x template-switch oligo: 5' chemistries carry it on R1 right after the
 # barcode+UMI (cr_types chemistry geometry: SC5P rna starts at R1 offset
@@ -82,14 +87,44 @@ def whitelist_hit_frac(r1_seqs: list[bytes], chem_name: str,
     return float(wl.contains(packed).mean())
 
 
+def probe_bc_frac(r2_seqs: list[bytes], chem_name: str,
+                  probe_wl: Whitelist) -> float:
+    """Fraction of R2 reads whose probe-barcode span hits the probe
+    whitelist (MFRP marker; chemistry_defs.json right_probe segments)."""
+    chem = get_chemistry(chem_name)
+    span = chem.probe_bc
+    if span is None or span.read != "R2":
+        return 0.0
+    hits = []
+    for s in r2_seqs:
+        if len(s) < span.offset + span.length:
+            continue
+        codes, valid = encode.encode_str(
+            s[span.offset:span.offset + span.length])
+        if not valid.all():
+            continue
+        hits.append(codes)
+    if not hits:
+        return 0.0
+    packed = encode.pack_codes_np(np.stack(hits), span.length)
+    return float(probe_wl.contains(packed).mean())
+
+
 def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
                      candidates=DEFAULT_CANDIDATES,
-                     n_sample: int = DETECT_CHEMISTRY_MIN_READS) -> dict:
+                     n_sample: int = DETECT_CHEMISTRY_MIN_READS,
+                     r2_path: str | None = None) -> dict:
     """Returns dict(chemistry, frac, per_candidate). Raises ValueError when
-    nothing clears the floor (the reference's preflight failure)."""
+    nothing clears the floor (the reference's preflight failure).
+
+    whitelists maps whitelist NAMES (gel-bead and, for MFRP detection,
+    probe-barcode whitelists keyed by their chemistry_defs names) to
+    loaded Whitelist objects; r2_path enables the probe-barcode and
+    paired-end signals."""
     seqs = sample_reads(r1_path, n_sample)
     if not seqs:
         raise ValueError(f"no reads in {r1_path}")
+    r2_seqs = sample_reads(r2_path, n_sample) if r2_path else []
     fracs = {}
     for c in candidates:
         if c not in CHEMISTRY_DEFS:
@@ -123,6 +158,34 @@ def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
     if five and three:
         pool = five if tf >= TSO_MIN_FRAC else three
         best = max(pool, key=lambda c: viable[c])
+        near = {c for c in near if c in pool}
+
+    # probe-barcode disambiguation (SFRP vs MFRP family): an MFRP run's R2
+    # carries a probe barcode hitting its probe whitelist
+    pf = 0.0
+    mfrp = [c for c in near if get_chemistry(c).probe_bc is not None]
+    plain = [c for c in near if get_chemistry(c).probe_bc is None]
+    if mfrp and r2_seqs:
+        for c in mfrp:
+            pwl_name = get_chemistry(c).probe_bc_whitelist
+            pwl = whitelists.get(pwl_name) if pwl_name else None
+            if pwl is not None:
+                pf = max(pf, probe_bc_frac(r2_seqs, c, pwl))
+        if pf >= PROBE_BC_MIN_FRAC:
+            best = max(mfrp, key=lambda c: viable[c])
+        elif plain:
+            best = max(plain, key=lambda c: viable[c])
+
+    # paired-end disambiguation (SC5P-PE vs SC5P-R2): PE runs carry cDNA
+    # on R1 beyond bc+umi (long R1) AND have an R2 mate
+    pe = [c for c in near if get_chemistry(c).rna2 is not None]
+    se = [c for c in near if get_chemistry(c).rna2 is None]
+    if pe and se:
+        ch = get_chemistry(pe[0])
+        long_r1 = r1_len >= ch.rna.offset + 25
+        pool = pe if (long_r1 and r2_seqs) else se
+        best = max(pool, key=lambda c: viable[c])
     return dict(chemistry=best, frac=viable[best],
                 per_candidate={k: round(v, 4) for k, v in fracs.items()},
-                r1_len=r1_len, tso_frac=round(tf, 4))
+                r1_len=r1_len, tso_frac=round(tf, 4),
+                probe_bc_frac=round(pf, 4))

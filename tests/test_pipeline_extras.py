@@ -260,3 +260,76 @@ def test_detect_chemistry_tso_endedness(tmp_path):
     d3 = detect_chemistry(p3, whitelists, candidates=("SC3Pv2", "SC5P-R2"))
     assert d5["chemistry"] == "SC5P-R2" and d5["tso_frac"] > 0.9
     assert d3["chemistry"] == "SC3Pv2" and d3["tso_frac"] < 0.05
+
+
+def test_detect_chemistry_mfrp_probe_bc(tmp_path):
+    """SFRP vs MFRP share geometry + whitelist; the probe barcode at
+    R2[68:76] hitting the probe whitelist marks the MFRP family."""
+    import gzip
+    import numpy as np
+    from cellranger_tpu.io.whitelist import Whitelist
+    from cellranger_tpu.pipeline.detect_chemistry import detect_chemistry
+    rng = np.random.default_rng(5)
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(300)})
+    probe_bcs = sorted({"".join(rng.choice(list("ACGT"), 8))
+                        for _ in range(24)})
+    wls = {"737K-fixed-rna-profiling": Whitelist.from_seqs(wl),
+           "probe-barcodes-fixed-rna-profiling-rna":
+               Whitelist.from_seqs(probe_bcs)}
+    r1p, r2p = str(tmp_path / "m_r1.fastq.gz"), str(tmp_path / "m_r2.fastq.gz")
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        for i in range(400):
+            bc = wl[i % len(wl)]
+            umi = "".join(rng.choice(list("ACGT"), 12))
+            probe = "".join(rng.choice(list("ACGT"), 50))
+            pbc = probe_bcs[i % len(probe_bcs)]
+            r2 = probe + "ACGTACGTACGTACGTAC" + pbc
+            f1.write(f"@m{i}\n{bc}{umi}\n+\n{'F' * 28}\n")
+            f2.write(f"@m{i}\n{r2}\n+\n{'F' * len(r2)}\n")
+    res = detect_chemistry(r1p, wls, candidates=("SFRP", "MFRP-RNA"),
+                           n_sample=400, r2_path=r2p)
+    assert res["chemistry"] == "MFRP-RNA"
+    assert res["probe_bc_frac"] >= 0.9
+    # without a probe hit (random bases at the probe span) -> SFRP
+    r2q = str(tmp_path / "s_r2.fastq.gz")
+    with gzip.open(r2q, "wt") as f2:
+        for i in range(400):
+            r2 = "".join(rng.choice(list("ACGT"), 80))
+            f2.write(f"@s{i}\n{r2}\n+\n{'F' * len(r2)}\n")
+    res2 = detect_chemistry(r1p, wls, candidates=("SFRP", "MFRP-RNA"),
+                            n_sample=400, r2_path=r2q)
+    assert res2["chemistry"] == "SFRP"
+
+
+def test_detect_chemistry_pe_vs_r2(tmp_path):
+    """SC5P-PE vs SC5P-R2: a long R1 (cDNA after bc+umi+TSO) plus an R2
+    mate marks the paired-end chemistry."""
+    import gzip
+    import numpy as np
+    from cellranger_tpu.io.whitelist import Whitelist
+    from cellranger_tpu.pipeline.detect_chemistry import detect_chemistry
+    rng = np.random.default_rng(6)
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(300)})
+    wls = {"737K-august-2016": Whitelist.from_seqs(wl)}
+    r1p = str(tmp_path / "pe_r1.fastq.gz")
+    r2p = str(tmp_path / "pe_r2.fastq.gz")
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        for i in range(400):
+            bc = wl[i % len(wl)]
+            umi = "".join(rng.choice(list("ACGT"), 10))
+            cdna = "".join(rng.choice(list("ACGT"), 80))
+            f1.write(f"@p{i}\n{bc}{umi}{cdna}\n+\n{'F' * 106}\n")
+            f2.write(f"@p{i}\n{cdna}\n+\n{'F' * 80}\n")
+    res = detect_chemistry(r1p, wls, candidates=("SC5P-R2", "SC5P-PE"),
+                           n_sample=400, r2_path=r2p)
+    assert res["chemistry"] == "SC5P-PE"
+    # short R1 (bc+umi only): R2-only chemistry
+    r1s = str(tmp_path / "se_r1.fastq.gz")
+    with gzip.open(r1s, "wt") as f1:
+        for i in range(400):
+            bc = wl[i % len(wl)]
+            umi = "".join(rng.choice(list("ACGT"), 10))
+            f1.write(f"@q{i}\n{bc}{umi}\n+\n{'F' * 26}\n")
+    res2 = detect_chemistry(r1s, wls, candidates=("SC5P-R2", "SC5P-PE"),
+                            n_sample=400, r2_path=r2p)
+    assert res2["chemistry"] == "SC5P-R2"
