@@ -9,9 +9,9 @@ simultaneously enriched in most of the panel. The reference flags:
      (panels under 5 signal antibodies cannot be called);
   2) (antigen) barcodes among the top 100 whose UMI totals exceed
      Q3 + 3*IQR of the top-100, with a 1000-UMI floor.
-The reference's third signal (barcodes with >50% UMI-corrected reads)
-needs the per-barcode correction table, which the streaming engine does
-not materialize per-barcode yet; noted as a follow-up.
+  3) barcodes whose feature-barcode reads are >50% UMI-corrected with
+     >10k reads (detect_highly_corrected_bcs, analysis.py:91-99) — fed by
+     the dedup raw-triple views' per-triple read counts.
 """
 
 from __future__ import annotations
@@ -65,3 +65,18 @@ def detect_outlier_umi_bcs(counts: np.ndarray,
     if thresh < OUTLIER_MIN_UMIS:
         return np.zeros(0, np.int64)
     return np.sort(top[per_bc[top] >= thresh])
+
+
+HIGH_UMI_CORRECTION_THRESHOLD = 0.5   # analysis.py:18
+NUM_READS_THRESHOLD = 10_000          # analysis.py:19
+
+
+def detect_highly_corrected_bcs(reads_per_bc: np.ndarray,
+                                corrected_reads_per_bc: np.ndarray
+                                ) -> np.ndarray:
+    """Barcodes whose reads are mostly UMI corrections — an aggregate
+    signature (antibody/analysis.py:91-99: frac_corrected > 0.5 AND
+    reads > 10k).  Returns barcode indices."""
+    frac = corrected_reads_per_bc / np.maximum(reads_per_bc, 1)
+    return np.flatnonzero((frac > HIGH_UMI_CORRECTION_THRESHOLD)
+                          & (reads_per_bc > NUM_READS_THRESHOLD))

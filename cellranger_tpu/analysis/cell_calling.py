@@ -305,3 +305,139 @@ def call_cells(matrix, umis_per_bc: np.ndarray, chemistry_name: str = "SC3Pv3",
         "rescued_cells": int(len(extra)),
         "filtered_bcs": int(len(cells)),
     }
+
+
+# ---------------------------------------------------------------------------
+# Gradient (targeted) cell calling — filter_cellular_barcodes_gradient
+# (cell_calling_helpers.py:992-1083): take all barcodes above the steepest
+# descent of the spline-smoothed log-log barcode rank plot, searched between
+# the ordmag-baseline knee and a bounded number of additional candidates.
+# ---------------------------------------------------------------------------
+N_CANDIDATE_BARCODES_GRADIENT = 20_000     # helpers.py:36
+TARGETED_CC_MIN_UMIS_ADDITIONAL = 10       # cell_calling.py:41
+ORDMAG_QUANTILE = 0.99                     # helpers.py:34
+
+
+def _spline_num_knots(n: int) -> int:
+    """Knot-count heuristic for progressive smoothing (helpers.py:1085)."""
+    if n < 50:
+        return int(n)
+    a = [np.log2(50), np.log2(100), np.log2(140), np.log2(200)]
+    if n < 200:
+        return int(2 ** (a[0] + (a[1] - a[0]) * (n - 50) / 150))
+    if n < 800:
+        return int(2 ** (a[1] + (a[2] - a[1]) * (n - 200) / 600))
+    if n < 3200:
+        return int(2 ** (a[2] + (a[3] - a[2]) * (n - 800) / 2400))
+    return int(200 + (n - 3200) ** 0.2)
+
+
+def call_cells_gradient(bc_counts: np.ndarray,
+                        recovered_cells: int | None = None,
+                        max_additional: int = N_CANDIDATE_BARCODES_GRADIENT,
+                        min_umis_additional: int =
+                        TARGETED_CC_MIN_UMIS_ADDITIONAL,
+                        infer_throughput: bool = False):
+    """Returns (sorted barcode indices called as cells, metrics dict)."""
+    from scipy import interpolate
+
+    if recovered_cells is None:
+        recovered_cells = 3000  # DEFAULT_RECOVERED_CELLS_PER_GEM_GROUP
+    recovered_cells = max(recovered_cells, 10)
+    nz = np.sort(bc_counts[bc_counts > 0])[::-1]
+    if len(nz) == 0:
+        return np.zeros(0, np.int64), {"cells_method": "gradient",
+                                       "filtered_bcs": 0}
+    base_idx = min(int(np.round(recovered_cells * (1 - ORDMAG_QUANTILE))),
+                   len(nz) - 1)
+    base_thresh = nz[base_idx]
+    if infer_throughput:
+        lower = 0
+        max_additional, min_umis_additional = 150_000, 3
+    else:
+        lower = min(int((nz >= base_thresh / 10.0).sum()) - 1, len(nz) - 1)
+    upper = min(lower + max_additional,
+                int((nz >= min_umis_additional).sum()))
+    upper = min(max(upper, lower), len(nz) - 1)
+
+    uniq = np.unique(nz)[::-1]
+    log_y = np.log10(uniq.astype(float))
+    x_vals = np.asarray([(nz >= v).sum() for v in uniq])
+    log_x = np.log10(x_vals.astype(float))
+    log_x = np.append(log_x, np.log10(1 + nz.sum()))
+    log_y = np.append(log_y, 0.0)
+
+    k = min(3, len(log_y) - 1)
+    spl = interpolate.UnivariateSpline(x=log_x, y=log_y, k=k, s=0,
+                                       check_finite=True)
+    if len(log_x) > 50:
+        want = _spline_num_knots(len(log_x))
+        knots = spl.get_knots()
+        if want < len(knots):
+            t = [knots[i] for i in np.linspace(1, len(knots) - 2, want - 2,
+                                               dtype=int)]
+            spl = interpolate.LSQUnivariateSpline(x=log_x, y=log_y, t=t,
+                                                  k=k, check_finite=True)
+    grads = spl(log_x[:-1], 1)
+    in_range = (x_vals >= lower) & (x_vals <= upper)
+    grads = np.where(in_range, grads, 0.0)
+    cutoff = np.round(10 ** log_y[np.argmin(grads)], 0)
+    n_cells = max(int((nz > cutoff).sum()), lower + 1)
+    n_cells = min(n_cells, len(nz))
+    idx = np.sort(np.argsort(bc_counts, kind="stable")[::-1][:n_cells])
+    return idx, {"cells_method": "gradient", "filtered_bcs": int(n_cells),
+                 "gradient_count_cutoff": float(cutoff)}
+
+
+# ---------------------------------------------------------------------------
+# Post-call filters (filter_barcodes/__init__.py:553-575 via
+# cell_calling_helpers.py:671-785)
+# ---------------------------------------------------------------------------
+# Human + mouse mitochondrial gene Ensembl ids (helpers.py:66-97); feature
+# ids are matched on their post-underscore suffix for barnyard prefixes.
+MT_ENSEMBL_IDS = frozenset([
+    "ENSG00000198888", "ENSG00000198763", "ENSG00000198804",
+    "ENSG00000198712", "ENSG00000228253", "ENSG00000198899",
+    "ENSG00000198938", "ENSG00000198840", "ENSG00000212907",
+    "ENSG00000198886", "ENSG00000198786", "ENSG00000198695",
+    "ENSG00000198727",
+    "ENSMUSG00000064341", "ENSMUSG00000064345", "ENSMUSG00000064351",
+    "ENSMUSG00000064354", "ENSMUSG00000064356", "ENSMUSG00000064357",
+    "ENSMUSG00000064358", "ENSMUSG00000064360", "ENSMUSG00000065947",
+    "ENSMUSG00000064363", "ENSMUSG00000064367", "ENSMUSG00000064368",
+    "ENSMUSG00000064370",
+])
+
+
+def mito_gene_rows(feature_ids: list) -> np.ndarray:
+    """Indices of mitochondrial genes among feature ids (suffix match)."""
+    rows = []
+    for i, fid in enumerate(feature_ids):
+        if isinstance(fid, bytes):
+            fid = fid.decode()
+        if fid.split("_")[-1] in MT_ENSEMBL_IDS:
+            rows.append(i)
+    return np.asarray(rows, np.int64)
+
+
+def apply_mito_filter(gex_matrix, cells_idx: np.ndarray,
+                      mt_rows: np.ndarray, max_mito_percent: float):
+    """Drop called cells whose mito UMI percentage exceeds the threshold
+    (helpers.py:671-746).  Returns (kept cells, removed cells, mt_pct)."""
+    cells_idx = np.asarray(cells_idx)
+    if len(mt_rows) == 0 or len(cells_idx) == 0 or max_mito_percent >= 100:
+        return cells_idx, np.zeros(0, np.int64), np.zeros(len(cells_idx))
+    total = np.asarray(gex_matrix[:, cells_idx].sum(axis=0)).ravel()
+    mt = np.asarray(gex_matrix[mt_rows][:, cells_idx].sum(axis=0)).ravel()
+    pct = 100.0 * mt / np.maximum(total, 1)
+    drop = pct > max_mito_percent
+    return cells_idx[~drop], cells_idx[drop], pct
+
+
+def apply_min_umi_filter(umis_per_bc: np.ndarray, cells_idx: np.ndarray,
+                         minimum_umis: int) -> np.ndarray:
+    """Global minimum-UMI threshold on cell calls (helpers.py:749-785)."""
+    cells_idx = np.asarray(cells_idx)
+    if minimum_umis <= 0 or len(cells_idx) == 0:
+        return cells_idx
+    return cells_idx[umis_per_bc[cells_idx] >= minimum_umis]

@@ -192,7 +192,9 @@ def dedup_molecules(bc, gene, umi, valid, umi_len: int):
         n_molecules=mol_valid.sum(),
         # raw-triple view (sorted by (bc, gene, raw umi)): the correction map
         # and low-support flags per distinct raw key, used downstream for BAM
-        # UB tags and xf dup marking.
+        # UB tags, xf dup marking, and the highly-corrected-reads aggregate
+        # signal (reads per raw triple at representative rows).
         raw_bc=bc_s, raw_gene=gene_s, raw_umi=umi_s,
         raw_corr_umi=corr_umi, raw_low=low_support, raw_is_repr=is_repr,
+        raw_reads=jnp.where(is_repr, cnt, 0),
     )

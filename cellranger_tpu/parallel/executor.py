@@ -141,4 +141,5 @@ class Executor:
             raw_bc=dd["raw_bc"][rr], raw_gene=dd["raw_gene"][rr],
             raw_umi=dd["raw_umi"][rr], raw_corr_umi=dd["raw_corr_umi"][rr],
             raw_low=dd["raw_low"][rr].astype(bool),
+            raw_reads=dd["raw_reads"][rr],
         )

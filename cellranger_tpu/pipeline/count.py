@@ -69,6 +69,12 @@ class CountConfig:
     batch_size: int = 8192
     recovered_cells: int | None = None
     force_cells: int | None = None
+    # cell calling mode: "auto" = ordmag + EmptyDrops; "gradient" = the
+    # targeted-panel steepest-gradient caller (cell_calling_helpers.py:992)
+    cell_calling_mode: str = "auto"
+    # post-call filters (filter_barcodes/__init__.py:553-575)
+    max_mito_percent: float = 100.0   # cr_cell.MAX_MITO_PCT default
+    global_minimum_umis: int = 0      # cr_cell.MIN_GLOBAL_UMIS default
     sample_id: str = "sample"
     gem_group: int = 1
     write_bam: bool = False
@@ -938,10 +944,11 @@ def run_count(cfg: CountConfig, out_dir: str,
                     parts.append((b[msk], g[msk], u[msk]))
         parts_out = []
         raw_parts = []
+        keep_raw = bam_collector is not None or fb_ref is not None
         for dd in executor.dedup_partitions(parts, chem.umi_length):
             parts_out.append((dd["mol_bc"], dd["mol_gene"], dd["mol_umi"],
                               dd["mol_reads"]))
-            if bam_collector is not None:
+            if keep_raw:
                 raw_parts.append(dd)
         mbc = np.concatenate([x[0] for x in parts_out])
         mgene = np.concatenate([x[1] for x in parts_out])
@@ -951,10 +958,10 @@ def run_count(cfg: CountConfig, out_dir: str,
         mbc, mgene, mumi, mreads = mbc[order], mgene[order], mumi[order], mreads[order]
         metrics.total_molecules = int(len(mbc))
         raw_views = None
-        if bam_collector is not None:
+        if keep_raw:
             raw_views = {k: np.concatenate([rp[k] for rp in raw_parts])
                          for k in ("raw_bc", "raw_gene", "raw_umi",
-                                   "raw_corr_umi", "raw_low")}
+                                   "raw_corr_umi", "raw_low", "raw_reads")}
         spill.close(remove=True)
 
         perf.lap("dedup")
@@ -1015,6 +1022,22 @@ def run_count(cfg: CountConfig, out_dir: str,
         if ag_rows:
             agg_bcs = np.union1d(agg_bcs, detect_outlier_umi_bcs(
                 np.asarray(raw.m[ag_rows, :].todense())))
+        # highly-corrected-reads signal (antibody/analysis.py:91-99): a
+        # barcode whose FB reads are mostly UMI corrections is aggregate
+        if raw_views is not None and len(raw_views["raw_bc"]):
+            from ..analysis.aggregates import detect_highly_corrected_bcs
+            fb_mask = raw_views["raw_gene"] >= np.uint32(n_genes)
+            rb = raw_views["raw_bc"][fb_mask].astype(np.int64)
+            rreads = raw_views["raw_reads"][fb_mask].astype(np.int64)
+            rcorr = (raw_views["raw_corr_umi"]
+                     != raw_views["raw_umi"])[fb_mask]
+            space = whitelist.size * n_probe
+            reads_per = np.bincount(rb, weights=rreads,
+                                    minlength=space)
+            corr_per = np.bincount(rb[rcorr], weights=rreads[rcorr],
+                                   minlength=space)
+            agg_bcs = np.union1d(agg_bcs, detect_highly_corrected_bcs(
+                reads_per, corr_per))
         if len(agg_bcs):
             per_bc_all = raw.counts_per_bc()
             agg_metrics["number_aggregate_GEMs"] = int(len(agg_bcs))
@@ -1043,13 +1066,28 @@ def run_count(cfg: CountConfig, out_dir: str,
         # so raw-matrix barcode indexing stays stable)
         umis_per_bc = umis_per_bc.copy()
         umis_per_bc[agg_bcs] = 0
-    cells_idx, call_metrics = cell_calling.call_cells(
-        call_matrix, umis_per_bc, cfg.chemistry,
-        recovered_cells=cfg.recovered_cells, force_cells=cfg.force_cells,
-        num_probe_bcs=n_probe if n_probe > 1 else None)
+    if cfg.cell_calling_mode == "gradient" and cfg.force_cells is None:
+        # targeted-panel steepest-gradient caller (helpers.py:992-1083)
+        cells_idx, call_metrics = cell_calling.call_cells_gradient(
+            umis_per_bc, recovered_cells=cfg.recovered_cells)
+    else:
+        cells_idx, call_metrics = cell_calling.call_cells(
+            call_matrix, umis_per_bc, cfg.chemistry,
+            recovered_cells=cfg.recovered_cells, force_cells=cfg.force_cells,
+            num_probe_bcs=n_probe if n_probe > 1 else None)
     if len(agg_bcs):
         cells_idx = np.setdiff1d(np.asarray(cells_idx), agg_bcs)
         call_metrics.update(agg_metrics)
+    # post-call filters (filter_barcodes/__init__.py:553-575)
+    cells_idx = cell_calling.apply_min_umi_filter(
+        umis_per_bc, cells_idx, cfg.global_minimum_umis)
+    if cfg.max_mito_percent < 100.0 and n_genes > 0:
+        mt_rows = cell_calling.mito_gene_rows(
+            [d.id for d in features.feature_defs[:n_genes]])
+        cells_idx, mito_removed, _pct = cell_calling.apply_mito_filter(
+            raw.m[:n_genes] if fb_ref is not None else raw.m, cells_idx,
+            mt_rows, cfg.max_mito_percent)
+        call_metrics["cells_removed_mito_filter"] = int(len(mito_removed))
     filtered = raw.select_barcodes(cells_idx)
     filtered.save_h5(os.path.join(out_dir, "filtered_feature_bc_matrix.h5"),
                      chemistry_description=chem.description)
