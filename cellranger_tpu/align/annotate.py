@@ -267,9 +267,40 @@ def make_annotator(ann: AnnotationIndex, gi_genome_len: int, sj_overhang: int,
         region = jnp.where(in_sj, REGION_EXONIC, region_genomic)
         antisense = jnp.where(in_sj, anti_sj, antisense_genomic)
 
+        # ---- per-read gene LISTS for the BAM TX/AN tags ----
+        # top-K distinct sense genes (the TX tag's gene set) and distinct
+        # antisense genes (AN; transcript.rs:73-99).  K=4 covers all but
+        # pathological overlap stacks.
+        KG = 4
+        sense_vals = jnp.where(distinct, gs, GENE_NONE)
+        sense_top, _ = jax.lax.top_k(sense_vals, KG)         # [B, KG] desc
+        anti_hits = (exonic_hit | intronic_hit) & ~iv_sense
+        anti_all = jnp.where(anti_hits, iv_g, GENE_NONE)
+        ga = jnp.sort(anti_all, axis=1)
+        anti_distinct = jnp.concatenate(
+            [jnp.ones((B, 1), bool), ga[:, 1:] != ga[:, :-1]],
+            axis=1) & (ga != GENE_NONE)
+        anti_top, _ = jax.lax.top_k(
+            jnp.where(anti_distinct, ga, GENE_NONE), KG)
+        # junction-contig reads carry at most one gene either way
+        sj_col = jnp.where(in_sj & (gene >= 0), gene, GENE_NONE)
+        if n_sj > 0:
+            sj_anti_col = jnp.where(in_sj & anti_sj & (sjg >= 0), sjg,
+                                    GENE_NONE)
+        else:
+            sj_anti_col = jnp.full(B, GENE_NONE, jnp.int32)
+        pad = jnp.full((B, KG - 1), GENE_NONE, jnp.int32)
+        sense_top = jnp.where(in_sj[:, None],
+                              jnp.concatenate([sj_col[:, None], pad], 1),
+                              sense_top)
+        anti_top = jnp.where(in_sj[:, None],
+                             jnp.concatenate([sj_anti_col[:, None], pad], 1),
+                             anti_top)
+
         conf_mapped = mapped & (mapq == 255) & (gene >= 0)
         return dict(gene=gene, region=region, antisense=antisense,
-                    conf_mapped=conf_mapped)
+                    conf_mapped=conf_mapped,
+                    gene_list=sense_top, anti_list=anti_top)
 
     if not bind:
         return annotate_impl

@@ -46,6 +46,12 @@ def _cmd_count(args):
         sample_id=args.id,
         write_bam=args.bam,
     )
+    # fail fast with every problem at once (preflight.rs analog)
+    from .pipeline.preflight import PreflightError, preflight_count
+    try:
+        preflight_count(cfg)
+    except PreflightError as e:
+        sys.exit(f"error: {e}")
     out_dir = os.path.join(args.output_dir or ".", args.id, "outs")
     summary = run_count(cfg, out_dir)
     print(json.dumps({k: summary[k] for k in
@@ -213,6 +219,22 @@ def _cmd_testrun(args):
     sys.exit(0 if ok else 1)
 
 
+def _cmd_mkgtf(args):
+    """mkgtf (bin/rna/mkgtf_lib.py analog): attribute-filtered GTF copy."""
+    import collections
+
+    from .io.gtf import filter_gtf
+
+    attributes = collections.defaultdict(set)
+    for a in args.attribute:
+        parts = a.split(":")
+        if len(parts) != 2:
+            sys.exit(f"error: attribute option must have format KEY:VALUE: {a}")
+        attributes[parts[0]].add(parts[1])
+    n = filter_gtf(args.input_gtf, args.output_gtf, attributes)
+    print(f"wrote {n} feature rows to {args.output_gtf}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cellranger-tpu",
                                 description="TPU-native single-cell engine")
@@ -292,6 +314,15 @@ def main(argv=None):
     t = sub.add_parser("testrun", help="synthetic end-to-end smoke test")
     t.add_argument("--out", required=True)
     t.set_defaults(fn=_cmd_testrun)
+
+    mg = sub.add_parser("mkgtf", help="filter a GTF by attribute values "
+                        "for mkref (e.g. gene_biotype:protein_coding)")
+    mg.add_argument("input_gtf")
+    mg.add_argument("output_gtf")
+    mg.add_argument("--attribute", action="append", default=[],
+                    metavar="KEY:VALUE",
+                    help="attribute value to KEEP; repeatable")
+    mg.set_defaults(fn=_cmd_mkgtf)
 
     args = p.parse_args(argv)
     args.fn(args)

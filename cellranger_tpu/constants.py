@@ -80,11 +80,11 @@ TAG_LI = "li"  # library index
 TAG_PR = "pr"  # probe id
 
 # xf bitmask flags (cr_bam/src/bam_tags.rs)
-XF_DUP = 1  # read is a PCR duplicate (not the UMI-count representative)
+# xf ExtraFlags, exact reference values (cr_bam/src/bam_tags.rs:41-59)
 XF_UMI_COUNT = 8  # read counted as a UMI (representative read)
 XF_LOW_SUPPORT_UMI = 2
 XF_FILTERED_TARGET_UMI = 32
-XF_CONF_MAPPED = 4  # confidently mapped to transcriptome
+XF_CONF_MAPPED = 1  # confidently mapped to transcriptome
 
 # Matrix H5 (lib/python/cellranger/matrix.py:70-79, h5_constants.py:25-45)
 MATRIX_H5_VERSION = 2

@@ -23,11 +23,14 @@ BAM_CSOFT_CLIP = 4  # S
 FLAG_UNMAPPED = 4
 FLAG_REVERSE = 16
 
-# xf bitmask (cr_bam/src/bam_tags.rs)
-XF_DUP = 1
-XF_LOW_SUPPORT_UMI = 2
-XF_CONF_MAPPED = 4  # confidently mapped to transcriptome
-XF_UMI_COUNT = 8
+# xf bitmask — exact ExtraFlags values (cr_bam/src/bam_tags.rs:41-59).
+# A duplicate read is simply CONF_MAPPED without UMI_COUNT/LOW_SUPPORT.
+XF_CONF_MAPPED = 1          # confidently mapped to transcriptome
+XF_LOW_SUPPORT_UMI = 2      # (bc,umi,feature) discarded for a better one
+XF_GENE_DISCORDANT = 4      # mates mapped to incompatible gene sets
+XF_UMI_COUNT = 8            # molecule representative (counts as a UMI)
+XF_CONF_FEATURE = 16        # confidently assigned feature barcode
+XF_FILTERED_TARGET_UMI = 32  # dropped only by targeted read-count filter
 
 
 def _bgzf_block(data: bytes) -> bytes:

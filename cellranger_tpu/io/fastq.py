@@ -89,6 +89,12 @@ class ReadBatch:
     # OH multiplexing: overhang sample barcode view (chem.overhang)
     overhang_packed: np.ndarray | None = None  # uint32 [B]
     overhang_exact: np.ndarray | None = None   # bool [B]
+    # R1 remainder past bc+umi (feature-barcode patterns declared on R1;
+    # the reference's REST_R1 view, bam_tags.rs:22)
+    r1_rest: np.ndarray | None = None          # uint8 [B, L]
+    r1_rest_nmask: np.ndarray | None = None    # bool [B, L]
+    r1_rest_len: np.ndarray | None = None      # int32 [B]
+    r1_rest_qual: np.ndarray | None = None     # uint8 [B, L]
 
     @property
     def batch_size(self) -> int:
@@ -128,7 +134,17 @@ def _rectangularize(records: list[tuple[bytes, bytes]], width: int):
     return seqs, quals, lens
 
 
-def required_widths(chem: Chemistry, read_len: int) -> dict[str, int]:
+def r1_rest_offset(chem: Chemistry) -> int:
+    """Where the R1 remainder starts: past every structured span on R1."""
+    end = 0
+    for span in (chem.barcode[0].span, chem.umi, chem.probe_bc):
+        if span is not None and span.read == "R1" and span.length:
+            end = max(end, span.offset + span.length)
+    return end
+
+
+def required_widths(chem: Chemistry, read_len: int,
+                    keep_r1_rest: bool = False) -> dict[str, int]:
     """Rectangular buffer width each physical read needs, keyed by read
     name ("R1"/"R2"/"I1"); 0 when the chemistry never touches that read."""
     w = {"R1": 0, "R2": 0, "I1": 0}
@@ -146,6 +162,8 @@ def required_widths(chem: Chemistry, read_len: int) -> dict[str, int]:
     need(chem.rna2, full=True)
     need(chem.probe_bc)
     need(chem.overhang)
+    if keep_r1_rest:
+        w["R1"] = max(w["R1"], r1_rest_offset(chem) + read_len)
     if w["R2"] == 0 and chem.rna.read != "R2":
         pass  # R2 unused by this chemistry (e.g. SC5P-R1)
     return w
@@ -156,22 +174,24 @@ def extract_batch(chem: Chemistry, r1: list[tuple[bytes, bytes]],
                   read_len: int, batch_size: int,
                   start_read_id: int = 0,
                   names: list[bytes] | None = None,
-                  i1: list[tuple[bytes, bytes]] | None = None) -> ReadBatch:
+                  i1: list[tuple[bytes, bytes]] | None = None,
+                  keep_r1_rest: bool = False) -> ReadBatch:
     """Extract barcode/UMI/cDNA planes from raw R1 (+R2, +I1) record lists."""
-    w = required_widths(chem, read_len)
+    w = required_widths(chem, read_len, keep_r1_rest)
     r1_arrays = _rectangularize(r1, max(w["R1"], 1))
     r2_arrays = _rectangularize(r2, max(w["R2"], 1)) if r2 is not None else None
     i1_arrays = _rectangularize(i1, max(w["I1"], 1)) if i1 is not None else None
     return extract_batch_arrays(chem, r1_arrays, r2_arrays, read_len,
                                 batch_size, start_read_id, names,
-                                i1_arrays=i1_arrays)
+                                i1_arrays=i1_arrays,
+                                keep_r1_rest=keep_r1_rest)
 
 
 def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
                          read_len: int, batch_size: int,
                          start_read_id: int = 0,
                          names: list[bytes] | None = None,
-                         i1_arrays=None) -> ReadBatch:
+                         i1_arrays=None, keep_r1_rest: bool = False) -> ReadBatch:
     """Extraction core over rectangular (seqs, quals, lens) arrays — the
     zero-copy path fed by the native reader."""
     r1seq, r1qual, r1len = r1_arrays
@@ -251,6 +271,22 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
         rna2_nmask = c2valid & (c2pos < c2len[:, None])
         rna2, rna2_len, rna2_qual = c2codes, c2len, c2qual
 
+    # R1 remainder (feature-barcode patterns on R1)
+    rr = rr_nmask = rr_len = rr_qual = None
+    if keep_r1_rest:
+        rest_span = Span("R1", r1_rest_offset(chem), None)
+        rseq, rqual, rlen = span_arrays(rest_span, max_len=read_len)
+        rcodes, rvalid = encode.encode_seqs(rseq)
+        WR = rseq.shape[1]
+        if WR < read_len:
+            pw = read_len - WR
+            rcodes = np.pad(rcodes, ((0, 0), (0, pw)))
+            rvalid = np.pad(rvalid, ((0, 0), (0, pw)))
+            rqual = np.pad(rqual, ((0, 0), (0, pw)), constant_values=ord("!"))
+        rpos = np.arange(read_len)[None, :]
+        rr_nmask = rvalid & (rpos < rlen[:, None])
+        rr, rr_len, rr_qual = rcodes, rlen, rqual
+
     # overhang sample barcode (OH multiplexing): a 2bp view into R1
     oh_packed = oh_exact = None
     if chem.overhang is not None:
@@ -276,6 +312,12 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
         probe_bc_packed=probe_packed, probe_bc_exact=probe_exact,
         probe_bc_qual=probe_qual,
         overhang_packed=oh_packed, overhang_exact=oh_exact,
+        r1_rest=padb(rr[:, :read_len]) if rr is not None else None,
+        r1_rest_nmask=(padb(rr_nmask[:, :read_len])
+                       if rr_nmask is not None else None),
+        r1_rest_len=padb(rr_len) if rr_len is not None else None,
+        r1_rest_qual=(padb(rr_qual[:, :read_len])
+                      if rr_qual is not None else None),
         rna2=padb(rna2[:, :read_len]) if rna2 is not None else None,
         rna2_nmask=(padb(rna2_nmask[:, :read_len])
                     if rna2_nmask is not None else None),
@@ -297,7 +339,8 @@ def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
                         batch_size: int, read_len: int,
                         keep_names: bool = False,
                         use_native: bool = True,
-                        i1_path: str | None = None) -> Iterator[ReadBatch]:
+                        i1_path: str | None = None,
+                        keep_r1_rest: bool = False) -> Iterator[ReadBatch]:
     """Stream ReadBatches from a (R1, R2[, I1]) FASTQ set; prefers the
     native (C++/zlib) reader, falling back to the pure-python parser.
     I1 carries the barcode for SC3Pv1 (chemistry_defs.json SC3Pv1)."""
@@ -309,7 +352,8 @@ def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
     if use_native:
         try:
             yield from _batches_native(chem, r1_path, r2_path, batch_size,
-                                       read_len, keep_names, i1_path)
+                                       read_len, keep_names, i1_path,
+                                       keep_r1_rest)
             return
         except RuntimeError:
             pass  # no toolchain: python fallback
@@ -340,7 +384,7 @@ def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
         if not r1:
             return
         yield extract_batch(chem, r1, r2, read_len, batch_size, next_id,
-                            names=names, i1=i1)
+                            names=names, i1=i1, keep_r1_rest=keep_r1_rest)
         next_id += len(r1)
         if len(r1) < batch_size:
             return
@@ -349,10 +393,11 @@ def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
 def _batches_native(chem: Chemistry, r1_path: str, r2_path: str | None,
                     batch_size: int, read_len: int,
                     keep_names: bool,
-                    i1_path: str | None = None) -> Iterator[ReadBatch]:
+                    i1_path: str | None = None,
+                    keep_r1_rest: bool = False) -> Iterator[ReadBatch]:
     from ..native import NativeFastqReader
 
-    w = required_widths(chem, read_len)
+    w = required_widths(chem, read_len, keep_r1_rest)
     rd1 = NativeFastqReader(r1_path, keep_names=keep_names)
     rd2 = NativeFastqReader(r2_path) if r2_path else None
     rdi = NativeFastqReader(i1_path) if i1_path else None
@@ -377,7 +422,8 @@ def _batches_native(chem: Chemistry, r1_path: str, r2_path: str | None,
                 i1_arrays = (si, qi, li)
             yield extract_batch_arrays(chem, (s1, q1, l1), r2_arrays,
                                        read_len, batch_size, next_id, names,
-                                       i1_arrays=i1_arrays)
+                                       i1_arrays=i1_arrays,
+                                       keep_r1_rest=keep_r1_rest)
             next_id += n
             if n < batch_size:
                 return

@@ -154,3 +154,30 @@ def write_fasta(path: str, seqs: dict[str, bytes], width: int = 60):
             s = seq.decode() if isinstance(seq, bytes) else seq
             for i in range(0, len(s), width):
                 f.write(s[i:i + width] + "\n")
+
+
+def filter_gtf(in_path: str, out_path: str,
+               attributes: dict[str, set] | None = None) -> int:
+    """mkgtf: copy a GTF keeping rows whose attributes pass the filter
+    (bin/rna/mkgtf_lib.py + reference.py GtfBuilder:441-467 semantics):
+    a row is removed iff it HAS a filtered key with a value outside the
+    allowed set; rows lacking the key, and comment lines, are kept.
+    Returns the number of feature rows written."""
+    attributes = attributes or {}
+    n = 0
+    with open(in_path) as fin, open(out_path, "w") as fout:
+        for line in fin:
+            if line.startswith("#"):
+                fout.write(line)
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 9:
+                fout.write(line)
+                continue
+            props = _parse_attrs(parts[8])
+            remove = any(k in attributes and v not in attributes[k]
+                         for k, v in props.items())
+            if not remove:
+                fout.write(line)
+                n += 1
+    return n

@@ -80,6 +80,9 @@ def make_feature_extractor(pattern: CompiledPattern, table: BucketTable,
         feature = jnp.where(found, fidx[jnp.maximum(use_idx, 0)], -1)
         return dict(feature=feature, found=found,
                     corrected=corrected & ~hit & bc_ok,
-                    seq_idx=jnp.where(found, use_idx, -1))
+                    seq_idx=jnp.where(found, use_idx, -1),
+                    # BAM fr/fq tags: where the feature barcode sits in the
+                    # read (read.rs:1335-1352 FeatureExtracted tags)
+                    offset=off, raw_packed=packed, extracted=bc_ok)
 
     return extract

@@ -86,7 +86,7 @@ def make_sharded_dedup(mesh: Mesh, n_rows_per_chip: int, umi_len: int,
         mol_reads=P(axis), mol_valid=P(axis), n_molecules=P(axis),
         raw_bc=P(axis), raw_gene=P(axis), raw_umi=P(axis),
         raw_corr_umi=P(axis), raw_low=P(axis), raw_is_repr=P(axis),
-        overflow=P(axis),
+        raw_reads=P(axis), overflow=P(axis),
     )
     return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=specs_in,
                                  out_specs=out_spec, check_vma=False))

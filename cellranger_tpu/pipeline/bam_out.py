@@ -20,7 +20,8 @@ import os
 import numpy as np
 
 from ..io.bam import (BAM_CMATCH, BAM_CREF_SKIP, BAM_CSOFT_CLIP,
-                      FLAG_REVERSE, FLAG_UNMAPPED, XF_CONF_MAPPED, XF_DUP,
+                      FLAG_REVERSE, FLAG_UNMAPPED, XF_CONF_FEATURE,
+                      XF_CONF_MAPPED, XF_GENE_DISCORDANT,
                       XF_LOW_SUPPORT_UMI, XF_UMI_COUNT)
 from ..io.bam_index import IndexingBamWriter as BamWriter
 from ..io.gtf import Transcriptome
@@ -34,17 +35,21 @@ _CHUNK_KEYS = ("rna", "rna_qual", "rna_len", "nmask", "bc_packed", "bc_qual",
                "umi_packed", "umi_valid", "umi_qual", "pos", "mapq", "strand",
                "aln_len", "aln_start", "mapped", "region", "gene", "conf_ok",
                "bc_ok", "corrected_bc", "bc_idx", "novel_sj", "sj_donor",
-               "sj_acceptor", "sj_right_len")
+               "sj_acceptor", "sj_right_len", "mm", "gene_discordant",
+               "gene_unpaired")
+_CHUNK_KEYS_2D = ("gene_list", "anti_list")
 
 
 class BamCollector:
     """Streams per-batch host arrays into a position-banded disk spool."""
 
     def __init__(self, gi: GenomeIndex, txome: Transcriptome,
-                 spool_dir: str, n_bands: int = 64):
+                 spool_dir: str, n_bands: int = 64,
+                 read_group: str = "sample"):
         self.gi = gi
         self.txome = txome
         self.n_bands = n_bands
+        self.read_group = read_group
         self.spool = BamSpool(spool_dir, n_bands)
         # sort key = chrom << 33 | genomic pos (33 bits cover any chrom)
         self._max_key = (len(gi.chrom_names) + 1) << 33
@@ -74,6 +79,13 @@ class BamCollector:
                 src = ho.get(k)
                 chunk[k] = (take(src) if src is not None
                             else np.zeros(n, np.int64))
+        for k in _CHUNK_KEYS_2D:
+            src = ho.get(k)
+            chunk[k] = (take(src) if src is not None
+                        else np.full((n, 4), -1, np.int32))
+        chunk["is_feature"] = np.zeros(n, bool)
+        for k in ("fr", "fq", "fb", "fx"):
+            chunk[k] = [b""] * n
         key, g = self._sort_keys(chunk["pos"], chunk["aln_len"],
                                  chunk["mapped"])
         chunk["sort_key"] = key
@@ -88,6 +100,47 @@ class BamCollector:
         self.spool.add(band.astype(np.int64), chunk)
         self.n_reads += n
 
+    def add_feature_batch(self, batch, conf_ok, bc_ok, bc_idx, corrected_bc,
+                          gene, fr, fq, fb_seq, fx,
+                          seq_codes=None, seq_qual=None, seq_len=None,
+                          seq_nmask=None):
+        """Feature-barcode library reads: unmapped records carrying the
+        fr/fq/fb/fx tags (read.rs:1335-1360 FeatureExtracted) and xf
+        CONF_FEATURE when counted.  fr/fq/fb/fx: per-read bytes (b'' =
+        omit the tag).  seq_*: the read content to emit (defaults to the
+        batch's rna planes)."""
+        n = batch.n_reads
+        take = lambda a: np.asarray(a)[:n]
+        z = lambda: np.zeros(n, np.int64)
+        chunk = {k: z() for k in _CHUNK_KEYS}
+        chunk.update(dict(
+            names=batch.names[:n] if batch.names else
+                  [b"read%d" % i for i in batch.read_id[:n]],
+            rna=take(seq_codes if seq_codes is not None else batch.rna),
+            rna_qual=take(seq_qual if seq_qual is not None
+                          else batch.rna_qual),
+            rna_len=take(seq_len if seq_len is not None else batch.rna_len),
+            nmask=take(seq_nmask if seq_nmask is not None
+                       else batch.rna_nmask),
+            bc_packed=take(batch.bc_packed), bc_qual=take(batch.bc_qual),
+            umi_packed=take(batch.umi_packed),
+            umi_valid=take(batch.umi_valid), umi_qual=take(batch.umi_qual),
+            mapped=np.zeros(n, bool), conf_ok=take(conf_ok),
+            bc_ok=take(bc_ok), bc_idx=take(bc_idx),
+            corrected_bc=take(corrected_bc), gene=take(gene),
+            fr=list(fr[:n]), fq=list(fq[:n]), fb=list(fb_seq[:n]),
+            fx=list(fx[:n]),
+            sort_key=np.zeros(n, np.int64),
+            g_chrom=np.zeros(n, np.int32), g_gpos=np.zeros(n, np.int64),
+            g_spliced=np.zeros(n, bool), g_intron_len=np.zeros(n, np.int64),
+            g_donor_off=np.zeros(n, np.int64),
+        ))
+        for k in _CHUNK_KEYS_2D:
+            chunk[k] = np.full((n, 4), -1, np.int32)
+        chunk["is_feature"] = np.ones(n, bool)
+        self.spool.add(np.full(n, self.n_bands, np.int64), chunk)
+        self.n_reads += n
+
     def write(self, path: str, raw_views: dict, bc_len: int, umi_len: int,
               gem_group: int = 1):
         """raw_views: concatenated dedup raw-triple views across ALL dedup
@@ -95,13 +148,17 @@ class BamCollector:
         distinct conf-mapped triples)."""
         gi, txome = self.gi, self.txome
         ref_lens = list(np.diff(gi.chrom_starts).astype(int))
-        w = BamWriter(path, gi.chrom_names, ref_lens)
+        rg_header = f"@RG\tID:{self.read_group}\tSM:{self.read_group}\n"
+        w = BamWriter(path, gi.chrom_names, ref_lens,
+                      extra_header=rg_header)
         if self.n_reads == 0:
             w.close()
             self.spool.close()
             return
         gene_ids = [g_.id for g_ in txome.genes]
         gene_names = [g_.name for g_ in txome.genes]
+        gene_strands = [getattr(g_, "strand", "+") for g_ in txome.genes]
+        self._gene_ids, self._gene_strands = gene_ids, gene_strands
         rb = np.asarray(raw_views.get("raw_bc", np.zeros(0, np.uint32)))
         rg = np.asarray(raw_views.get("raw_gene", np.zeros(0, np.uint32)))
         ru = np.asarray(raw_views.get("raw_umi", np.zeros(0, np.uint32)))
@@ -134,6 +191,18 @@ class BamCollector:
         w.close()
         self.spool.close()
 
+    def _gene_set_tag(self, genes_row) -> bytes:
+        """TX/AN tag payload: ';'-joined 'gene_id,strand' entries
+        (transcript.rs:164-174 intron-mode form: gene id + strand; the
+        transcript-projected 'txid,pos,cigar' form needs per-transcript
+        coordinates the interval annotator does not carry)."""
+        parts = []
+        for g in sorted(int(x) for x in genes_row if x >= 0):
+            gid = self._gene_ids[g]
+            gid = gid if isinstance(gid, str) else gid.decode()
+            parts.append(f"{gid},{self._gene_strands[g]}")
+        return ";".join(parts).encode()
+
     def _write_rows(self, w, cat, order, corr_umi_arr, low_arr, seen_mol,
                     gene_ids, gene_names, bc_len, umi_len, gem_group):
         mapped = cat["mapped"].astype(bool)
@@ -154,7 +223,8 @@ class BamCollector:
             umi_s = encode.decode_codes(
                 encode.unpack_np(cat["umi_packed"][i], umi_len))
             uq = bytes(cat["umi_qual"][i][:umi_len])
-            tags = [("CR", "Z", raw_bc_s), ("CY", "Z", bq),
+            tags = [("RG", "Z", self.read_group.encode()),
+                    ("CR", "Z", raw_bc_s), ("CY", "Z", bq),
                     ("UR", "Z", umi_s), ("UY", "Z", uq)]
             if cat["bc_ok"][i]:
                 cb = encode.decode_codes(
@@ -164,6 +234,27 @@ class BamCollector:
             xf = 0
             flag = 0
             if not mapped[i]:
+                if cat["is_feature"][i]:
+                    # feature-barcode library read (FeatureExtracted tags)
+                    for tg, val in (("fr", cat["fr"][i]), ("fq", cat["fq"][i]),
+                                    ("fb", cat["fb"][i]), ("fx", cat["fx"][i])):
+                        if val:
+                            tags.append((tg, "Z", val))
+                    if cat["conf_ok"][i]:
+                        xf |= XF_CONF_FEATURE
+                        cu = int(corr_umi_arr[i])
+                        if cat["umi_valid"][i]:
+                            tags.append(("UB", "Z", encode.decode_codes(
+                                encode.unpack_np(np.uint32(cu), umi_len))))
+                        gene = int(cat["gene"][i])
+                        if low_arr[i]:
+                            xf |= XF_LOW_SUPPORT_UMI
+                        else:
+                            mol_key = (int(cat["bc_idx"][i]), gene, cu)
+                            if mol_key not in seen_mol:
+                                seen_mol.add(mol_key)
+                                xf |= XF_UMI_COUNT
+                    tags.append(("xf", "i", xf))
                 w.write_record(cat["names"][i], FLAG_UNMAPPED, -1, -1, 0, [],
                                seq, qual, tags)
                 continue
@@ -198,6 +289,22 @@ class BamCollector:
             gene = int(cat["gene"][i])
             region = REGION_CHARS[int(cat["region"][i])]
             tags.append(("RE", "A", region))
+            # TX / AN gene-set tags (transcript.rs:73-99)
+            tx = self._gene_set_tag(cat["gene_list"][i])
+            if tx:
+                tags.append(("TX", "Z", tx))
+            an = self._gene_set_tag(cat["anti_list"][i])
+            if an:
+                tags.append(("AN", "Z", an))
+            if cat["mm"][i]:
+                # rescued/promoted multimapper (read.rs:1247-1249)
+                tags.append(("mm", "i", 1))
+            if cat["gene_discordant"][i]:
+                xf |= XF_GENE_DISCORDANT
+                gu = int(cat["gene_unpaired"][i])
+                if gu >= 0:
+                    tags.append(("gX", "Z", gene_ids[gu]))
+                    tags.append(("gN", "Z", gene_names[gu]))
             if cat["conf_ok"][i]:
                 tags.append(("GX", "Z", gene_ids[gene]))
                 tags.append(("GN", "Z", gene_names[gene]))
@@ -217,8 +324,8 @@ class BamCollector:
                         # reference picks min (UmiType, qname); parity TODO)
                         seen_mol.add(mol_key)
                         xf |= XF_UMI_COUNT
-                    else:
-                        xf |= XF_DUP
+                    # a duplicate is CONF_MAPPED without UMI_COUNT (no
+                    # separate flag in the reference's ExtraFlags)
             w.write_record(cat["names"][i], flag, chrom, gpos,
                            int(cat["mapq"][i]), cig, seq, qual,
                            tags + [("xf", "i", xf)])

@@ -337,11 +337,17 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
                                   & slot_valid).astype(jnp.int32))
             gene_p = jnp.where(proper, pair_gene, GENE_NONE)
             conf_p = proper & (mapq_eff == 255) & (gene_p >= 0)
+            # mates each hit a specific gene but disagree -> xf
+            # GENE_DISCORDANT + per-mate gX/gN tags (read.rs:1311-1319)
+            gene_discordant = proper & (g1 >= 0) & (g2 >= 0) & (g1 != g2)
+            gene_unpaired = g1
             ann = dict(ann, gene=gene_p, conf_mapped=conf_p)
             aln = dict(aln, mapped=proper)
             mapq_eff = jnp.where(proper, mapq_eff, 0)
         else:
             n_improper = jnp.int32(0)
+            gene_discordant = jnp.zeros((B,), bool)
+            gene_unpaired = ann["gene"]
 
         conf_ok = (ann["conf_mapped"] & bc_ok & umi_valid & slot_valid)
         mapped = aln["mapped"] & slot_valid
@@ -377,6 +383,11 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             sj_donor=aln.get("sj_donor", jnp.zeros((B,), jnp.int32)),
             sj_acceptor=aln.get("sj_acceptor", jnp.zeros((B,), jnp.int32)),
             sj_right_len=aln.get("sj_right_len", jnp.zeros((B,), jnp.int32)),
+            # BAM tag payloads: mm (rescued multimapper), TX/AN gene
+            # lists, PE gene-discordance + unpaired gene (gX/gN)
+            mm=promoted,
+            gene_list=ann["gene_list"], anti_list=ann["anti_list"],
+            gene_discordant=gene_discordant, gene_unpaired=gene_unpaired,
             # conf-mapped & UMI-valid, independent of barcode validity:
             # the host correction-overflow retry recomputes
             # conf_ok = conf_base & bc_ok after late corrections
@@ -529,6 +540,34 @@ def _retry_correction(ho: dict, batch, wl_table, bc_len: int,
         ho["corrected_bc"][rows] = np.asarray(cb)[:len(inv)][acc]
         ho["conf_ok"] = ho["conf_base"] & ho["bc_ok"]
     return int(len(rows))
+
+
+def _fb_tag_lists(pat, src, fo, fb_ref, features, n_genes: int, n: int):
+    """Per-read fr/fq/fb/fx BAM tag payloads for one feature pattern
+    (read.rs:1335-1360): fr/fq = raw extracted barcode seq/qual, fb = the
+    matched whitelist sequence, fx = the feature id.  b'' = omit."""
+    fr = [b""] * n
+    fq = [b""] * n
+    fb = [b""] * n
+    fx = [b""] * n
+    src_codes, src_nmask, _, src_qual = src
+    off = np.asarray(fo["offset"])
+    ext = np.asarray(fo["extracted"])
+    sidx = np.asarray(fo["seq_idx"])
+    feat = np.asarray(fo["feature"])
+    seqs_packed = fb_ref.pattern_groups[pat][0]
+    bl = pat.bc_len
+    for i in np.flatnonzero(ext[:n]):
+        o = int(off[i])
+        fr[i] = encode.decode_codes(src_codes[i][o:o + bl],
+                                    src_nmask[i][o:o + bl])
+        fq[i] = bytes(src_qual[i][o:o + bl])
+        if sidx[i] >= 0:
+            fb[i] = encode.decode_codes(
+                encode.unpack_np(np.uint32(seqs_packed[sidx[i]]), bl))
+            fid = features.feature_defs[n_genes + int(feat[i])].id
+            fx[i] = fid.encode() if isinstance(fid, str) else fid
+    return fr, fq, fb, fx
 
 
 def _tally_sj(sj_counts: dict, ho: dict, n: int, gi) -> None:
@@ -722,14 +761,18 @@ def run_count(cfg: CountConfig, out_dir: str,
                 for pair in lib.fastq_pairs]
         my_work = dist.host_shard(work) if multihost else work
 
+        # feature patterns declared on R1 need the R1-remainder view
+        need_r1_rest = any(pat.read == "R1" for pat in fb_extractors)
+
         def my_batches():
             for li, pair in my_work:
                 r1, r2 = pair[0], pair[1]
                 i1 = pair[2] if len(pair) > 2 else None
-                for batch in batches_from_fastqs(chem, r1, r2, batch_size,
-                                                 cfg.read_len,
-                                                 keep_names=cfg.write_bam,
-                                                 i1_path=i1):
+                is_fb = libraries[li].library_type != "Gene Expression"
+                for batch in batches_from_fastqs(
+                        chem, r1, r2, batch_size, cfg.read_len,
+                        keep_names=cfg.write_bam, i1_path=i1,
+                        keep_r1_rest=need_r1_rest and is_fb):
                     yield li, batch
 
         # ---- pass 1 (== MAKE_SHARD): stream + count valid barcodes ----
@@ -770,7 +813,8 @@ def run_count(cfg: CountConfig, out_dir: str,
         if cfg.write_bam and gi is not None:
             from .bam_out import BamCollector
             bam_collector = BamCollector(gi, ref.transcriptome,
-                                         os.path.join(out_dir, "_bam_spool"))
+                                         os.path.join(out_dir, "_bam_spool"),
+                                         read_group=cfg.sample_id)
         for li, batch in my_batches():
             lib_type = libraries[li].library_type
             if lib_type == "Gene Expression" and probe_set is not None:
@@ -856,7 +900,10 @@ def run_count(cfg: CountConfig, out_dir: str,
                 if bam_collector is not None:
                     bam_collector.add_batch(batch, ho)
             else:
-                # feature-barcode library: cell bc handling + feature extraction
+                # feature-barcode library: cell bc handling + feature
+                # extraction over every declared pattern (R1 patterns read
+                # the R1 remainder, R2 patterns the cDNA read —
+                # feature_extraction.rs:166 supports both)
                 hit, idx = bcops.whitelist_lookup(
                     jnp.asarray(batch.bc_packed), wl_table)
                 corr_bc, corr_idx, corrected = bcops.correct_barcodes(
@@ -869,20 +916,63 @@ def run_count(cfg: CountConfig, out_dir: str,
                 metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
                 metrics.valid_umi_reads += int(
                     jnp.sum(jnp.asarray(batch.umi_valid) & slot))
+                bc_ok_np = np.asarray(bc_ok)
+                fb_rows = None  # per-read best extraction (BAM tags)
                 for pat, extract in fb_extractors.items():
-                    if pat.read != "R2":
-                        continue
-                    fo = extract(jnp.asarray(batch.rna),
-                                 jnp.asarray(batch.rna_nmask),
-                                 jnp.asarray(batch.rna_len))
-                    conf = (np.asarray(fo["found"]) & np.asarray(bc_ok)
-                            & batch.umi_valid)
+                    if pat.read == "R1":
+                        if batch.r1_rest is None:
+                            continue
+                        src = (batch.r1_rest, batch.r1_rest_nmask,
+                               batch.r1_rest_len, batch.r1_rest_qual)
+                    else:
+                        src = (batch.rna, batch.rna_nmask, batch.rna_len,
+                               batch.rna_qual)
+                    fo = extract(jnp.asarray(src[0]), jnp.asarray(src[1]),
+                                 jnp.asarray(src[2]))
+                    found = np.asarray(fo["found"])
+                    conf = found & bc_ok_np & batch.umi_valid
                     metrics.usable_reads += int(conf.sum())
                     metrics.conf_mapped_reads += int(conf.sum())
                     spill.append(np.asarray(bc_idx).astype(np.uint32)[conf],
                                  (np.asarray(fo["feature"])[conf]
                                   + n_genes).astype(np.uint32),
                                  np.asarray(batch.umi_packed)[conf])
+                    if bam_collector is not None:
+                        n = batch.n_reads
+                        fr, fq, fbs, fx = _fb_tag_lists(
+                            pat, src, fo, fb_ref, features, n_genes, n)
+                        ext = np.asarray(fo["extracted"])[:n]
+                        gene_n = (np.asarray(fo["feature"])[:n]
+                                  + n_genes).astype(np.uint32)
+                        found_n = found[:n]
+                        if fb_rows is None:
+                            fb_rows = dict(
+                                fr=fr, fq=fq, fb=fbs, fx=fx,
+                                conf=conf[:n].copy(), found=found_n.copy(),
+                                extracted=ext.copy(), gene=gene_n.copy())
+                        else:
+                            # a pattern that FOUND a whitelist match beats
+                            # one that merely extracted bases; otherwise
+                            # first extraction wins
+                            use = (found_n & ~fb_rows["found"]) \
+                                | (ext & ~fb_rows["extracted"])
+                            for i in np.flatnonzero(use):
+                                fb_rows["fr"][i] = fr[i]
+                                fb_rows["fq"][i] = fq[i]
+                                fb_rows["fb"][i] = fbs[i]
+                                fb_rows["fx"][i] = fx[i]
+                            fb_rows["conf"] = np.where(use, conf[:n],
+                                                       fb_rows["conf"])
+                            fb_rows["gene"] = np.where(use, gene_n,
+                                                       fb_rows["gene"])
+                            fb_rows["found"] |= found_n
+                            fb_rows["extracted"] |= ext
+                if bam_collector is not None and fb_rows is not None:
+                    bam_collector.add_feature_batch(
+                        batch, fb_rows["conf"], bc_ok_np,
+                        np.asarray(bc_idx), np.asarray(corr_bc),
+                        fb_rows["gene"], fb_rows["fr"], fb_rows["fq"],
+                        fb_rows["fb"], fb_rows["fx"])
 
             perf.lap("pass2_correct_align_annotate")
 

@@ -52,7 +52,7 @@ def test_bam_tags(bam_run):
         if "GX" in r["tags"]:
             n_gx += 1
             assert r["tags"]["GX"] in ("GA", "GB")
-            assert r["tags"]["xf"] & 4  # conf mapped
+            assert r["tags"]["xf"] & 1  # XF_CONF_MAPPED (bam_tags.rs:45)
             assert r["tags"]["UB"] == r["tags"]["UR"]  # no umi errors injected
         if any(op == "N" for _, op in r["cigar"]):
             n_spliced += 1
