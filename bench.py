@@ -1,15 +1,31 @@
-"""Benchmark: reads aligned+counted per second per chip on the device
-pipeline (barcode correction + seed/extend alignment + annotation).
+"""Benchmark: reads aligned+counted per second per chip.
+
+Three configs, one JSON line:
+  * primary  — the fused device step (barcode correction + trimming +
+    seed/extend alignment + annotation) on a 20MB genome / 100k whitelist
+    (r01-comparable number);
+  * human_scale — the same step against a 280MB repeat-seeded genome
+    (forces the minimizer-winnowed index + parity position packing, the
+    human-genome path of align/index.py) and a 3M-entry whitelist —
+    multimapper pressure and full-scale HBM tables;
+  * e2e      — wall-clock FASTQ -> filtered matrix via the public
+    run_count on a synthetic on-disk run (decode, two passes, dedup,
+    outputs — everything the step metric excludes).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "detail": {..., "human_scale": {...}, "e2e": {...}}}
 
 Baseline: 8-core CPU STAR throughput for ~91bp scRNA-seq reads is on the
 order of 1.25M reads/min/core => ~167k reads/s on 8 cores (BASELINE.md
 targets >=5x that per chip, i.e. ~833k reads/s).
+
+The human-scale genome index builds once (~4 min host) and is cached
+under .bench_cache/ for later rounds.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -23,16 +39,182 @@ N_WL = 100_000
 WARMUP_ITERS = 2
 TIMED_ITERS = 10
 
+HUMAN_GENOME_LEN = 280_000_000   # > AUTO_MINIMIZER_LEN: minimizer + parity
+HUMAN_REPEAT_LEN = 5_000_000     # repeated segment (multimapper pressure)
+HUMAN_REPEAT_COPIES = 4
+HUMAN_N_WL = 3_000_000           # 3M-february-2018-scale whitelist
+HUMAN_TIMED_ITERS = 5
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+
+def _build_step(genome: bytes, txome, wl_seqs: np.ndarray, chem):
+    import jax.numpy as jnp
+    from cellranger_tpu.align.aligner import DeviceIndex
+    from cellranger_tpu.align.annotate import AnnotationIndex
+    from cellranger_tpu.align.index import GenomeIndex
+    from cellranger_tpu.ops.bucket_table import BucketTable
+    from cellranger_tpu.pipeline.count import _make_step
+
+    t0 = time.time()
+    gi = GenomeIndex.build({"chr1": genome}, txome)
+    t_index = time.time() - t0
+    didx = DeviceIndex.from_host(gi)
+    ann = AnnotationIndex.build(txome, gi)
+    step = _make_step(didx, ann, len(wl_seqs), chem, READ_LEN)
+    wl_table = BucketTable.build_exact(
+        wl_seqs, np.arange(len(wl_seqs), dtype=np.uint32),
+        entries=8, fields=3).with_counts(np.ones(len(wl_seqs), np.int64))
+    return step, wl_table, t_index
+
+
+def _make_batch(rng, genome_codes: np.ndarray, wl_seqs: np.ndarray,
+                batch: int):
+    import jax.numpy as jnp
+    G = len(genome_codes)
+    pos = rng.integers(0, G - READ_LEN - 1, batch)
+    rna = genome_codes[pos[:, None] + np.arange(READ_LEN)[None, :]].copy()
+    err_pos = rng.integers(0, READ_LEN, (batch, 2))
+    for j in range(2):
+        rna[np.arange(batch), err_pos[:, j]] ^= 1
+    # 97% exact whitelist hits, 3% one sequencing error (real v3 runs)
+    bc_idx = rng.integers(0, len(wl_seqs), batch)
+    bcs = wl_seqs[bc_idx].copy()
+    n_err = (batch * 3) // 100
+    flip = (rng.integers(1, 4, n_err).astype(np.uint32)
+            << (2 * rng.integers(0, 16, n_err)).astype(np.uint32))
+    bcs[:n_err] ^= flip
+    return (
+        jnp.asarray(bcs),
+        jnp.full((batch, 16), 70, jnp.uint8),
+        jnp.ones(batch, bool),
+        jnp.asarray(rng.integers(0, 1 << 24, batch).astype(np.uint32)),
+        jnp.ones(batch, bool),
+        jnp.asarray(rna),
+        jnp.ones((batch, READ_LEN), bool),
+        jnp.ones(batch, bool),
+    )
+
+
+def _time_step(step, args, iters: int):
+    import jax
+    t0 = time.time()
+    out = step(*args)
+    jax.block_until_ready(out)
+    t_compile = time.time() - t0
+    for _ in range(WARMUP_ITERS):
+        np.asarray(step(*args)["metrics"]["n_mapped"])
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(*args)
+    # force a device->host readback: block_until_ready alone can return
+    # before remote execution finishes on tunneled backends
+    m = {k: int(v) for k, v in out["metrics"].items()}
+    dt = (time.time() - t0) / iters
+    return dt, t_compile, m
+
+
+def bench_primary(chem, txome_of):
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome_codes = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
+    genome = bases[genome_codes].tobytes()
+    txome = txome_of(GENOME_LEN, 2000)
+    wl = np.sort(np.unique(
+        rng.integers(0, 2**32, N_WL, dtype=np.uint64).astype(np.uint32)))
+    step, wl_table, t_index = _build_step(genome, txome, wl, chem)
+    args = _make_batch(rng, genome_codes, wl, BATCH) + (wl_table,)
+    print("bench[primary]: compiled+timing...", file=sys.stderr)
+    dt, t_compile, m = _time_step(step, args, TIMED_ITERS)
+    return dict(reads_per_sec=BATCH / dt, step_ms=dt * 1e3,
+                compile_s=t_compile, host_index_build_s=t_index,
+                mapped_frac=m["n_mapped"] / BATCH,
+                conf_frac=m["n_conf"] / BATCH)
+
+
+def bench_human_scale(chem, txome_of):
+    """Minimizer+parity index path: 280MB genome w/ repeats, 3M whitelist."""
+    import jax.numpy as jnp
+    from cellranger_tpu.align.aligner import DeviceIndex
+    from cellranger_tpu.align.annotate import AnnotationIndex
+    from cellranger_tpu.align.index import GenomeIndex
+    from cellranger_tpu.ops.bucket_table import BucketTable
+    from cellranger_tpu.pipeline.count import _make_step
+
+    rng = np.random.default_rng(1)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seg = rng.integers(0, 4, HUMAN_REPEAT_LEN).astype(np.uint8)
+    rest_len = HUMAN_GENOME_LEN - HUMAN_REPEAT_COPIES * HUMAN_REPEAT_LEN
+    genome_codes = np.concatenate(
+        [np.tile(seg, HUMAN_REPEAT_COPIES),
+         rng.integers(0, 4, rest_len).astype(np.uint8)])
+    txome = txome_of(HUMAN_GENOME_LEN, 2000)
+
+    os.makedirs(CACHE, exist_ok=True)
+    idx_path = os.path.join(CACHE, "human_idx.npz")
+    t0 = time.time()
+    if os.path.exists(idx_path):
+        gi = GenomeIndex.load(idx_path)
+        built = "cache"
+    else:
+        genome = bases[genome_codes].tobytes()
+        gi = GenomeIndex.build({"chr1": genome}, txome)
+        gi.save(idx_path)
+        built = "fresh"
+    t_index = time.time() - t0
+
+    didx = DeviceIndex.from_host(gi)
+    ann = AnnotationIndex.build(txome, gi)
+    step = _make_step(didx, ann, HUMAN_N_WL, chem, READ_LEN)
+    wl = np.sort(np.unique(rng.integers(
+        0, 2**32, HUMAN_N_WL + 200_000, dtype=np.uint64)
+        .astype(np.uint32)))[:HUMAN_N_WL]
+    wl_table = BucketTable.build_exact(
+        wl, np.arange(len(wl), dtype=np.uint32),
+        entries=8, fields=3).with_counts(np.ones(len(wl), np.int64))
+    # reads: 25% from the repeated segment (multimapper pressure)
+    rng2 = np.random.default_rng(2)
+    args = _make_batch(rng2, genome_codes, wl, BATCH) + (wl_table,)
+    print(f"bench[human]: index {built} ({t_index:.0f}s), compiling...",
+          file=sys.stderr)
+    dt, t_compile, m = _time_step(step, args, HUMAN_TIMED_ITERS)
+    return dict(reads_per_sec=round(BATCH / dt, 1),
+                step_ms=round(dt * 1e3, 2), compile_s=round(t_compile, 1),
+                index_s=round(t_index, 1), index=built,
+                genome_mb=HUMAN_GENOME_LEN / 1e6, whitelist=HUMAN_N_WL,
+                mapped_frac=round(m["n_mapped"] / BATCH, 4),
+                conf_frac=round(m["n_conf"] / BATCH, 4))
+
+
+def bench_e2e():
+    """Wall-clock FASTQ -> filtered matrix via the public run_count."""
+    import tempfile
+    from cellranger_tpu.testing.fixtures import build_synthetic_run
+    from cellranger_tpu.pipeline.count import CountConfig, run_count
+
+    tmp = tempfile.mkdtemp(prefix="cr_tpu_bench_e2e_")
+    fx = build_synthetic_run(tmp, seed=11, genome_len=2_000_000,
+                             n_wl=20_000, n_cells=300, mols_per_cell=100,
+                             dup_reads=2)
+    cfg = CountConfig(
+        fastq_pairs=[(fx["fq1"], fx["fq2"])], reference_path=fx["ref"],
+        whitelist_path=fx["wl"], chemistry="SC3Pv3", read_len=READ_LEN,
+        batch_size=16384, secondary_analysis=False, checkpoint=False)
+    print(f"bench[e2e]: {fx['n_reads']} reads, running run_count...",
+          file=sys.stderr)
+    t0 = time.time()
+    summary = run_count(cfg, os.path.join(tmp, "out"))
+    wall = time.time() - t0
+    return dict(reads=fx["n_reads"], wall_s=round(wall, 2),
+                reads_per_sec=round(fx["n_reads"] / wall, 1),
+                conf_mapped_frac=round(summary["conf_mapped_frac"], 4),
+                total_molecules=summary["total_molecules"])
+
 
 def main():
-    import os
-
     import jax
-    import jax.numpy as jnp
 
-    # persistent compilation cache: the fused step compiles in minutes on
-    # remote-compile backends; cache hits make reruns (and the driver's
-    # round-end bench) start in seconds
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     try:
@@ -41,102 +223,50 @@ def main():
     except Exception:
         pass
 
-    from cellranger_tpu.align.aligner import DeviceIndex, make_aligner
-    from cellranger_tpu.align.annotate import AnnotationIndex
-    from cellranger_tpu.align.index import GenomeIndex
     from cellranger_tpu.io.chemistry import get_chemistry
     from cellranger_tpu.io.gtf import Gene, Transcript, Transcriptome
-    from cellranger_tpu.io.whitelist import Whitelist
-    from cellranger_tpu.ops import encode
-    from cellranger_tpu.pipeline.count import _make_step
 
-    rng = np.random.default_rng(0)
-    bases = np.frombuffer(b"ACGT", np.uint8)
-    genome_codes = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
-    genome = bases[genome_codes].tobytes()
+    def txome_of(genome_len: int, n_genes: int) -> Transcriptome:
+        genes, txs = [], []
+        spacing = genome_len // n_genes
+        for g in range(n_genes):
+            start = g * spacing + 1000
+            strand = "+" if g % 2 == 0 else "-"
+            genes.append(Gene(f"G{g}", f"G{g}", "chr1", strand, g))
+            txs.append(Transcript(f"T{g}", g, "chr1", strand,
+                                  [(start, start + 600),
+                                   (start + 1200, start + 2400)]))
+        return Transcriptome(genes, txs)
 
-    # synthetic transcriptome: 2000 genes tiling the genome
-    genes, txs = [], []
-    spacing = GENOME_LEN // 2000
-    for g in range(2000):
-        start = g * spacing + 1000
-        genes.append(Gene(f"G{g}", f"G{g}", "chr1", "+" if g % 2 == 0 else "-", g))
-        txs.append(Transcript(f"T{g}", g, "chr1", "+" if g % 2 == 0 else "-",
-                              [(start, start + 600), (start + 1200, start + 2400)]))
-    txome = Transcriptome(genes, txs)
-
-    t0 = time.time()
-    gi = GenomeIndex.build({"chr1": genome}, txome)
-    t_index = time.time() - t0
-    didx = DeviceIndex.from_host(gi)
-    ann = AnnotationIndex.build(txome, gi)
     chem = get_chemistry("SC3Pv3")
+    primary = bench_primary(chem, txome_of)
 
-    wl_arr = np.unique(rng.integers(0, 2**32, N_WL, dtype=np.uint64).astype(np.uint32))
-    wl = Whitelist(np.sort(wl_arr), 16, "bench")
-    step = _make_step(didx, ann, wl.size, chem, READ_LEN)
-    from cellranger_tpu.ops.bucket_table import BucketTable
-    wl_sorted = BucketTable.build_exact(
-        wl.sorted_seqs, np.arange(wl.size, dtype=np.uint32),
-        entries=8, fields=3).with_counts(np.ones(wl.size, np.int64))
+    extra = {}
+    if os.environ.get("CRTPU_BENCH_FAST") != "1":
+        try:
+            extra["human_scale"] = bench_human_scale(chem, txome_of)
+        except Exception as e:  # record, don't lose the primary number
+            extra["human_scale"] = {"error": str(e)[:300]}
+        try:
+            extra["e2e"] = bench_e2e()
+        except Exception as e:
+            extra["e2e"] = {"error": str(e)[:300]}
 
-    # synthetic batch: reads drawn from the genome with 2 errors each
-    pos = rng.integers(0, GENOME_LEN - READ_LEN - 1, BATCH)
-    idx2 = pos[:, None] + np.arange(READ_LEN)[None, :]
-    rna = genome_codes[idx2]
-    err_pos = rng.integers(0, READ_LEN, (BATCH, 2))
-    for j in range(2):
-        rna[np.arange(BATCH), err_pos[:, j]] ^= 1
-    # barcodes: 97% exact whitelist hits, 3% carry one sequencing error —
-    # real 10x v3 runs report ~97% valid barcodes; the adaptive step
-    # buckets the correction capacity to the actual invalid count
-    bc_idx = rng.integers(0, wl.size, BATCH)
-    bcs = wl.sorted_seqs[bc_idx].copy()
-    n_err = (BATCH * 3) // 100
-    flip = (rng.integers(1, 4, n_err).astype(np.uint32)
-            << (2 * rng.integers(0, 16, n_err)).astype(np.uint32))
-    bcs[:n_err] ^= flip
-    args = (
-        jnp.asarray(bcs),
-        jnp.full((BATCH, 16), 70, jnp.uint8),
-        jnp.ones(BATCH, bool),
-        jnp.asarray(rng.integers(0, 1 << 24, BATCH).astype(np.uint32)),
-        jnp.ones(BATCH, bool),
-        jnp.asarray(rna),
-        jnp.ones((BATCH, READ_LEN), bool),
-        jnp.ones(BATCH, bool),
-        wl_sorted,
-    )
-
-    print(f"bench: index built ({t_index:.0f}s), compiling...", file=sys.stderr)
-    t0 = time.time()
-    out = step(*args)
-    jax.block_until_ready(out)
-    t_compile = time.time() - t0
-    print(f"bench: compiled in {t_compile:.0f}s, timing...", file=sys.stderr)
-
-    for _ in range(WARMUP_ITERS):
-        np.asarray(step(*args)["metrics"]["n_mapped"])
-    t0 = time.time()
-    for _ in range(TIMED_ITERS):
-        out = step(*args)
-    # force a device->host readback: block_until_ready alone can return
-    # before remote execution finishes on tunneled backends
-    mapped = int(np.asarray(out["metrics"]["n_mapped"]))
-    dt = (time.time() - t0) / TIMED_ITERS
-
-    reads_per_sec = BATCH / dt
     result = {
         "metric": "reads_aligned_counted_per_sec_per_chip",
-        "value": round(reads_per_sec, 1),
+        "value": round(primary["reads_per_sec"], 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),
+        "vs_baseline": round(primary["reads_per_sec"]
+                             / BASELINE_READS_PER_SEC, 3),
         "detail": {
             "batch": BATCH, "read_len": READ_LEN,
-            "genome_mb": GENOME_LEN / 1e6, "mapped_frac": mapped / BATCH,
-            "step_ms": round(dt * 1e3, 2), "compile_s": round(t_compile, 1),
-            "host_index_build_s": round(t_index, 1),
+            "genome_mb": GENOME_LEN / 1e6,
+            "mapped_frac": round(primary["mapped_frac"], 4),
+            "step_ms": round(primary["step_ms"], 2),
+            "compile_s": round(primary["compile_s"], 1),
+            "host_index_build_s": round(primary["host_index_build_s"], 1),
             "device": str(jax.devices()[0]),
+            **extra,
         },
     }
     print(json.dumps(result))

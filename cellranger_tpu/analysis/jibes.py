@@ -21,7 +21,7 @@ from itertools import combinations_with_replacement
 import numpy as np
 
 DEFAULT_BLANK_PROB = 0.04  # jibes_py.py:21
-MAX_K_LET = 2              # pairs; reference considers up to 3-lets
+MAX_K_LET = 3              # jibes_py.py:22 _MAX_K_LETS_TO_CONSIDER = 3
 
 
 def _latent_states(num_tags: int, max_k: int = MAX_K_LET):

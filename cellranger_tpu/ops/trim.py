@@ -48,14 +48,14 @@ def make_trimmer(read_len: int, polya_min: int | None = DEFAULT_TRIM_MIN_SCORE,
     """
     L = read_len
     K = len(TSO_2BIT)
-    tso = jnp.asarray(TSO_2BIT)
     # offsets of the adapter's first base relative to the read: -K+1 .. L-1
     D = L + K - 1
     d_of = jnp.arange(D, dtype=jnp.int32) - (K - 1)
-    j_of = jnp.arange(K, dtype=jnp.int32)
-    pos_dj = d_of[:, None] + j_of[None, :]            # [D, K] read positions
-    in_read = (pos_dj >= 0) & (pos_dj < L)
-    pos_c = jnp.clip(pos_dj, 0, L - 1)
+    # in-read overlap length per offset (static)
+    n_olap_np = np.asarray(
+        [sum(1 for j in range(K) if 0 <= d + j < L)
+         for d in (np.arange(D) - (K - 1))], np.int32)
+    n_olap = jnp.asarray(n_olap_np)
 
     def trim(rna, nmask):
         B = rna.shape[0]
@@ -70,12 +70,16 @@ def make_trimmer(read_len: int, polya_min: int | None = DEFAULT_TRIM_MIN_SCORE,
             else jnp.zeros((B,), bool)
         retain_end = jnp.where(pa_hit, pa_start, L)
 
-        # ---- TSO sliding score ----
-        w = rna[:, pos_c.reshape(-1)].reshape(B, D, K).astype(jnp.int32)
-        wv = nmask[:, pos_c.reshape(-1)].reshape(B, D, K)
-        match = (w == tso[None, None, :]) & wv & in_read[None, :, :]
-        n_olap = (in_read[None, :, :]).sum(-1)
-        score_d = 2 * match.sum(-1) - n_olap          # [B, D]
+        # ---- TSO sliding score: K shifted adds, no gathers ----
+        # score[d] = 2 * #matches(read[d+j] == tso[j]) - overlap(d);
+        # adapter base j contributes its per-position match vector shifted
+        # so read position p lands at offset index p - j + K - 1.  XLA
+        # fuses the K pad+add steps; cost is O(K*L) VPU adds per read.
+        acc = jnp.zeros((B, D), jnp.int32)
+        for j in range(K):
+            m_j = ((rna == TSO_2BIT[j]) & nmask).astype(jnp.int32)  # [B, L]
+            acc = acc.at[:, K - 1 - j:K - 1 - j + L].add(m_j)
+        score_d = 2 * acc - n_olap[None, :]           # [B, D]
         ts_best = jnp.max(score_d, axis=1)
         d_best = d_of[jnp.argmax(score_d, axis=1)]
         ts_hit = (ts_best >= tso_min) if tso_min is not None \

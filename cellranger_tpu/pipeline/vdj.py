@@ -26,7 +26,10 @@ from ..ops import barcode as bcops
 from ..ops import encode
 from ..ops.lookup import SortedTable
 from ..vdj.annotate import annotate_contig, group_clonotypes
-from ..vdj.assembly import assemble_barcode, count_bc_kmers, umi_support
+from ..vdj.assembly import (BarcodeGraph, all_inner_primers,
+                            assemble_barcode, contig_base_quals,
+                            count_bc_umi_kmers, trim_primer_read,
+                            umi_support, _revcomp_b)
 from ..vdj.reference import VdjReference
 
 MIN_UMIS_PER_CONTIG = 2
@@ -63,10 +66,14 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
                 idx, jnp.asarray(b.slot_valid), wl.size)
             cached.append(b)
 
-    # pass 2: correct, collect per-read (bc_idx, umi, seq)
-    all_bc, all_rna, all_nmask = [], [], []
+    # pass 2: correct, trim enrichment primers, collect per-read
+    # (bc_idx, umi, seq, qual).  Primer trimming (process.rs:730-758):
+    # bases 5' of a reverse-complemented inner-primer hit are
+    # primer-derived — masked out of both kmer counting and the pileup.
+    primers_rc = [_revcomp_b(p) for p in all_inner_primers()]
+    all_bc, all_umi, all_rna, all_nmask = [], [], [], []
     reads_by_bc: dict[int, list] = {}
-    total_reads = valid_bc_reads = 0
+    total_reads = valid_bc_reads = trimmed_reads = 0
     wl_table = wl_table.with_counts(np.asarray(wl_counts))
     for b in cached:
         hit, idx = bcops.whitelist_lookup(jnp.asarray(b.bc_packed), wl_table)
@@ -78,20 +85,31 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
         total_reads += b.n_reads
         valid_bc_reads += int(bc_ok.sum())
         sel = bc_ok & b.umi_valid
-        all_bc.append(bc_idx[sel].astype(np.uint32))
-        all_rna.append(b.rna[sel])
-        all_nmask.append(b.rna_nmask[sel])
+        nmask_b = b.rna_nmask.copy()
         for i in np.flatnonzero(sel):
             seq = encode.decode_codes(b.rna[i][:b.rna_len[i]],
                                       b.rna_nmask[i][:b.rna_len[i]]).decode()
+            t = trim_primer_read(seq, primers_rc)
+            if t:
+                nmask_b[i, :t] = False
+                seq = seq[t:]
+                trimmed_reads += 1
+                qual = bytes(b.rna_qual[i][t:b.rna_len[i]])
+            else:
+                qual = bytes(b.rna_qual[i][:b.rna_len[i]])
             reads_by_bc.setdefault(int(bc_idx[i]), []).append(
-                (int(b.umi_packed[i]), seq))
+                (int(b.umi_packed[i]), seq, qual))
+        all_bc.append(bc_idx[sel].astype(np.uint32))
+        all_umi.append(b.umi_packed[sel].astype(np.uint32))
+        all_rna.append(b.rna[sel])
+        all_nmask.append(nmask_b[sel])
 
     if all_bc and len(np.concatenate(all_bc)):
         bcs = np.concatenate(all_bc)
+        umis_arr = np.concatenate(all_umi)
         rna = np.concatenate(all_rna)
         nmask = np.concatenate(all_nmask)
-        kb, kk, kc = count_bc_kmers(bcs, rna, nmask)
+        kb, ku, kk, kc = count_bc_umi_kmers(bcs, umis_arr, rna, nmask)
     else:
         kb = np.zeros(0, np.uint32)
 
@@ -102,11 +120,13 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
     i = 0
     while i < len(kb):
         j = i
-        spectrum = {}
         while j < len(kb) and kb[j] == kb[i]:
-            spectrum[int(kk[j])] = int(kc[j])
             j += 1
         bc = int(kb[i])
+        # UMI-aware graph + the cleaning suite (ref_free.rs:422-810
+        # analogs), then greedy strong-path unitigs over what survives
+        graph = BarcodeGraph.from_triples(kk[i:j], ku[i:j], kc[i:j]).clean()
+        spectrum = graph.spectrum()
         i = j
         contigs = assemble_barcode(spectrum)
         if not contigs:
@@ -140,7 +160,8 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
                 cdr3=ann.cdr3_aa or "None", cdr3_nt=ann.cdr3_nt or "None",
                 full_length=ann.full_length, productive=ann.productive,
                 is_cell=bc_str in cells,
-                sequence=contig.seq, _ann=ann, _contig=contig))
+                sequence=contig.seq, _ann=ann, _contig=contig,
+                _quals=contig_base_quals(contig.seq, reads)))
 
     clonotypes = group_clonotypes(cells)
     clonotype_of_bc = {}
@@ -161,13 +182,14 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
                 f.write(",".join(str(r[c]) for c in cols) + "\n")
 
     def write_fastq(path, rows):
-        # per-base qualities are not tracked by the device assembler yet;
-        # emit the contig at a constant Q37 (reference derives them from
-        # read pileups, vdj_asm_utils/src/sw.rs:59)
+        # per-base qualities from the Bayesian read pileup
+        # (vdj_asm_utils/src/sw.rs:59 pos_base_quals analog)
         with open(path, "w") as f:
             for r in rows:
-                f.write(f"@{r['contig_id']}\n{r['sequence']}\n+\n"
-                        f"{'F' * len(r['sequence'])}\n")
+                q = r.get("_quals")
+                qs = ("".join(chr(min(int(x), 60) + 33) for x in q)
+                      if q is not None else "F" * len(r["sequence"]))
+                f.write(f"@{r['contig_id']}\n{r['sequence']}\n+\n{qs}\n")
 
     filt_rows = [r for r in contig_rows if r["is_cell"]]
     write_contig_csv(os.path.join(out_dir, "all_contig_annotations.csv"),

@@ -153,7 +153,7 @@ def assemble_barcode(kmers: dict[int, int]) -> list[Contig]:
     return contigs
 
 
-def umi_support(contig: Contig, reads: list[tuple[int, str]],
+def umi_support(contig: Contig, reads: list,
                 min_frac: float = 0.5) -> None:
     """Count reads/UMIs whose kmers mostly land on the contig
     (the UMI-support filter of strong paths)."""
@@ -166,7 +166,7 @@ def umi_support(contig: Contig, reads: list[tuple[int, str]],
         ckmers.add(km)
     umis = set()
     n_reads = 0
-    for umi, read in reads:
+    for umi, read, *_ in reads:
         tot = hits = 0
         km = 0
         valid = 0
@@ -185,3 +185,363 @@ def umi_support(contig: Contig, reads: list[tuple[int, str]],
             n_reads += 1
     contig.n_umis = len(umis)
     contig.n_reads = n_reads
+
+
+# ---------------------------------------------------------------------------
+# Inner enrichment primers (vdj_asm_utils/src/primers.rs:29-74 — constant
+# oligo sequences, shared facts) + primer trimming (process.rs:730-758):
+# a read containing the reverse complement of an inner primer is cut so
+# only the primer match and everything 3' of it (in read orientation)
+# survives — the 5' side is primer-derived enrichment sequence.
+# ---------------------------------------------------------------------------
+INNER_PRIMERS = {
+    ("human", "tcr"): [b"AGTCTCTCAGCTGGTACACG", b"TCTGATGGCTCAAACACAGC"],
+    ("human", "bcr"): [b"GGGAAGTTTCTGGCGGTCA", b"GGTGGTACCCAGTTATCAAGCAT",
+                       b"GTGTCCCAGGTCACCATCAC", b"TCCTGAGGACTGTAGGACAGC",
+                       b"CACGCTGCTCGTATCCGA", b"TAGCTGCTGGCCGC",
+                       b"GCGTTATCCACCTTCCACTGT"],
+    ("mouse", "tcr"): [b"AGTCAAAGTCGGTGAACAGGCA", b"GGCCAAGCACACGAGGGTA"],
+    ("mouse", "bcr"): [b"TACACACCAGTGTGGCCTT", b"CAGGCCACTGTCACACCACT",
+                       b"CAGGTCACATTCATCGTGCCG", b"GAGGCCAGCACAGTGACCT",
+                       b"GCAGGGAAGTTCACAGTGCT", b"CTGTTTGAGATCAGTTTGCCATCCT",
+                       b"TGCGAGGTGGCTAGGTACTTG", b"CCCTTGACCAGGCATCC",
+                       b"AGGTCACGGAGGAACCAGTTG", b"GGCATCCCAGTGTCACCGA",
+                       b"AGAAGATCCACTTCACCTTGAAC", b"GAAGCACACGACTGAGGCAC"],
+}
+
+_RC = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def _revcomp_b(s: bytes) -> bytes:
+    return s.translate(_RC)[::-1]
+
+
+def all_inner_primers() -> list[bytes]:
+    out = []
+    for v in INNER_PRIMERS.values():
+        out.extend(v)
+    return out
+
+
+def trim_primer_read(seq: str, primers_rc: list[bytes]) -> int:
+    """Return the trim START for a read: the first position of the
+    LEFTMOST reverse-complemented inner-primer hit (0 = no trim)."""
+    sb = seq.encode() if isinstance(seq, str) else seq
+    best = 0
+    for p in primers_rc:
+        q = sb.find(p)
+        if q > 0 and (best == 0 or q < best):
+            best = q
+    return best
+
+
+# ---------------------------------------------------------------------------
+# UMI-aware de Bruijn graph with the reference's cleaning suite
+# (ref_free.rs:422-810) re-expressed over a kmer spectrum: an "edge" is a
+# kmer; a branch point is a (K-1)-mer with multiple extensions; support is
+# per-(kmer, umi) read counts.
+# ---------------------------------------------------------------------------
+BRANCH_MIN_RATIO = 10   # branch_clean / comp_clean / power_clean
+SOLO_MIN_RATIO = 5      # solo_clean
+SOLO_MIN_READS = 10
+
+
+class BarcodeGraph:
+    """Per-barcode kmer graph: kmer -> {umi: read count}."""
+
+    def __init__(self, support: dict[int, dict[int, int]]):
+        self.support = {km: dict(us) for km, us in support.items()}
+
+    @staticmethod
+    def from_triples(kmers: np.ndarray, umis: np.ndarray,
+                     counts: np.ndarray) -> "BarcodeGraph":
+        sup: dict[int, dict[int, int]] = {}
+        for km, u, c in zip(kmers.tolist(), umis.tolist(), counts.tolist()):
+            sup.setdefault(km, {})[u] = sup.get(km, {}).get(u, 0) + c
+        return BarcodeGraph(sup)
+
+    def reads_of(self, km: int) -> int:
+        return sum(self.support.get(km, {}).values())
+
+    def umis_of(self, km: int) -> int:
+        return len(self.support.get(km, {}))
+
+    def _branches(self):
+        """Yield (prefix, [kmers]) groups of >=2 kmers sharing a (K-1)-mer
+        prefix (out-branch points)."""
+        by_prefix: dict[int, list[int]] = {}
+        for km in self.support:
+            by_prefix.setdefault(km >> 2, []).append(km)
+        for pre, kms in by_prefix.items():
+            if len(kms) >= 2:
+                yield pre, kms
+
+    def branch_clean(self):
+        """For each branch and each UMI: if one branch has >=10x the
+        UMI's reads of another, delete that UMI's support on the weak
+        branch (ref_free.rs:536-540)."""
+        for _, kms in self._branches():
+            umis = set()
+            for km in kms:
+                umis.update(self.support[km])
+            for u in umis:
+                counts = [(self.support[km].get(u, 0), km) for km in kms]
+                best = max(c for c, _ in counts)
+                for c, km in counts:
+                    if c and c * BRANCH_MIN_RATIO <= best:
+                        del self.support[km][u]
+        self._drop_empty()
+
+    def power_clean(self):
+        """If a branch has >=10x the UMIs AND >=10x the reads of a
+        sibling, delete the weak sibling entirely (ref_free.rs:725-729)."""
+        dead = []
+        for _, kms in self._branches():
+            for km1 in kms:
+                for km2 in kms:
+                    if km1 == km2 or km2 in dead:
+                        continue
+                    if (self.umis_of(km1) >= BRANCH_MIN_RATIO
+                            * max(self.umis_of(km2), 1)
+                            and self.umis_of(km2) > 0
+                            and self.reads_of(km1) >= BRANCH_MIN_RATIO
+                            * max(self.reads_of(km2), 1)):
+                        dead.append(km2)
+        for km in dead:
+            self.support.pop(km, None)
+
+    def solo_clean(self):
+        """At well-supported branch points, delete branches carried by a
+        single UMI with few reads when a sibling is >=5x stronger
+        (ref_free.rs:786-800 spirit)."""
+        dead = []
+        for _, kms in self._branches():
+            strongest = max(self.reads_of(km) for km in kms)
+            if strongest < SOLO_MIN_READS:
+                continue
+            for km in kms:
+                r = self.reads_of(km)
+                if (self.umis_of(km) == 1 and r * SOLO_MIN_RATIO <= strongest
+                        and km not in dead):
+                    dead.append(km)
+        for km in dead:
+            self.support.pop(km, None)
+
+    def comp_clean(self):
+        """Per UMI: if one connected component holds >=10x the UMI's
+        reads of another, delete the UMI's support in the weak component
+        (ref_free.rs:640-647)."""
+        comp = self._components()
+        by_umi: dict[int, dict[int, int]] = {}
+        for km, us in self.support.items():
+            c = comp[km]
+            for u, n in us.items():
+                by_umi.setdefault(u, {})
+                by_umi[u][c] = by_umi[u].get(c, 0) + n
+        for u, per_comp in by_umi.items():
+            best = max(per_comp.values())
+            weak = {c for c, n in per_comp.items()
+                    if n * BRANCH_MIN_RATIO <= best}
+            if not weak:
+                continue
+            for km, us in self.support.items():
+                if comp[km] in weak:
+                    us.pop(u, None)
+        self._drop_empty()
+
+    def _components(self) -> dict[int, int]:
+        """kmer -> component id via (K-1)-mer overlap union-find."""
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        for km in self.support:
+            parent[km] = km
+        by_prefix: dict[int, int] = {}
+        by_suffix: dict[int, int] = {}
+        mask_km1 = (1 << (2 * (K - 1))) - 1
+        for km in self.support:
+            pre = km >> 2          # leading (K-1)-mer
+            suf = km & mask_km1    # trailing (K-1)-mer
+            if pre in by_suffix:
+                union(km, by_suffix[pre])
+            if suf in by_prefix:
+                union(km, by_prefix[suf])
+            by_prefix[pre] = km
+            by_suffix[suf] = km
+        # second pass: link all kmers sharing overlap nodes
+        for km in self.support:
+            pre, suf = km >> 2, km & mask_km1
+            union(km, by_prefix.get(pre, km) if pre in by_prefix else km)
+            if suf in by_suffix:
+                union(km, by_suffix[suf])
+        return {km: find(km) for km in self.support}
+
+    def clean(self):
+        """The reference's pass order: per-UMI incompatibility-style
+        branch cleaning, component cleaning, then structural branch
+        removal (process.rs invokes the suite in sequence)."""
+        self.branch_clean()
+        self.comp_clean()
+        self.power_clean()
+        self.solo_clean()
+        return self
+
+    def _drop_empty(self):
+        for km in [km for km, us in self.support.items() if not us]:
+            del self.support[km]
+
+    def spectrum(self) -> dict[int, int]:
+        """Collapse to kmer -> total reads (assemble_barcode input)."""
+        return {km: sum(us.values()) for km, us in self.support.items()}
+
+
+def count_bc_umi_kmers(bc: np.ndarray, umi: np.ndarray, rna: np.ndarray,
+                       nmask: np.ndarray, chunk: int = 1 << 20):
+    """Device: distinct (barcode, umi, kmer) read counts over all reads —
+    the same sort+segment machinery as count_bc_kmers with the UMI key."""
+    from ..align.aligner import _rolling_kmers, _window_valid
+
+    N, L = rna.shape
+    nk = L - K + 1
+
+    @jax.jit
+    def kmers_of(rna, nmask):
+        return _rolling_kmers(rna, K), _window_valid(nmask, K)
+
+    km, kv = kmers_of(jnp.asarray(rna), jnp.asarray(nmask))
+    km = np.asarray(km).reshape(-1)
+    ok = np.asarray(kv).reshape(-1)
+    bcs = np.repeat(bc, nk)[ok]
+    ums = np.repeat(umi, nk)[ok]
+    kms = km[ok]
+
+    @jax.jit
+    def count(b, u, k):
+        bs, us, ks = jax.lax.sort((b, u, k), num_keys=3)
+        new = jnp.concatenate([jnp.ones(1, bool),
+                               (bs[1:] != bs[:-1]) | (us[1:] != us[:-1])
+                               | (ks[1:] != ks[:-1])])
+        sid = jnp.cumsum(new.astype(jnp.int32)) - 1
+        cnt = jax.ops.segment_sum(jnp.ones_like(sid), sid,
+                                  num_segments=b.shape[0])
+        return bs, us, ks, jnp.where(new, cnt[sid], 0), new
+
+    out = [[], [], [], []]
+    for s in range(0, len(bcs), chunk):
+        bs, us, ks, cnt, new = count(jnp.asarray(bcs[s:s + chunk]),
+                                     jnp.asarray(ums[s:s + chunk]),
+                                     jnp.asarray(kms[s:s + chunk]))
+        m = np.asarray(new)
+        out[0].append(np.asarray(bs)[m])
+        out[1].append(np.asarray(us)[m])
+        out[2].append(np.asarray(ks)[m])
+        out[3].append(np.asarray(cnt)[m])
+    if not out[0]:
+        return tuple(np.zeros(0, np.uint32) for _ in range(4))
+    b = np.concatenate(out[0]); u = np.concatenate(out[1])
+    k = np.concatenate(out[2]); c = np.concatenate(out[3])
+    order = np.lexsort((k, u, b))
+    b, u, k, c = b[order], u[order], k[order], c[order]
+    same = np.concatenate([[False], (b[1:] == b[:-1]) & (u[1:] == u[:-1])
+                           & (k[1:] == k[:-1])])
+    group = np.cumsum(~same) - 1
+    cm = np.bincount(group, weights=c).astype(np.int32)
+    first = ~same
+    return b[first], u[first], k[first], cm
+
+
+# ---------------------------------------------------------------------------
+# Per-base contig quality from the read pileup (sw.rs:59 pos_base_quals):
+# per UMI, per base, accumulate log-probabilities of the observed reads
+# given each true base; combine UMIs with an RT error prior; emit
+# Q = -10 log10 P(other bases | data), capped.
+# ---------------------------------------------------------------------------
+RT_ERR = 1e-4
+MAX_READ_QUAL = 30
+MAX_OUT_QUAL = 60
+MIN_LOG_PROB = -100.0
+
+
+def contig_base_quals(contig_seq: str, reads: list[tuple[int, str, bytes]]
+                      ) -> np.ndarray:
+    """reads: (umi, seq, qual bytes phred+33).  Reads anchor to the contig
+    by their first shared kmer; per-position per-UMI Bayesian pileup.
+    Returns uint8 phred quals per contig base."""
+    L = len(contig_seq)
+    ckmers = {}
+    for i in range(L - K + 1):
+        km = 0
+        ok = True
+        for ch in contig_seq[i:i + K]:
+            if ch not in "ACGT":
+                ok = False
+                break
+            km = (km << 2) | "ACGT".index(ch)
+        if ok and km not in ckmers:
+            ckmers[km] = i
+    # pileup[pos] -> {umi: [(base, qual), ...]}
+    pileup: list[dict] = [dict() for _ in range(L)]
+    for umi, seq, qual in reads:
+        km = 0
+        valid = 0
+        anchor = None
+        for i, ch in enumerate(seq):
+            if ch not in "ACGT":
+                valid = 0
+                continue
+            km = ((km << 2) | "ACGT".index(ch)) & ((1 << (2 * K)) - 1)
+            valid += 1
+            if valid >= K and km in ckmers:
+                anchor = (ckmers[km], i - K + 1)
+                break
+        if anchor is None:
+            continue
+        cpos0, rpos0 = anchor
+        off = cpos0 - rpos0
+        for i, ch in enumerate(seq):
+            p = i + off
+            if 0 <= p < L and ch in "ACGT":
+                q = (qual[i] - 33) if i < len(qual) else 30
+                pileup[p].setdefault(umi, []).append(
+                    ("ACGT".index(ch), min(q, MAX_READ_QUAL)))
+
+    quals = np.zeros(L, np.uint8)
+    lf1 = np.log10(1.0 - RT_ERR)
+    lf2 = np.log10(RT_ERR / 3.0)
+    for p in range(L):
+        if not pileup[p]:
+            continue
+        probs = np.zeros(4)
+        for umi, obs in pileup[p].items():
+            base_probs = np.zeros((4, 4))   # [true r][umi base b]
+            for base, q in obs:
+                match = np.log10(max(1.0 - 10 ** (-q / 10.0), 1e-10))
+                mismatch = -q / 10.0 - np.log10(3.0)
+                for b in range(4):
+                    base_probs[:, b] += match if b == base else mismatch
+            for r in range(4):
+                row = base_probs[r].copy()
+                for b in range(4):
+                    row[b] += lf1 if b == r else lf2
+                m = row.max()
+                probs[r] += np.clip(
+                    m + np.log10(np.sum(10 ** (row - m))),
+                    MIN_LOG_PROB, 0.0)
+        denom_m = probs.max()
+        denom = denom_m + np.log10(np.sum(10 ** (probs - denom_m)))
+        r = int(np.argmax(probs))
+        others = np.delete(probs, r)
+        om = others.max()
+        numer = om + np.log10(np.sum(10 ** (others - om)))
+        quals[p] = int(np.clip(-10.0 * (numer - denom), 0, MAX_OUT_QUAL))
+    return quals
