@@ -41,6 +41,7 @@ def save_molecule_info(
     pass_filter_bc_idx: np.ndarray | None = None,
     metrics: dict | None = None,
     umi_type: np.ndarray | None = None,
+    gem_group_per_mol: np.ndarray | None = None,
 ):
     import h5py
 
@@ -55,8 +56,10 @@ def save_molecule_info(
     with h5py.File(path, "w") as f:
         f.attrs["file_version"] = FILE_VERSION
         opts = dict(compression="gzip")
-        f.create_dataset("gem_group",
-                         data=np.full(n, gem_group, np.uint16), **opts)
+        gg = (np.asarray(gem_group_per_mol, np.uint16)
+              if gem_group_per_mol is not None
+              else np.full(n, gem_group, np.uint16))
+        f.create_dataset("gem_group", data=gg[order], **opts)
         f.create_dataset("barcode_idx",
                          data=barcode_idx[order].astype(np.uint64), **opts)
         f.create_dataset("feature_idx",

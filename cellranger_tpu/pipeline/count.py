@@ -632,7 +632,9 @@ def run_count(cfg: CountConfig, out_dir: str,
     if multihost and cfg.write_bam:
         raise ValueError("write_bam is a single-host output; rerun the BAM "
                          "pass on one host (reads stream, so this is cheap)")
-    batch_size = executor.round_batch(cfg.batch_size)
+    from ..params import get as _param
+    batch_size = executor.round_batch(
+        int(_param("batch_size") or cfg.batch_size))
     chem = get_chemistry(cfg.chemistry)
     if whitelist is None:
         whitelist = Whitelist.load(cfg.whitelist_path)
@@ -804,8 +806,9 @@ def run_count(cfg: CountConfig, out_dir: str,
         # fill the whitelist rows' count column with the pass-1 prior so each
         # correction candidate probe is a single row gather
         wl_table = wl_table.with_counts(np.asarray(wl_counts))
-        n_parts = SPILL_PARTS if executor.n_devices <= SPILL_PARTS \
-            else executor.n_devices
+        n_parts = int(_param("spill_partitions") or
+                      (SPILL_PARTS if executor.n_devices <= SPILL_PARTS
+                       else executor.n_devices))
         spill = MoleculeSpill(os.path.join(out_dir, "_spill"), n_parts,
                               prefix=f"host{pid}_" if multihost else "")
         sj_counts: dict = {}   # (donor, acceptor, strand, annotated) -> reads

@@ -112,7 +112,7 @@ def probe_bc_frac(r2_seqs: list[bytes], chem_name: str,
 
 def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
                      candidates=DEFAULT_CANDIDATES,
-                     n_sample: int = DETECT_CHEMISTRY_MIN_READS,
+                     n_sample: int | None = None,
                      r2_path: str | None = None) -> dict:
     """Returns dict(chemistry, frac, per_candidate). Raises ValueError when
     nothing clears the floor (the reference's preflight failure).
@@ -121,6 +121,10 @@ def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
     probe-barcode whitelists keyed by their chemistry_defs names) to
     loaded Whitelist objects; r2_path enables the probe-barcode and
     paired-end signals."""
+    if n_sample is None:
+        # site tunable (parameters.toml detect_chemistry_sample_reads)
+        from ..params import get as param
+        n_sample = int(param("detect_chemistry_sample_reads"))
     seqs = sample_reads(r1_path, n_sample)
     if not seqs:
         raise ValueError(f"no reads in {r1_path}")
@@ -143,7 +147,9 @@ def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
     if not viable:
         viable = fracs
     best = max(viable, key=lambda c: viable[c])
-    if viable[best] < MIN_WHITELIST_FRAC:
+    from ..params import get as param
+    min_frac = float(param("min_fraction_whitelist_match"))
+    if viable[best] < min_frac:
         raise ValueError(
             "unable to detect chemistry: best whitelist hit fraction "
             f"{viable[best]:.3f} ({best}); check inputs/whitelists. "

@@ -22,7 +22,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..io.bcl import parse_run_info, read_tile, tiles_of_lane
+from ..io.bcl import (is_cbcl_run, parse_run_info, read_tile,
+                      read_tile_cbcl, tiles_of_lane, tiles_of_lane_cbcl)
 
 
 @dataclass
@@ -144,8 +145,16 @@ def run_mkfastq(run_dir: str, samplesheet_csv: str, out_dir: str,
             if not lane_rows:
                 continue
             oligos = [r.indexes for r in lane_rows]
-            for tile in tiles_of_lane(run_dir, lane):
-                planes, names = read_tile(run_dir, info, lane, tile)
+            cbcl = is_cbcl_run(run_dir, lane)
+            hdr_cache: dict = {}
+            tile_list = (tiles_of_lane_cbcl(run_dir, lane) if cbcl
+                         else tiles_of_lane(run_dir, lane))
+            for tile in tile_list:
+                if cbcl:
+                    planes, names = read_tile_cbcl(run_dir, info, lane,
+                                                   tile, hdr_cache)
+                else:
+                    planes, names = read_tile(run_dir, info, lane, tile)
                 assign = _match_index(planes[i1_seg][0], oligos, max_mm)
                 for local_si in range(-1, len(lane_rows)):
                     sel = np.flatnonzero(assign == local_si) if local_si >= 0 \

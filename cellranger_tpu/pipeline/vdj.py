@@ -33,6 +33,9 @@ from ..vdj.assembly import (BarcodeGraph, all_inner_primers,
 from ..vdj.reference import VdjReference
 
 MIN_UMIS_PER_CONTIG = 2
+from ..params import get as _param
+# site tunable cap (parameters.toml vdj_max_reads_per_barcode)
+_VDJ_MAX_READS_PER_BC = int(_param("vdj_max_reads_per_barcode"))
 
 
 @dataclass
@@ -97,8 +100,9 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
                 qual = bytes(b.rna_qual[i][t:b.rna_len[i]])
             else:
                 qual = bytes(b.rna_qual[i][:b.rna_len[i]])
-            reads_by_bc.setdefault(int(bc_idx[i]), []).append(
-                (int(b.umi_packed[i]), seq, qual))
+            rlist = reads_by_bc.setdefault(int(bc_idx[i]), [])
+            if len(rlist) < _VDJ_MAX_READS_PER_BC:
+                rlist.append((int(b.umi_packed[i]), seq, qual))
         all_bc.append(bc_idx[sel].astype(np.uint32))
         all_umi.append(b.umi_packed[sel].astype(np.uint32))
         all_rna.append(b.rna[sel])
