@@ -97,22 +97,27 @@ def _make_batch(rng, genome_codes: np.ndarray, wl_seqs: np.ndarray,
     )
 
 
-def _time_step(step, args, iters: int):
+def _time_step(step, args, iters: int, windows: int = 3):
+    """Best-of-N timing windows: the tunneled device is shared, so single
+    windows swing +-40%; the minimum reflects hardware capability."""
     import jax
     t0 = time.time()
     out = step(*args)
     jax.block_until_ready(out)
     t_compile = time.time() - t0
     for _ in range(WARMUP_ITERS):
-        np.asarray(step(*args)["metrics"]["n_mapped"])
-    t0 = time.time()
-    for _ in range(iters):
-        out = step(*args)
-    # force a device->host readback: block_until_ready alone can return
-    # before remote execution finishes on tunneled backends
-    m = {k: int(v) for k, v in out["metrics"].items()}
-    dt = (time.time() - t0) / iters
-    return dt, t_compile, m
+        np.asarray(step(*args)["mvec"])
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.time()
+        for _ in range(iters):
+            out = step(*args)
+        # force a device->host readback: block_until_ready alone can
+        # return before remote execution finishes on tunneled backends
+        from cellranger_tpu.pipeline.count import METRIC_FIELDS
+        m = dict(zip(METRIC_FIELDS, np.asarray(out["mvec"]).tolist()))
+        best = min(best, (time.time() - t0) / iters)
+    return best, t_compile, m
 
 
 def bench_primary(chem, txome_of):

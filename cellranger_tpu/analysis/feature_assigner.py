@@ -145,3 +145,103 @@ def run_feature_assignment(filtered_matrix, feature_type: str,
             (n_cells - n_single - n_multi) / max(n_cells, 1),
     }
     return summary
+
+
+# ---------------------------------------------------------------------------
+# Antigen specificity (BEAM) — cellranger/feature/antigen/specificity.py:
+# per cell, each antigen scores (1 - BetaCDF(0.925; S+1, N+3)) * 100 where
+# S = antigen UMIs and N = the matched negative-control antigen's UMIs
+# (matched by mhc_allele; a single control serves the no-allele case);
+# antigens with score >= 75 are assigned.
+# ---------------------------------------------------------------------------
+SIGNAL_PRIOR = 1          # specificity.py:22
+NOISE_PRIOR = 3           # specificity.py:23
+SPECIFICITY_CUTOFF = 0.925
+ASSIGN_THRESHOLD = 75.0   # specificity.py:598
+NO_ALLELE = "no_allele"
+
+
+def antigen_specificity(filtered_matrix, spec_rows: list[dict],
+                        out_dir: str) -> dict:
+    """spec_rows: [antigen-specificity] config rows (control_id +
+    optional mhc_allele).  Writes antigen_specificity_scores.csv and
+    antigen_assignment.csv; returns summary metrics."""
+    from scipy.stats import beta
+
+    fdefs = filtered_matrix.features.feature_defs
+    ag_rows = [i for i, d in enumerate(fdefs)
+               if d.feature_type == "Antigen Capture"]
+    if not ag_rows or not spec_rows:
+        return {}
+    id_of = {fdefs[i].id: i for i in ag_rows}
+    control_of_allele = {}
+    for row in spec_rows:
+        cid = row["control_id"].strip()
+        if cid not in id_of:
+            raise ValueError(
+                f"[antigen-specificity] control_id {cid!r} is not an "
+                f"Antigen Capture feature")
+        control_of_allele[row.get("mhc_allele", "").strip()
+                          or NO_ALLELE] = cid
+    controls = set(control_of_allele.values())
+
+    # antigen -> its allele's control (feature tags carry mhc_allele)
+    antigen_to_control = {}
+    for i in ag_rows:
+        fid = fdefs[i].id
+        if fid in controls:
+            continue
+        allele = (fdefs[i].tags or {}).get("mhc_allele", "") or NO_ALLELE
+        ctrl = control_of_allele.get(allele)
+        if ctrl is None and len(control_of_allele) == 1:
+            ctrl = next(iter(control_of_allele.values()))
+        if ctrl is None:
+            raise ValueError(
+                f"antigen {fid!r} (allele {allele!r}) has no matching "
+                f"control in [antigen-specificity]")
+        antigen_to_control[fid] = ctrl
+
+    os.makedirs(out_dir, exist_ok=True)
+    counts = {fdefs[i].id: np.asarray(
+        filtered_matrix.m[i, :].todense()).ravel() for i in ag_rows}
+    bcs = filtered_matrix.barcodes
+    n_assigned = 0
+    with open(os.path.join(out_dir, "antigen_specificity_scores.csv"),
+              "w") as f, \
+            open(os.path.join(out_dir, "antigen_assignment.csv"),
+                 "w") as fa:
+        f.write("barcode,antigen,antigen_umi,control,control_umi,score,"
+                "mhc_allele\n")
+        fa.write("barcode,assigned_antigen\n")
+        score_cache: dict = {}
+        for c in range(len(bcs)):
+            bc = bcs[c].decode() if isinstance(bcs[c], bytes) else bcs[c]
+            assigned = []
+            any_umi = 0
+            for ag, ctrl in antigen_to_control.items():
+                S = int(counts[ag][c])
+                N = int(counts[ctrl][c])
+                any_umi += S
+                key = (S, N)
+                if key not in score_cache:
+                    score_cache[key] = float(
+                        (1 - beta.cdf(SPECIFICITY_CUTOFF,
+                                      S + SIGNAL_PRIOR,
+                                      N + NOISE_PRIOR)) * 100)
+                sc = score_cache[key]
+                allele = (fdefs[id_of[ag]].tags or {}).get(
+                    "mhc_allele", "") or NO_ALLELE
+                f.write(f"{bc},{ag},{S},{ctrl},{N},{sc:.4f},{allele}\n")
+                if sc >= ASSIGN_THRESHOLD:
+                    assigned.append(ag)
+            if assigned:
+                n_assigned += 1
+                fa.write(f"{bc},{'|'.join(assigned)}\n")
+            else:
+                fa.write(f"{bc},{'Blank' if any_umi == 0 else 'Unassigned'}\n")
+    return {
+        "antigen_specificity_cells_assigned": n_assigned,
+        "antigen_specificity_frac_assigned":
+            n_assigned / max(len(bcs), 1),
+        "antigen_specificity_n_antigens": len(antigen_to_control),
+    }

@@ -53,7 +53,9 @@ def _cmd_count(args):
     except PreflightError as e:
         sys.exit(f"error: {e}")
     out_dir = os.path.join(args.output_dir or ".", args.id, "outs")
-    summary = run_count(cfg, out_dir)
+    from .pipeline.runtime import run_with_retry
+    summary = run_with_retry(run_count, cfg, out_dir,
+                             retries=getattr(args, "autoretry", 0))
     print(json.dumps({k: summary[k] for k in
                       ["total_reads", "valid_barcode_frac", "mapped_frac",
                        "conf_mapped_frac", "estimated_cells",
@@ -252,6 +254,9 @@ def main(argv=None):
     c.add_argument("--read-len", type=int, default=91, dest="read_len")
     c.add_argument("--batch-size", type=int, default=8192, dest="batch_size")
     c.add_argument("--bam", action="store_true", help="write possorted BAM")
+    c.add_argument("--autoretry", type=int, default=0,
+                   help="retry transient stage failures N times, resuming "
+                        "from the checkpoint (mrp --autoretry analog)")
     c.add_argument("--output-dir", dest="output_dir")
     c.set_defaults(fn=_cmd_count)
 

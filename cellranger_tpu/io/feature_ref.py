@@ -61,8 +61,13 @@ class FeatureBarcodeReference:
                 seq = row["sequence"].strip().upper()
                 pat = compile_pattern(row["pattern"].strip(), row["read"].strip(),
                                       len(seq))
+                # extra columns ride as tags (mhc_allele etc.,
+                # feature_reference.rs FeatureDef.tags)
+                extra = {k: v.strip() for k, v in row.items()
+                         if k not in required and v and v.strip()}
                 defs.append(FeatureDef(row["id"].strip(), row["name"].strip(),
-                                       row["feature_type"].strip()))
+                                       row["feature_type"].strip(),
+                                       tags=extra))
                 seqs.append(seq)
                 pats.append(pat)
         ref = FeatureBarcodeReference(defs, seqs, pats)

@@ -13,7 +13,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
-KNOWN_SECTIONS = {"gene-expression", "feature", "vdj", "libraries", "samples"}
+KNOWN_SECTIONS = {"gene-expression", "feature", "vdj", "libraries",
+                  "samples", "antigen-specificity"}
 
 LIBRARY_TYPES = {
     "gene expression": "Gene Expression",
@@ -33,6 +34,9 @@ class MultiConfig:
     vdj: dict = field(default_factory=dict)
     libraries: list[dict] = field(default_factory=list)
     samples: list[dict] = field(default_factory=list)
+    # [antigen-specificity] rows: control_id (+ optional mhc_allele) per
+    # antigen feature (multi/src/config/mod.rs:2164 AntigenSpecificityRow)
+    antigen_specificity: list[dict] = field(default_factory=list)
 
     @staticmethod
     def from_csv(path: str) -> "MultiConfig":
@@ -65,7 +69,13 @@ class MultiConfig:
                         header = [c.lower() for c in cells]
                         continue
                     row = dict(zip(header, cells))
-                    if section == "libraries":
+                    if section == "antigen-specificity":
+                        if "control_id" not in row:
+                            raise ValueError(
+                                "[antigen-specificity] rows need a "
+                                "control_id column")
+                        cfg.antigen_specificity.append(row)
+                    elif section == "libraries":
                         ft = row.get("feature_types", "Gene Expression")
                         canon = LIBRARY_TYPES.get(ft.strip().lower())
                         if canon is None:
@@ -122,6 +132,17 @@ def run_multi(config_csv: str, out_dir: str, whitelist_path: str,
             probe_barcode_csv=gex.get("probe-barcode-set") or None,
             read_len=read_len, batch_size=batch_size, sample_id=sample_id)
         summary["count"] = run_count(ccfg, os.path.join(out_dir, "count"))
+
+    # antigen specificity scoring ([antigen-specificity] + Antigen Capture
+    # library; specificity.py beta-score semantics)
+    if count_libs and cfg.antigen_specificity:
+        from ..analysis.feature_assigner import antigen_specificity
+        from .matrix_io import CountMatrix
+        filt = CountMatrix.load_h5(os.path.join(
+            out_dir, "count", "filtered_feature_bc_matrix.h5"))
+        summary["antigen_specificity"] = antigen_specificity(
+            filt, cfg.antigen_specificity,
+            os.path.join(out_dir, "count", "antigen_analysis"))
 
     # CMO sample demux when a multiplexing library + [samples] are present
     if count_libs and cfg.samples and any(

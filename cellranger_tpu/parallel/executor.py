@@ -89,8 +89,12 @@ class Executor:
         """
         parts = list(parts)
         if self.mesh is None:
+            # one COMMON padded shape across partitions: dedup compiles
+            # once, not once per partition size (remote compiles are
+            # minutes; dedup output is pad-invariant)
+            N = _pow2(max((len(p[0]) for p in parts), default=1))
             for bc, gene, umi in parts:
-                yield self._dedup_host(bc, gene, umi, umi_len)
+                yield self._dedup_host(bc, gene, umi, umi_len, N)
             return
         n = self.n_devices
         for i in range(0, len(parts), n):
@@ -119,8 +123,8 @@ class Executor:
             for d in range(real):
                 yield self._compact({k: v[d] for k, v in host.items()})
 
-    def _dedup_host(self, bc, gene, umi, umi_len):
-        N = _pow2(max(len(bc), 1))
+    def _dedup_host(self, bc, gene, umi, umi_len, N: int | None = None):
+        N = N or _pow2(max(len(bc), 1))
         pad = N - len(bc)
         dd = dedup_molecules(
             jnp.asarray(np.pad(np.asarray(bc, np.uint32), (0, pad))),

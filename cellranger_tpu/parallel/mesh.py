@@ -48,10 +48,14 @@ def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data",
     metrics -> P()) so the wrapper keeps working as the step grows new
     output fields."""
 
+    mkey_cell = {"k": "metrics"}
+
     def spmd(*args):
         out = dict(step_fn(*args))
+        mkey = "mvec" if "mvec" in out else "metrics"
+        mkey_cell["k"] = mkey  # recorded at trace time (first call)
         metrics = jax.tree.map(lambda x: jax.lax.psum(x, axis),
-                               out.pop("metrics"))
+                               out.pop(mkey))
         return out, metrics
 
     batch_spec = (P(axis),) * n_batch_args + (P(None),)
@@ -62,7 +66,7 @@ def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data",
     def wrapped(*args):
         out, metrics = fn(*args)
         out = dict(out)
-        out["metrics"] = metrics
+        out[mkey_cell["k"]] = metrics
         return out
 
     return wrapped

@@ -149,6 +149,43 @@ class CountMetrics:
 MAX_INSERT = 2000      # max genomic span of a proper read pair (fragment
                        # sizes are <1kb; generous bound like STAR's window)
 CORRECT_CAP_FRAC = 16  # correction capacity = batch // 16 invalid reads
+
+# ---- packed step output layout ----
+# The fused step returns THREE arrays instead of ~27: every [B] integer
+# column rides one [B, NI] int32 plane, booleans one [B, NB] bool plane,
+# scalar metrics one [NM] vector.  One device->host fetch per plane — on
+# tunneled/remote backends each fetch is a round trip, and 27 of them per
+# batch dominated the e2e wall clock (measured ~4s/batch).
+I32_FIELDS = ("bc_idx", "gene", "umi", "pos", "mapq", "strand", "aln_len",
+              "aln_start", "region", "sj_donor", "sj_acceptor",
+              "sj_right_len", "corrected_bc", "gene_unpaired")
+U32_FIELDS = frozenset(("bc_idx", "gene", "umi", "pos", "corrected_bc"))
+BOOL_FIELDS = ("conf_ok", "mapped", "antisense", "bc_ok", "novel_sj",
+               "mm", "gene_discordant", "conf_base")
+METRIC_FIELDS = ("n_valid_bc", "n_corrected", "n_valid_umi", "n_mapped",
+                 "n_conf", "n_exonic", "n_intronic", "n_intergenic",
+                 "n_antisense", "n_usable", "n_correct_overflow",
+                 "n_promote_overflow", "n_tso", "n_polya_trimmed",
+                 "n_improper_pair")
+KG_LIST = 4  # gene_list/anti_list columns appended after I32_FIELDS
+
+
+def unpack_step_out(out) -> tuple[dict, dict]:
+    """Packed device step output -> (ho: named host arrays, m: metrics)."""
+    i32 = np.asarray(out["i32"])
+    flags = np.asarray(out["flags"])
+    mvec = np.asarray(out["mvec"])
+    ho: dict = {}
+    for j, k in enumerate(I32_FIELDS):
+        col = i32[:, j]
+        ho[k] = col.view(np.uint32) if k in U32_FIELDS else col
+    n = len(I32_FIELDS)
+    ho["gene_list"] = i32[:, n:n + KG_LIST]
+    ho["anti_list"] = i32[:, n + KG_LIST:n + 2 * KG_LIST]
+    for j, k in enumerate(BOOL_FIELDS):
+        ho[k] = flags[:, j]
+    m = {k: int(v) for k, v in zip(METRIC_FIELDS, mvec)}
+    return ho, m
                        # (real runs are ~97% whitelist-valid; overflow is
                        # counted in n_correct_overflow)
 SECOND_CAP_FRAC = 4    # 2nd-locus annotation capacity = batch // 4
@@ -397,7 +434,21 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
         if not fused:
             out["hit"] = hit
             out["wl_idx"] = idx
-        return out
+            return out
+
+        # ---- pack outputs into 3 planes (one device->host fetch each) ----
+        def as_i32(a):
+            if a.dtype == jnp.uint32:
+                return jax.lax.bitcast_convert_type(a, jnp.int32)
+            return a.astype(jnp.int32)
+
+        ints = jnp.stack([as_i32(out[k]) for k in I32_FIELDS], axis=1)
+        ints = jnp.concatenate(
+            [ints, out["gene_list"].astype(jnp.int32),
+             out["anti_list"].astype(jnp.int32)], axis=1)
+        flags = jnp.stack([out[k] for k in BOOL_FIELDS], axis=1)
+        mvec = jnp.stack([m[k] for k in METRIC_FIELDS]).astype(jnp.int32)
+        return dict(i32=ints, flags=flags, mvec=mvec)
 
     if paired:
         @jax.jit
@@ -818,8 +869,54 @@ def run_count(cfg: CountConfig, out_dir: str,
             bam_collector = BamCollector(gi, ref.transcriptome,
                                          os.path.join(out_dir, "_bam_spool"),
                                          read_group=cfg.sample_id)
+        # 1-deep software pipeline over the device: dispatch batch i+1
+        # (async under jax), then do batch i's host work (spill, SJ tally,
+        # BAM spool) while the device runs — the device never idles during
+        # FASTQ decode, and decode overlaps the step (the par_proc
+        # overlap structure, par_proc.rs:106, without threads)
+        pending: tuple | None = None
+
+        def process_gex(batch, out):
+            ho, m = unpack_step_out(out)
+            if m["n_correct_overflow"] > 0:
+                # in-step correction capacity overflowed: retry on host
+                # over every still-invalid read (no read is ever
+                # dropped from correction — barcode_correction.rs:265)
+                n_new = _retry_correction(ho, batch, wl_table,
+                                          chem.barcode_length, correct_fn)
+                m["n_corrected"] += n_new
+                m["n_usable"] = int(ho["conf_ok"].sum())
+                metrics.correction_retries += 1
+            metrics.total_reads += batch.n_reads
+            metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
+            metrics.corrected_barcode_reads += m["n_corrected"]
+            metrics.valid_umi_reads += m["n_valid_umi"]
+            metrics.mapped_reads += m["n_mapped"]
+            metrics.conf_mapped_reads += m["n_conf"]
+            metrics.exonic_reads += m["n_exonic"]
+            metrics.intronic_reads += m["n_intronic"]
+            metrics.intergenic_reads += m["n_intergenic"]
+            metrics.antisense_reads += m["n_antisense"]
+            metrics.usable_reads += m["n_usable"]
+            metrics.correction_capacity_overflow += m["n_correct_overflow"]
+            metrics.promote_overflow += m["n_promote_overflow"]
+            metrics.tso_reads += m["n_tso"]
+            metrics.polya_trimmed_reads += m["n_polya_trimmed"]
+            metrics.improper_pair_reads += m["n_improper_pair"]
+            conf = ho["conf_ok"]
+            spill.append(ho["bc_idx"][conf], ho["gene"][conf],
+                         ho["umi"][conf])
+            _tally_sj(sj_counts, ho, batch.n_reads, gi)
+            if bam_collector is not None:
+                bam_collector.add_batch(batch, ho)
+
         for li, batch in my_batches():
             lib_type = libraries[li].library_type
+            if lib_type != "Gene Expression" or probe_set is not None:
+                # non-step paths run synchronously; flush the pipeline
+                if pending is not None:
+                    process_gex(*pending)
+                    pending = None
             if lib_type == "Gene Expression" and probe_set is not None:
                 # RTL: cell-barcode handling + probe alignment
                 hit, idx = bcops.whitelist_lookup(
@@ -868,40 +965,9 @@ def run_count(cfg: CountConfig, out_dir: str,
                     args += [executor.put(batch.rna2),
                              executor.put(batch.rna2_nmask)]
                 out = step(*args, executor.put(batch.slot_valid), wl_table)
-                m = {k: int(v) for k, v in out["metrics"].items()}
-                ho = {k: np.asarray(v) for k, v in out.items()
-                      if k != "metrics"}
-                if m["n_correct_overflow"] > 0:
-                    # in-step correction capacity overflowed: retry on host
-                    # over every still-invalid read (no read is ever
-                    # dropped from correction — barcode_correction.rs:265)
-                    n_new = _retry_correction(ho, batch, wl_table,
-                                              chem.barcode_length, correct_fn)
-                    m["n_corrected"] += n_new
-                    m["n_usable"] = int(ho["conf_ok"].sum())
-                    metrics.correction_retries += 1
-                metrics.total_reads += batch.n_reads
-                metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
-                metrics.corrected_barcode_reads += m["n_corrected"]
-                metrics.valid_umi_reads += m["n_valid_umi"]
-                metrics.mapped_reads += m["n_mapped"]
-                metrics.conf_mapped_reads += m["n_conf"]
-                metrics.exonic_reads += m["n_exonic"]
-                metrics.intronic_reads += m["n_intronic"]
-                metrics.intergenic_reads += m["n_intergenic"]
-                metrics.antisense_reads += m["n_antisense"]
-                metrics.usable_reads += m["n_usable"]
-                metrics.correction_capacity_overflow += m["n_correct_overflow"]
-                metrics.promote_overflow += m["n_promote_overflow"]
-                metrics.tso_reads += m["n_tso"]
-                metrics.polya_trimmed_reads += m["n_polya_trimmed"]
-                metrics.improper_pair_reads += m["n_improper_pair"]
-                conf = ho["conf_ok"]
-                spill.append(ho["bc_idx"][conf], ho["gene"][conf],
-                             ho["umi"][conf])
-                _tally_sj(sj_counts, ho, batch.n_reads, gi)
-                if bam_collector is not None:
-                    bam_collector.add_batch(batch, ho)
+                if pending is not None:
+                    process_gex(*pending)
+                pending = (batch, out)
             else:
                 # feature-barcode library: cell bc handling + feature
                 # extraction over every declared pattern (R1 patterns read
@@ -977,6 +1043,10 @@ def run_count(cfg: CountConfig, out_dir: str,
                         fb_rows["gene"], fb_rows["fr"], fb_rows["fq"],
                         fb_rows["fb"], fb_rows["fx"])
 
+            perf.lap("pass2_correct_align_annotate")
+        if pending is not None:
+            process_gex(*pending)
+            pending = None
             perf.lap("pass2_correct_align_annotate")
 
         # ---- multi-host handoff: workers publish partials and exit ----

@@ -60,3 +60,30 @@ def test_detect_chemistry_uses_min_frac(tmp_path, monkeypatch):
         detect_chemistry(r1, wls, candidates=("SC3Pv3",), n_sample=200)
     monkeypatch.delenv(params.ENV_VAR)
     params.load(refresh=True)
+
+
+def test_run_with_retry_transient_vs_permanent():
+    from cellranger_tpu.pipeline.runtime import run_with_retry
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("tunnel dropped")
+        return "ok"
+
+    assert run_with_retry(flaky, retries=3, backoff_s=0.0) == "ok"
+    assert calls["n"] == 3
+
+    def config_error():
+        raise ValueError("bad chemistry")
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        run_with_retry(config_error, retries=3, backoff_s=0.0)
+
+    def always():
+        raise RuntimeError("down")
+
+    with _p.raises(RuntimeError):
+        run_with_retry(always, retries=1, backoff_s=0.0)
