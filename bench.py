@@ -200,21 +200,35 @@ def bench_e2e():
 
     tmp = tempfile.mkdtemp(prefix="cr_tpu_bench_e2e_")
     fx = build_synthetic_run(tmp, seed=11, genome_len=2_000_000,
-                             n_wl=20_000, n_cells=300, mols_per_cell=100,
+                             n_wl=20_000, n_cells=800, mols_per_cell=150,
                              dup_reads=2)
     cfg = CountConfig(
         fastq_pairs=[(fx["fq1"], fx["fq2"])], reference_path=fx["ref"],
         whitelist_path=fx["wl"], chemistry="SC3Pv3", read_len=READ_LEN,
-        batch_size=16384, secondary_analysis=False, checkpoint=False)
+        batch_size=32768, secondary_analysis=False, checkpoint=False)
     print(f"bench[e2e]: {fx['n_reads']} reads, running run_count...",
           file=sys.stderr)
     t0 = time.time()
-    summary = run_count(cfg, os.path.join(tmp, "out"))
+    out_dir = os.path.join(tmp, "out")
+    summary = run_count(cfg, out_dir)
     wall = time.time() - t0
-    return dict(reads=fx["n_reads"], wall_s=round(wall, 2),
-                reads_per_sec=round(fx["n_reads"] / wall, 1),
-                conf_mapped_frac=round(summary["conf_mapped_frac"], 4),
-                total_molecules=summary["total_molecules"])
+    res = dict(reads=fx["n_reads"], wall_s=round(wall, 2),
+               reads_per_sec=round(fx["n_reads"] / wall, 1),
+               conf_mapped_frac=round(summary["conf_mapped_frac"], 4),
+               total_molecules=summary["total_molecules"])
+    # phase breakdown (fresh-process compiles dominate tiny runs on
+    # remote-compile backends; the per-phase view keeps the number honest)
+    try:
+        with open(os.path.join(out_dir, "_perf.json")) as f:
+            phases = json.load(f)["phases"]
+        agg: dict = {}
+        for ph in phases:
+            agg[ph["name"]] = round(agg.get(ph["name"], 0)
+                                    + ph["wall_s"], 2)
+        res["phase_s"] = agg
+    except Exception:
+        pass
+    return res
 
 
 def main():

@@ -44,6 +44,42 @@ def parse_aggr_csv(path: str) -> list[dict]:
     return out
 
 
+def check_invariants(out_dir: str, summary: dict) -> None:
+    """Post-merge invariants (CHECK_INVARIANTS stage analog): raw matrix
+    sums equal molecule counts; filtered is a column subset of raw; every
+    filtered barcode carries a known gem-group suffix."""
+    from ..io.matrix_io import CountMatrix
+    from ..io.molecule_info import load_molecule_info
+
+    raw = CountMatrix.load_h5(os.path.join(out_dir,
+                                           "raw_feature_bc_matrix.h5"))
+    filt = CountMatrix.load_h5(os.path.join(out_dir,
+                                            "filtered_feature_bc_matrix.h5"))
+    mi = load_molecule_info(os.path.join(out_dir, "molecule_info.h5"))
+    n_mol = len(mi["barcode_idx"])
+    if int(raw.m.sum()) != n_mol:
+        raise AssertionError(
+            f"aggr invariant violated: raw matrix total {int(raw.m.sum())} "
+            f"!= molecule_info rows {n_mol}")
+    raw_set = set(raw.barcodes)
+    missing = [b for b in filt.barcodes if b not in raw_set]
+    if missing:
+        raise AssertionError(
+            f"aggr invariant violated: {len(missing)} filtered barcodes "
+            f"absent from the raw matrix (e.g. {missing[:3]})")
+    bad = [b for b in filt.barcodes
+           if b"-" not in (b if isinstance(b, bytes) else b.encode())]
+    if bad:
+        raise AssertionError(
+            f"aggr invariant violated: barcodes without gem-group suffix "
+            f"(e.g. {bad[:3]})")
+    if summary["total_cells"] != filt.m.shape[1]:
+        raise AssertionError(
+            "aggr invariant violated: summary cell count "
+            f"{summary['total_cells']} != filtered matrix columns "
+            f"{filt.m.shape[1]}")
+
+
 def run_aggr(csv_path: str, out_dir: str, normalize: str = "mapped",
              seed: int = 0, secondary_analysis: bool = True) -> dict:
     os.makedirs(out_dir, exist_ok=True)
@@ -141,6 +177,10 @@ def run_aggr(csv_path: str, out_dir: str, normalize: str = "mapped",
         median_genes_per_cell=float(np.median(np.asarray(
             (filtered.m > 0).sum(axis=0)).ravel())) if filtered.shape[1] else 0.0,
     )
+    # CHECK_INVARIANTS (sc_rna_aggregator.mro:179): the merged outputs
+    # must be self-consistent — fail loudly rather than write bad aggr outs
+    check_invariants(out_dir, summary)
+
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=float)
     with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:

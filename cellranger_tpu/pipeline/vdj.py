@@ -107,6 +107,24 @@ def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
         all_umi.append(b.umi_packed[sel].astype(np.uint32))
         all_rna.append(b.rna[sel])
         all_nmask.append(nmask_b[sel])
+        if b.rna2 is not None:
+            # paired-end SCVDJ: mate 2 reads the opposite strand — add its
+            # reverse complement so kmers land on the transcript strand
+            # (process.rs "double end case" assembles both mates)
+            rc = (3 - b.rna2[sel][:, ::-1]).astype(np.uint8)
+            rc_mask = b.rna2_nmask[sel][:, ::-1]
+            all_bc.append(bc_idx[sel].astype(np.uint32))
+            all_umi.append(b.umi_packed[sel].astype(np.uint32))
+            all_rna.append(rc)
+            all_nmask.append(rc_mask)
+            for i in np.flatnonzero(sel):
+                seq2 = encode.decode_codes(
+                    (3 - b.rna2[i][:b.rna2_len[i]][::-1]).astype(np.uint8),
+                    b.rna2_nmask[i][:b.rna2_len[i]][::-1]).decode()
+                qual2 = bytes(b.rna2_qual[i][:b.rna2_len[i]][::-1])
+                rlist = reads_by_bc.setdefault(int(bc_idx[i]), [])
+                if len(rlist) < _VDJ_MAX_READS_PER_BC:
+                    rlist.append((int(b.umi_packed[i]), seq2, qual2))
 
     if all_bc and len(np.concatenate(all_bc)):
         bcs = np.concatenate(all_bc)

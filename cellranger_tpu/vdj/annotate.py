@@ -186,6 +186,11 @@ def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
                   for a in anns if a.productive and a.cdr3_nt}
         if chains:
             per_cell[bc] = chains
+    # pre-fuzzy EXACT chain sets define exact subclonotypes within a
+    # clonotype (enclone's exact_subclonotype_id: identical CDR3 nt +
+    # V/J per chain)
+    exact_per_cell = {bc: tuple(sorted(chains))
+                      for bc, chains in per_cell.items()}
 
     if fuzzy:
         # cluster CDR3s within (chain, v, j, len) buckets
@@ -232,9 +237,23 @@ def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
     out = []
     order = sorted(keyed.items(), key=lambda kv: (-len(kv[1]), kv[0]))
     for key, bcs in order:
+        # exact subclonotypes: members grouped by their pre-fuzzy chain
+        # sets, largest first (enclone exact_subclonotype numbering)
+        by_exact: dict = {}
+        for bc in bcs:
+            by_exact.setdefault(exact_per_cell[bc], []).append(bc)
+        exacts = [dict(exact_subclonotype_id=i + 1,
+                       chains=[dict(chain=ch, v_gene=v, j_gene=j,
+                                    cdr3_nt=nt)
+                               for ch, v, j, nt in ekey],
+                       barcodes=sorted(ebcs), frequency=len(ebcs))
+                  for i, (ekey, ebcs) in enumerate(
+                      sorted(by_exact.items(),
+                             key=lambda kv: (-len(kv[1]), kv[0])))]
         out.append(dict(
             clonotype_id=f"clonotype{len(out) + 1}",
             chains=[dict(chain=ch, v_gene=v, j_gene=j, cdr3_nt=nt)
                     for ch, v, j, nt in key],
-            barcodes=sorted(bcs), frequency=len(bcs)))
+            barcodes=sorted(bcs), frequency=len(bcs),
+            exact_subclonotypes=exacts))
     return out

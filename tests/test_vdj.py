@@ -231,3 +231,55 @@ def test_fuzzy_clonotype_grouping():
 
     exact = group_clonotypes(cells, fuzzy=False)
     assert all(c["frequency"] == 1 for c in exact)
+
+
+def test_vdj_paired_end_scvdj(tmp_path):
+    """SCVDJ (paired-end): mate 2 contributes revcomp kmers; a transcript
+    covered half by mate1 and half by mate2 still assembles fully."""
+    import gzip
+    import numpy as np
+    from cellranger_tpu.pipeline.vdj import VdjConfig, run_vdj
+    rng = np.random.default_rng(33)
+    # mini V and J segments with a junction body
+    v_seq = "".join(rng.choice(list("ACGT"), 220))
+    j_seq = "".join(rng.choice(list("ACGT"), 80))
+    tx = v_seq + "TGTGCCAGCAGC" + j_seq  # contig with a CDR3-ish core
+    ref_fa = tmp_path / "regions.fa"
+    ref_fa.write_text(
+        f">1|TRBV1 TRBV1|L-REGION+V-REGION|TR|TRB|None|00\n{v_seq}\n"
+        f">2|TRBJ1 TRBJ1|J-REGION|TR|TRB|None|00\n{j_seq}\n")
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(30)})
+    (tmp_path / "wl.txt").write_text("\n".join(wl) + "\n")
+    comp = str.maketrans("ACGT", "TGCA")
+    r1p = str(tmp_path / "v_S1_L001_R1_001.fastq.gz")
+    r2p = str(tmp_path / "v_S1_L001_R2_001.fastq.gz")
+    RL = 120
+    # SCVDJ geometry: R1 = bc(16)+umi(10)+TSO(15)+cDNA; R2 = mate2
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        for i in range(60):
+            umi = "".join(rng.choice(list("ACGT"), 10))
+            # mate1 covers the 5' side; mate2 (revcomp) the 3' side with
+            # a guaranteed >=30bp overlap so the graph joins
+            p1 = int(rng.integers(0, 10))
+            mate1 = tx[p1:p1 + RL]
+            p2 = int(rng.integers(90, 110))
+            mate2 = tx[p2:p2 + RL].translate(comp)[::-1]
+            r1 = wl[i % 3] + umi + "ACGTACGTACGTACG" + mate1
+            f1.write(f"@v{i}\n{r1}\n+\n{'F' * len(r1)}\n")
+            f2.write(f"@v{i}\n{mate2}\n+\n{'F' * len(mate2)}\n")
+    out = str(tmp_path / "out")
+    s = run_vdj(VdjConfig(
+        fastq_pairs=[(r1p, r2p)], vdj_reference_fasta=str(ref_fa),
+        whitelist_path=str(tmp_path / "wl.txt"), chemistry="SCVDJ",
+        read_len=RL, batch_size=256), out)
+    import os
+    rows = open(os.path.join(out, "all_contig_annotations.csv")) \
+        .read().splitlines()
+    assert len(rows) > 1, "contigs assembled from paired mates"
+    # the longest contig spans (most of) the transcript — only possible
+    # with both mates contributing
+    import csv as _csv
+    recs = list(_csv.DictReader(rows))
+    max_len = max(int(r["length"]) for r in recs)
+    # mates jointly cover [0, ~230] of the 312bp transcript
+    assert max_len >= 200, (max_len, len(tx))

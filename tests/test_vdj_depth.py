@@ -118,3 +118,42 @@ def test_trim_primer_read():
     t = trim_primer_read(read, primers_rc)
     assert t == 25
     assert trim_primer_read(body, primers_rc) == 0
+
+
+def test_exact_subclonotypes():
+    """Cells with a 1-mismatch CDR3 variant fuzzy-merge into one clonotype
+    but split into distinct exact subclonotypes (enclone semantics)."""
+    from cellranger_tpu.vdj.annotate import group_clonotypes
+
+    class _Seg:
+        def __init__(self, name):
+            self.gene_name = name
+
+    class _Hit:
+        def __init__(self, name):
+            self.segment = _Seg(name)
+
+    class _Ann:
+        def __init__(self, chain, v, j, cdr3_nt):
+            self.chain = chain
+            self.v = _Hit(v)
+            self.j = _Hit(j)
+            self.cdr3_nt = cdr3_nt
+            self.productive = True
+
+    nt = "TGTGCCAGCAGCTTGGGACTTTT"         # 23nt
+    nt_mut = nt[:-2] + "AT"                # 1-2 mismatches, same length
+    cells = {
+        "bc1-1": [_Ann("TRB", "TRBV1", "TRBJ1", nt)],
+        "bc2-1": [_Ann("TRB", "TRBV1", "TRBJ1", nt)],
+        "bc3-1": [_Ann("TRB", "TRBV1", "TRBJ1", nt_mut)],
+    }
+    cts = group_clonotypes(cells)
+    assert len(cts) == 1
+    c = cts[0]
+    assert c["frequency"] == 3
+    subs = c["exact_subclonotypes"]
+    assert len(subs) == 2
+    assert subs[0]["frequency"] == 2 and subs[1]["frequency"] == 1
+    assert subs[0]["exact_subclonotype_id"] == 1
+    assert {b for s in subs for b in s["barcodes"]} == set(cells)
