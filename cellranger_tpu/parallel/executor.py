@@ -34,6 +34,45 @@ def _pow2(n: int, minimum: int = 1024) -> int:
     return p
 
 
+# dedup output packing: one [N, 12] int32 plane = ONE device->host fetch
+# per partition instead of 12 (each fetch is a round trip on tunneled
+# backends; measured ~45s of a 5M-read run's dedup phase)
+DD_FIELDS = ("mol_bc", "mol_gene", "mol_umi", "mol_reads", "mol_valid",
+             "raw_bc", "raw_gene", "raw_umi", "raw_corr_umi", "raw_low",
+             "raw_is_repr", "raw_reads")
+DD_U32 = frozenset(("mol_bc", "mol_gene", "mol_umi", "raw_bc", "raw_gene",
+                    "raw_umi", "raw_corr_umi"))
+
+
+def _pack_dd(dd: dict):
+    cols = []
+    for k in DD_FIELDS:
+        a = dd[k]
+        if a.dtype == jnp.uint32:
+            a = jax.lax.bitcast_convert_type(a, jnp.int32)
+        cols.append(a.astype(jnp.int32))
+    return jnp.stack(cols, axis=1)
+
+
+def _unpack_dd(plane: np.ndarray) -> dict:
+    out = {}
+    for j, k in enumerate(DD_FIELDS):
+        col = plane[:, j]
+        out[k] = col.view(np.uint32) if k in DD_U32 else col
+    return out
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("umi_len",),
+                   donate_argnums=(0, 1, 2, 3))
+def _dedup_packed(bc, gene, umi, valid, umi_len: int):
+    dd = dedup_molecules(bc, gene, umi, valid, umi_len)
+    dd.pop("n_molecules")
+    return _pack_dd(dd)
+
+
 class Executor:
     """Single- or multi-chip execution of the counting hot path."""
 
@@ -75,6 +114,41 @@ class Executor:
                 self.mesh, wl_size, self.axis)
         return self._hist_fn(self.put(idx), self.put(valid))
 
+    def make_pass1(self, wl_size: int):
+        """ONE jitted program per pass-1 batch: whitelist lookup +
+        histogram + accumulate, all device-resident.  Eager per-op
+        dispatch here cost ~25s/batch on tunneled backends (every op a
+        round trip)."""
+        import functools
+        from ..ops.barcode import count_valid_barcodes, whitelist_lookup
+
+        def _hist(bc_packed, slot_valid, wl_table):
+            hit, idx = whitelist_lookup(bc_packed, wl_table)
+            return count_valid_barcodes(idx, slot_valid, wl_size)
+
+        if self.mesh is None:
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def hist_step(bc_packed, slot_valid, wl_table, wl_counts):
+                return wl_counts + _hist(bc_packed, slot_valid, wl_table)
+
+            def step(bc_packed, slot_valid, wl_table, wl_counts):
+                return hist_step(jnp.asarray(bc_packed),
+                                 jnp.asarray(slot_valid), wl_table,
+                                 wl_counts)
+            return step
+
+        from jax.sharding import PartitionSpec as P
+        fn = jax.jit(jax.shard_map(
+            lambda b, s, w: jax.lax.psum(_hist(b, s, w), self.axis),
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(None)),
+            out_specs=P(None), check_vma=False))
+
+        def step(bc_packed, slot_valid, wl_table, wl_counts):
+            return fn(self.put(bc_packed), self.put(slot_valid),
+                      wl_table) + wl_counts
+        return step
+
     def dedup_partitions(self, parts, umi_len: int):
         """Dedup barcode-disjoint molecule partitions.
 
@@ -114,26 +188,25 @@ class Executor:
             if N not in self._dedup_fns:
                 self._dedup_fns[N] = make_sharded_part_dedup(
                     self.mesh, umi_len, self.axis)
-            dd = self._dedup_fns[N](
+            plane = self._dedup_fns[N](
                 self.put(stack["bc"].reshape(-1)),
                 self.put(stack["gene"].reshape(-1)),
                 self.put(stack["umi"].reshape(-1)),
                 self.put(valid.reshape(-1)))
-            host = {k: np.asarray(v).reshape(n, N) for k, v in dd.items()}
+            host = np.asarray(plane).reshape(n, N, len(DD_FIELDS))
             for d in range(real):
-                yield self._compact({k: v[d] for k, v in host.items()})
+                yield self._compact(_unpack_dd(host[d]))
 
     def _dedup_host(self, bc, gene, umi, umi_len, N: int | None = None):
         N = N or _pow2(max(len(bc), 1))
         pad = N - len(bc)
-        dd = dedup_molecules(
+        plane = _dedup_packed(
             jnp.asarray(np.pad(np.asarray(bc, np.uint32), (0, pad))),
             jnp.asarray(np.pad(np.asarray(gene, np.uint32), (0, pad))),
             jnp.asarray(np.pad(np.asarray(umi, np.uint32), (0, pad))),
             jnp.asarray(np.pad(np.ones(len(bc), bool), (0, pad))),
             umi_len)
-        return self._compact({k: np.asarray(v) for k, v in dd.items()
-                              if k != "n_molecules"})
+        return self._compact(_unpack_dd(np.asarray(plane)))
 
     @staticmethod
     def _compact(dd: dict) -> dict:

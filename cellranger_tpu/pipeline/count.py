@@ -545,6 +545,24 @@ def _pow2_pad(n: int, minimum: int = 1024) -> int:
     return p
 
 
+def make_bc_resolver(bc_len: int):
+    """ONE jitted program for non-step library batches (RTL/FB): whitelist
+    lookup + posterior correction + combination.  Eager per-op dispatch is
+    a round trip each on tunneled backends."""
+    @jax.jit
+    def resolve(bc_packed, bc_qual, slot_valid, wl_table):
+        hit, idx = bcops.whitelist_lookup(bc_packed, wl_table)
+        corr_bc, corr_idx, corrected = bcops.correct_barcodes(
+            bc_packed, bc_qual, wl_table, bc_len)
+        bc_ok = (hit | corrected) & slot_valid
+        bc_idx = jnp.where(hit, idx, corr_idx)
+        n_corrected = jnp.sum((corrected & ~hit & slot_valid)
+                              .astype(jnp.int32))
+        return bc_ok, bc_idx, corr_bc, n_corrected
+
+    return resolve
+
+
 def _make_correct_cache(bc_len: int):
     """Power-of-two-bucketed jits of the posterior correction, for the
     overflow retry path (one compile per bucket size)."""
@@ -800,12 +818,15 @@ def run_count(cfg: CountConfig, out_dir: str,
                                cfg.read_len),
                     n_batch_args=10 if chem.rna2 is not None else 8))
         correct_fn = _make_correct_cache(chem.barcode_length)
+        bc_resolver = make_bc_resolver(chem.barcode_length)
         # whitelist as a bucket-row table: ONE row gather per membership /
         # correction-candidate probe; the count column (posterior prior)
         # is filled in after pass 1
         wl_table = BucketTable.build_exact(
             whitelist.sorted_seqs, np.arange(whitelist.size, dtype=np.uint32),
             entries=8, fields=3)
+        # device-resident ONCE: numpy leaves re-upload on every jit call
+        wl_table = jax.device_put(wl_table)
 
         # this host's share of the FASTQ work (all of it when single-host)
         # (pairs may be (r1, r2) or (r1, r2, i1) — I1 carries the barcode
@@ -834,11 +855,10 @@ def run_count(cfg: CountConfig, out_dir: str,
         # peak host RAM is O(one batch) — the SpillVec/shardio discipline
         # (spill_vec.rs) instead of r1's all-in-RAM batch list.
         wl_counts = jnp.zeros((whitelist.size,), jnp.int32)
+        pass1_step = executor.make_pass1(whitelist.size)
         for li, batch in my_batches():
-            hit, idx = bcops.whitelist_lookup(
-                jnp.asarray(batch.bc_packed), wl_table)
-            wl_counts = wl_counts + executor.histogram(
-                np.asarray(idx), batch.slot_valid, whitelist.size)
+            wl_counts = pass1_step(batch.bc_packed, batch.slot_valid,
+                                   wl_table, wl_counts)
             n = batch.n_reads
             metrics.q30_bc_bases += int((batch.bc_qual[:n] >= 63).sum())
             metrics.bc_bases += int(batch.bc_qual[:n].size)
@@ -856,7 +876,7 @@ def run_count(cfg: CountConfig, out_dir: str,
         # ---- pass 2: fused correct/align/annotate, spilling molecules ----
         # fill the whitelist rows' count column with the pass-1 prior so each
         # correction candidate probe is a single row gather
-        wl_table = wl_table.with_counts(np.asarray(wl_counts))
+        wl_table = jax.device_put(wl_table.with_counts(np.asarray(wl_counts)))
         n_parts = int(_param("spill_partitions") or
                       (SPILL_PARTS if executor.n_devices <= SPILL_PARTS
                        else executor.n_devices))
@@ -919,14 +939,10 @@ def run_count(cfg: CountConfig, out_dir: str,
                     pending = None
             if lib_type == "Gene Expression" and probe_set is not None:
                 # RTL: cell-barcode handling + probe alignment
-                hit, idx = bcops.whitelist_lookup(
-                    jnp.asarray(batch.bc_packed), wl_table)
-                corr_bc, corr_idx, corrected = bcops.correct_barcodes(
-                    jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
-                    wl_table, chem.barcode_length)
                 slot = jnp.asarray(batch.slot_valid)
-                bc_ok = (hit | corrected) & slot
-                bc_idx = jnp.where(hit, idx, corr_idx)
+                bc_ok, bc_idx, corr_bc, n_corrected = bc_resolver(
+                    jnp.asarray(batch.bc_packed),
+                    jnp.asarray(batch.bc_qual), slot, wl_table)
                 pa = probe_align(jnp.asarray(batch.rna),
                                  jnp.asarray(batch.rna_nmask))
                 conf = (np.asarray(pa["conf_mapped"]) & np.asarray(bc_ok)
@@ -941,10 +957,9 @@ def run_count(cfg: CountConfig, out_dir: str,
                     bc_combined = bc_combined * n_probe + np.maximum(pidx, 0)
                 metrics.total_reads += batch.n_reads
                 metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
-                metrics.corrected_barcode_reads += int(
-                    jnp.sum(corrected & ~hit & slot))
+                metrics.corrected_barcode_reads += int(n_corrected)
                 metrics.valid_umi_reads += int(
-                    jnp.sum(jnp.asarray(batch.umi_valid) & slot))
+                    (batch.umi_valid & batch.slot_valid).sum())
                 metrics.mapped_reads += int(np.asarray(pa["mapped"]).sum())
                 metrics.conf_mapped_reads += int(np.asarray(pa["conf_mapped"]).sum())
                 metrics.usable_reads += int(conf.sum())
@@ -973,18 +988,15 @@ def run_count(cfg: CountConfig, out_dir: str,
                 # extraction over every declared pattern (R1 patterns read
                 # the R1 remainder, R2 patterns the cDNA read —
                 # feature_extraction.rs:166 supports both)
-                hit, idx = bcops.whitelist_lookup(
-                    jnp.asarray(batch.bc_packed), wl_table)
-                corr_bc, corr_idx, corrected = bcops.correct_barcodes(
-                    jnp.asarray(batch.bc_packed), jnp.asarray(batch.bc_qual),
-                    wl_table, chem.barcode_length)
                 slot = jnp.asarray(batch.slot_valid)
-                bc_ok = (hit | corrected) & slot
-                bc_idx = jnp.where(hit, idx, corr_idx)
+                bc_ok, bc_idx, corr_bc, n_corrected = bc_resolver(
+                    jnp.asarray(batch.bc_packed),
+                    jnp.asarray(batch.bc_qual), slot, wl_table)
                 metrics.total_reads += batch.n_reads
                 metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
+                metrics.corrected_barcode_reads += int(n_corrected)
                 metrics.valid_umi_reads += int(
-                    jnp.sum(jnp.asarray(batch.umi_valid) & slot))
+                    (batch.umi_valid & batch.slot_valid).sum())
                 bc_ok_np = np.asarray(bc_ok)
                 fb_rows = None  # per-read best extraction (BAM tags)
                 for pat, extract in fb_extractors.items():
