@@ -350,11 +350,18 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         win, wok = fetch_win(idx, jnp.where(cand_ok, cand_pos, 0))
         if N_OFF > 1:
             # parity mode: the true window start is cand_pos + o, o in
-            # [0, N_OFF); pick o by net match count, then score once
-            wins = jnp.stack([win[..., o:o + L] for o in range(N_OFF)], 2)
-            woks = jnp.stack([wok[..., o:o + L] for o in range(N_OFF)], 2)
-            act5 = mask_d[:, :, None, :] & woks              # [B, D, O, L]
-            m5 = (wins == codes_d[:, :, None, :]) & act5
+            # [0, N_OFF); pick o by net match count over a SUBSAMPLE of
+            # read positions (stride 5 ~ 19 columns), then score once.
+            # The right offset matches ~all sampled bases, a wrong offset
+            # ~25% — the gap dwarfs sampling noise, and full-length
+            # Kadane scoring below is unchanged.  5x fewer compares.
+            sub = np.arange(0, L, 5, dtype=np.int32)
+            wins = jnp.stack([win[..., o:o + L][..., sub]
+                              for o in range(N_OFF)], 2)
+            woks = jnp.stack([wok[..., o:o + L][..., sub]
+                              for o in range(N_OFF)], 2)
+            act5 = mask_d[:, :, None, sub] & woks         # [B, D, O, |sub|]
+            m5 = (wins == codes_d[:, :, None, sub]) & act5
             net = (2 * jnp.sum(m5, -1, dtype=jnp.int32)
                    - jnp.sum(act5, -1, dtype=jnp.int32))
             best_off = jnp.argmax(net, axis=2).astype(jnp.int32)  # [B, D]

@@ -28,9 +28,7 @@ def _cmd_count(args):
         from .pipeline.detect_chemistry import detect_chemistry
         wl = Whitelist.load(args.whitelist)
         det = detect_chemistry(pairs[0][0], {wl.name: wl},
-                               candidates=tuple(
-                                   c for c in ("SC3Pv4", "SC3Pv3", "SC3Pv2",
-                                               "SC5P-R2", "SFRP")))
+                               r2_path=pairs[0][1])
         args.chemistry = det["chemistry"]
         print(f"detected chemistry: {args.chemistry} "
               f"(whitelist hit frac {det['frac']:.3f})")
