@@ -227,8 +227,13 @@ def make_aligner(idx: DeviceIndex, read_len: int,
     # diagonal to a multiple of 4, so the true window offset is in [0, 4]
     N_OFF = 5 if PARITY else 1
     if MINI:
-        # expected winnowing density is 2/(w+1); 1.5x headroom, floor 8
-        S = max(8, int(np.ceil(3 * (L - k + 1) / (idx.minimizer_w + 1))))
+        # expected winnowing density is 2/(w+1); headroom covers pick-rich
+        # reads (site-tunable: each extra seed is one more HBM row gather
+        # per read against the multi-GB human table)
+        from ..params import get as _param
+        headroom = float(_param("minimizer_seed_headroom"))
+        S = max(8, int(np.ceil(headroom * 2 * (L - k + 1)
+                               / (idx.minimizer_w + 1))))
         seed_offsets = None
     else:
         seed_offsets = np.arange(0, L - k + 1, SEED_STRIDE, dtype=np.int32)

@@ -27,6 +27,7 @@ DEFAULTS: dict = {
     "threeprime_lt_multiplexing": False,
     "min_major_probe_bc_frac": 0.7,
     # TPU-engine-specific site knobs
+    "minimizer_seed_headroom": 1.5,  # x expected winnowing density
     "umi_min_read_length": None,    # override chemistry UMI min length
     "batch_size": None,             # override CountConfig.batch_size
     "spill_partitions": None,       # override pipeline SPILL_PARTS
