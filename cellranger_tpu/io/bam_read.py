@@ -55,10 +55,14 @@ def read_bam(path):
                 tags[tag] = struct.unpack_from("<i", data, o)[0]; o += 4
             elif tc == "A":
                 tags[tag] = chr(data[o]); o += 1
-            elif tc in "cC":
+            elif tc == "C":
                 tags[tag] = data[o]; o += 1
-            elif tc in "sS":
+            elif tc == "c":
+                tags[tag] = struct.unpack_from("<b", data, o)[0]; o += 1
+            elif tc == "S":
                 tags[tag] = struct.unpack_from("<H", data, o)[0]; o += 2
+            elif tc == "s":
+                tags[tag] = struct.unpack_from("<h", data, o)[0]; o += 2
             else:
                 raise ValueError(f"unhandled tag type {tc}")
         records.append(dict(name=name.decode(), flag=flag, ref_id=ref_id,

@@ -164,9 +164,7 @@ def required_widths(chem: Chemistry, read_len: int,
     need(chem.overhang)
     if keep_r1_rest:
         w["R1"] = max(w["R1"], r1_rest_offset(chem) + read_len)
-    if w["R2"] == 0 and chem.rna.read != "R2":
-        pass  # R2 unused by this chemistry (e.g. SC5P-R1)
-    return w
+    return w  # w["R2"] may be 0: R2 unused (e.g. SC5P-R1)
 
 
 def extract_batch(chem: Chemistry, r1: list[tuple[bytes, bytes]],

@@ -254,7 +254,8 @@ class BamCollector:
                             if mol_key not in seen_mol:
                                 seen_mol.add(mol_key)
                                 xf |= XF_UMI_COUNT
-                    tags.append(("xf", "i", xf))
+                # every record carries xf (unmapped non-feature: 0)
+                tags.append(("xf", "i", xf))
                 w.write_record(cat["names"][i], FLAG_UNMAPPED, -1, -1, 0, [],
                                seq, qual, tags)
                 continue

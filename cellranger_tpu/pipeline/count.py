@@ -171,7 +171,11 @@ KG_LIST = 4  # gene_list/anti_list columns appended after I32_FIELDS
 
 
 def unpack_step_out(out) -> tuple[dict, dict]:
-    """Packed device step output -> (ho: named host arrays, m: metrics)."""
+    """Packed device step output -> (ho: named host arrays, m: metrics).
+    Also accepts the adaptive (fused=False) step's NAMED output form."""
+    if "i32" not in out:
+        ho = {k: np.asarray(v) for k, v in out.items() if k != "metrics"}
+        return ho, {k: int(v) for k, v in out["metrics"].items()}
     i32 = np.asarray(out["i32"])
     flags = np.asarray(out["flags"])
     mvec = np.asarray(out["mvec"])
@@ -347,6 +351,9 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
         # (either mate unmapped / discordant) is unmapped as a whole
         # (new_pe at read.rs:1142-1152 treats one-sided pairs as Unmapped).
         if paired:
+            # mate 2 is intentionally NOT adapter-trimmed: the reference
+            # skips trimming for the 5' R2 mate ("the usual trimmer
+            # doesn't apply", aligner.rs:399-402)
             aln2 = align_impl(didx, rna2, rna2_nmask)
             # mate 2 reads toward the 5' end: its sense is the flip of its
             # own genomic strand in the chemistry's frame
@@ -867,6 +874,10 @@ def run_count(cfg: CountConfig, out_dir: str,
             in_len = batch.rna_qual[:n][batch.rna_nmask[:n]]
             metrics.q30_rna_bases += int((in_len >= 63).sum())
             metrics.rna_bases += int(in_len.size)
+            if batch.rna2 is not None:   # paired-end mate counts too
+                in2 = batch.rna2_qual[:n][batch.rna2_nmask[:n]]
+                metrics.q30_rna_bases += int((in2 >= 63).sum())
+                metrics.rna_bases += int(in2.size)
         # one cross-host collective merges the histogram (Metric::merge of
         # MAKE_SHARD's join); every host needs the global prior for pass 2
         wl_counts = dist.allsum_array(np.asarray(wl_counts))
@@ -880,6 +891,15 @@ def run_count(cfg: CountConfig, out_dir: str,
         n_parts = int(_param("spill_partitions") or
                       (SPILL_PARTS if executor.n_devices <= SPILL_PARTS
                        else executor.n_devices))
+        if multihost:
+            # clear STALE spill files from a prior failed run (a smaller
+            # host set would otherwise leave old host*_part files that
+            # load_union would silently merge)
+            if pid == 0:
+                import glob as _glob
+                for f in _glob.glob(os.path.join(out_dir, "_spill", "*")):
+                    os.remove(f)
+            dist.barrier("spill-clean")
         spill = MoleculeSpill(os.path.join(out_dir, "_spill"), n_parts,
                               prefix=f"host{pid}_" if multihost else "")
         sj_counts: dict = {}   # (donor, acceptor, strand, annotated) -> reads
@@ -998,7 +1018,8 @@ def run_count(cfg: CountConfig, out_dir: str,
                 metrics.valid_umi_reads += int(
                     (batch.umi_valid & batch.slot_valid).sum())
                 bc_ok_np = np.asarray(bc_ok)
-                fb_rows = None  # per-read best extraction (BAM tags)
+                n = batch.n_reads
+                fb_rows = None  # per-read best extraction across patterns
                 for pat, extract in fb_extractors.items():
                     if pat.read == "R1":
                         if batch.r1_rest is None:
@@ -1010,44 +1031,46 @@ def run_count(cfg: CountConfig, out_dir: str,
                                batch.rna_qual)
                     fo = extract(jnp.asarray(src[0]), jnp.asarray(src[1]),
                                  jnp.asarray(src[2]))
-                    found = np.asarray(fo["found"])
-                    conf = found & bc_ok_np & batch.umi_valid
-                    metrics.usable_reads += int(conf.sum())
-                    metrics.conf_mapped_reads += int(conf.sum())
-                    spill.append(np.asarray(bc_idx).astype(np.uint32)[conf],
-                                 (np.asarray(fo["feature"])[conf]
-                                  + n_genes).astype(np.uint32),
-                                 np.asarray(batch.umi_packed)[conf])
+                    found_n = np.asarray(fo["found"])[:n]
+                    ext = np.asarray(fo["extracted"])[:n]
+                    gene_n = (np.asarray(fo["feature"])[:n]
+                              + n_genes).astype(np.uint32)
                     if bam_collector is not None:
-                        n = batch.n_reads
                         fr, fq, fbs, fx = _fb_tag_lists(
                             pat, src, fo, fb_ref, features, n_genes, n)
-                        ext = np.asarray(fo["extracted"])[:n]
-                        gene_n = (np.asarray(fo["feature"])[:n]
-                                  + n_genes).astype(np.uint32)
-                        found_n = found[:n]
-                        if fb_rows is None:
-                            fb_rows = dict(
-                                fr=fr, fq=fq, fb=fbs, fx=fx,
-                                conf=conf[:n].copy(), found=found_n.copy(),
-                                extracted=ext.copy(), gene=gene_n.copy())
-                        else:
-                            # a pattern that FOUND a whitelist match beats
-                            # one that merely extracted bases; otherwise
-                            # first extraction wins
-                            use = (found_n & ~fb_rows["found"]) \
-                                | (ext & ~fb_rows["extracted"])
-                            for i in np.flatnonzero(use):
-                                fb_rows["fr"][i] = fr[i]
-                                fb_rows["fq"][i] = fq[i]
-                                fb_rows["fb"][i] = fbs[i]
-                                fb_rows["fx"][i] = fx[i]
-                            fb_rows["conf"] = np.where(use, conf[:n],
-                                                       fb_rows["conf"])
-                            fb_rows["gene"] = np.where(use, gene_n,
-                                                       fb_rows["gene"])
-                            fb_rows["found"] |= found_n
-                            fb_rows["extracted"] |= ext
+                    else:
+                        fr = fq = fbs = fx = [b""] * n
+                    if fb_rows is None:
+                        fb_rows = dict(
+                            fr=fr, fq=fq, fb=fbs, fx=fx,
+                            found=found_n.copy(), extracted=ext.copy(),
+                            gene=gene_n.copy())
+                    else:
+                        # ONE feature per read across patterns (the
+                        # reference extracts a single FeatureExtracted per
+                        # read): a pattern that FOUND a whitelist match
+                        # beats one that merely extracted bases; otherwise
+                        # first extraction wins
+                        use = (found_n & ~fb_rows["found"])                             | (ext & ~fb_rows["extracted"])
+                        for i in np.flatnonzero(use):
+                            fb_rows["fr"][i] = fr[i]
+                            fb_rows["fq"][i] = fq[i]
+                            fb_rows["fb"][i] = fbs[i]
+                            fb_rows["fx"][i] = fx[i]
+                        fb_rows["gene"] = np.where(use, gene_n,
+                                                   fb_rows["gene"])
+                        fb_rows["found"] |= found_n
+                        fb_rows["extracted"] |= ext
+                if fb_rows is not None:
+                    conf = (fb_rows["found"] & bc_ok_np[:n]
+                            & batch.umi_valid[:n])
+                    fb_rows["conf"] = conf
+                    metrics.usable_reads += int(conf.sum())
+                    metrics.conf_mapped_reads += int(conf.sum())
+                    spill.append(
+                        np.asarray(bc_idx).astype(np.uint32)[:n][conf],
+                        fb_rows["gene"][conf],
+                        np.asarray(batch.umi_packed)[:n][conf])
                 if bam_collector is not None and fb_rows is not None:
                     bam_collector.add_feature_batch(
                         batch, fb_rows["conf"], bc_ok_np,

@@ -72,11 +72,20 @@ def check_fastqs(pairs, chem=None, read_len: int = 91) -> list[str]:
                 bc_umi = (chem.umi.offset + (chem.umi.min_length
                                              or chem.umi.length or 0)
                           if chem.umi.read == "R1" else 0)
-                if seq and len(seq) < bc_umi:
+                # every structured span on R1 must fit (probe barcodes on
+                # R1 sit past the UMI for MFRP-*-R1 chemistries)
+                structured = max(
+                    [bc_umi] + [sp.offset + sp.length
+                                for sp in (chem.barcode[0].span,
+                                           chem.probe_bc, chem.overhang)
+                                if sp is not None and sp.read == "R1"
+                                and sp.length])
+                if seq and len(seq) < structured:
                     problems.append(
                         f"R1 reads in {pair[0]} are {len(seq)}bp but "
-                        f"chemistry {chem.name} needs at least {bc_umi}bp "
-                        f"(barcode+UMI); was the right chemistry selected?")
+                        f"chemistry {chem.name} needs at least "
+                        f"{structured}bp (barcode/UMI/probe spans); was "
+                        f"the right chemistry selected?")
             except OSError:
                 pass
             if w["I1"] > 0 and (len(pair) < 3 or pair[2] is None):

@@ -150,7 +150,8 @@ class BamSpool:
         self.dir = directory
         self.n_bands = n_bands
         os.makedirs(directory, exist_ok=True)
-        self._files = [open(os.path.join(directory, f"band{b}.pkl"), "ab")
+        # "wb": a retried run must not replay a prior attempt's bands
+        self._files = [open(os.path.join(directory, f"band{b}.pkl"), "wb")
                        for b in range(n_bands + 1)]
 
     def add(self, band: np.ndarray, chunk: dict):
