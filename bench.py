@@ -70,10 +70,11 @@ def _build_step(genome: bytes, txome, wl_seqs: np.ndarray, chem):
 
 
 def _make_batch(rng, genome_codes: np.ndarray, wl_seqs: np.ndarray,
-                batch: int):
+                batch: int, pos=None):
     import jax.numpy as jnp
     G = len(genome_codes)
-    pos = rng.integers(0, G - READ_LEN - 1, batch)
+    if pos is None:
+        pos = rng.integers(0, G - READ_LEN - 1, batch)
     rna = genome_codes[pos[:, None] + np.arange(READ_LEN)[None, :]].copy()
     err_pos = rng.integers(0, READ_LEN, (batch, 2))
     for j in range(2):
@@ -178,9 +179,16 @@ def bench_human_scale(chem, txome_of):
     wl_table = BucketTable.build_exact(
         wl, np.arange(len(wl), dtype=np.uint32),
         entries=8, fields=3).with_counts(np.ones(len(wl), np.int64))
-    # reads: 25% from the repeated segment (multimapper pressure)
+    # reads: 25% drawn FROM the repeated segment (multimapper pressure);
+    # the rest uniform over the whole genome
     rng2 = np.random.default_rng(2)
-    args = _make_batch(rng2, genome_codes, wl, BATCH) + (wl_table,)
+    n_rep = BATCH // 4
+    pos = np.concatenate([
+        rng2.integers(0, HUMAN_REPEAT_COPIES * HUMAN_REPEAT_LEN - READ_LEN,
+                      n_rep),
+        rng2.integers(0, HUMAN_GENOME_LEN - READ_LEN - 1, BATCH - n_rep)])
+    rng2.shuffle(pos)
+    args = _make_batch(rng2, genome_codes, wl, BATCH, pos=pos) + (wl_table,)
     print(f"bench[human]: index {built} ({t_index:.0f}s), compiling...",
           file=sys.stderr)
     dt, t_compile, m = _time_step(step, args, HUMAN_TIMED_ITERS)

@@ -144,9 +144,14 @@ def r1_rest_offset(chem: Chemistry) -> int:
 
 
 def required_widths(chem: Chemistry, read_len: int,
-                    keep_r1_rest: bool = False) -> dict[str, int]:
+                    keep_r1_rest: bool = False,
+                    barcode_only: bool = False) -> dict[str, int]:
     """Rectangular buffer width each physical read needs, keyed by read
-    name ("R1"/"R2"/"I1"); 0 when the chemistry never touches that read."""
+    name ("R1"/"R2"/"I1"); 0 when the chemistry never touches that read.
+
+    barcode_only: pass-1 mode — only the barcode + UMI spans are needed, so
+    the cDNA read (usually the whole of R2) is never decoded and R2 often
+    needn't be opened at all (halves pass-1 IO)."""
     w = {"R1": 0, "R2": 0, "I1": 0}
 
     def need(span: Span | None, full=False):
@@ -158,6 +163,8 @@ def required_widths(chem: Chemistry, read_len: int,
 
     need(chem.barcode[0].span)
     need(chem.umi)
+    if barcode_only:
+        return w
     need(chem.rna, full=True)
     need(chem.rna2, full=True)
     need(chem.probe_bc)
@@ -173,23 +180,26 @@ def extract_batch(chem: Chemistry, r1: list[tuple[bytes, bytes]],
                   start_read_id: int = 0,
                   names: list[bytes] | None = None,
                   i1: list[tuple[bytes, bytes]] | None = None,
-                  keep_r1_rest: bool = False) -> ReadBatch:
+                  keep_r1_rest: bool = False,
+                  barcode_only: bool = False) -> ReadBatch:
     """Extract barcode/UMI/cDNA planes from raw R1 (+R2, +I1) record lists."""
-    w = required_widths(chem, read_len, keep_r1_rest)
+    w = required_widths(chem, read_len, keep_r1_rest, barcode_only)
     r1_arrays = _rectangularize(r1, max(w["R1"], 1))
     r2_arrays = _rectangularize(r2, max(w["R2"], 1)) if r2 is not None else None
     i1_arrays = _rectangularize(i1, max(w["I1"], 1)) if i1 is not None else None
     return extract_batch_arrays(chem, r1_arrays, r2_arrays, read_len,
                                 batch_size, start_read_id, names,
                                 i1_arrays=i1_arrays,
-                                keep_r1_rest=keep_r1_rest)
+                                keep_r1_rest=keep_r1_rest,
+                                barcode_only=barcode_only)
 
 
 def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
                          read_len: int, batch_size: int,
                          start_read_id: int = 0,
                          names: list[bytes] | None = None,
-                         i1_arrays=None, keep_r1_rest: bool = False) -> ReadBatch:
+                         i1_arrays=None, keep_r1_rest: bool = False,
+                         barcode_only: bool = False) -> ReadBatch:
     """Extraction core over rectangular (seqs, quals, lens) arrays — the
     zero-copy path fed by the native reader."""
     r1seq, r1qual, r1len = r1_arrays
@@ -236,16 +246,24 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
     umi_packed = encode.pack_codes_np(np.where(in_len, ucodes, 0), umi_span.length)
 
     # cDNA
-    cseq, cqual, clen = span_arrays(chem.rna, max_len=read_len)
-    ccodes, cvalid = encode.encode_seqs(cseq)
-    W = cseq.shape[1]
-    if W < read_len:
-        padw = read_len - W
-        ccodes = np.pad(ccodes, ((0, 0), (0, padw)))
-        cvalid = np.pad(cvalid, ((0, 0), (0, padw)))
-        cqual = np.pad(cqual, ((0, 0), (0, padw)), constant_values=ord("!"))
-    cpos = np.arange(read_len)[None, :]
-    nmask = cvalid & (cpos < clen[:, None])
+    if barcode_only:
+        # pass-1 mode: barcode+UMI only; 1-wide placeholders keep the
+        # ReadBatch shape contract without decoding the cDNA read
+        ccodes = np.zeros((n, 1), np.uint8)
+        nmask = np.zeros((n, 1), bool)
+        clen = np.zeros(n, np.int32)
+        cqual = np.full((n, 1), ord("!"), np.uint8)
+    else:
+        cseq, cqual, clen = span_arrays(chem.rna, max_len=read_len)
+        ccodes, cvalid = encode.encode_seqs(cseq)
+        W = cseq.shape[1]
+        if W < read_len:
+            padw = read_len - W
+            ccodes = np.pad(ccodes, ((0, 0), (0, padw)))
+            cvalid = np.pad(cvalid, ((0, 0), (0, padw)))
+            cqual = np.pad(cqual, ((0, 0), (0, padw)), constant_values=ord("!"))
+        cpos = np.arange(read_len)[None, :]
+        nmask = cvalid & (cpos < clen[:, None])
 
     def padb(a, fill=0):
         if len(a) == batch_size:
@@ -255,7 +273,7 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
 
     # paired-end mate (chem.rna2): same clip/pad treatment as the cDNA
     rna2 = rna2_nmask = rna2_len = rna2_qual = None
-    if chem.rna2 is not None:
+    if chem.rna2 is not None and not barcode_only:
         c2seq, c2qual, c2len = span_arrays(chem.rna2, max_len=read_len)
         c2codes, c2valid = encode.encode_seqs(c2seq)
         W2 = c2seq.shape[1]
@@ -287,7 +305,7 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
 
     # overhang sample barcode (OH multiplexing): a 2bp view into R1
     oh_packed = oh_exact = None
-    if chem.overhang is not None:
+    if chem.overhang is not None and not barcode_only:
         oseq, _oq, olen = span_arrays(chem.overhang)
         ocodes, ovalid = encode.encode_seqs(oseq)
         oh_exact = padb((ovalid.all(axis=1)
@@ -296,7 +314,7 @@ def extract_batch_arrays(chem: Chemistry, r1_arrays, r2_arrays,
 
     # probe barcode (RTL multiplexing)
     probe_packed = probe_exact = probe_qual = None
-    if chem.probe_bc is not None:
+    if chem.probe_bc is not None and not barcode_only:
         pseq, pqual, plen = span_arrays(chem.probe_bc)
         pcodes, pvalid = encode.encode_seqs(pseq)
         probe_exact = padb((pvalid.all(axis=1)
@@ -338,20 +356,26 @@ def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
                         keep_names: bool = False,
                         use_native: bool = True,
                         i1_path: str | None = None,
-                        keep_r1_rest: bool = False) -> Iterator[ReadBatch]:
+                        keep_r1_rest: bool = False,
+                        barcode_only: bool = False) -> Iterator[ReadBatch]:
     """Stream ReadBatches from a (R1, R2[, I1]) FASTQ set; prefers the
     native (C++/zlib) reader, falling back to the pure-python parser.
-    I1 carries the barcode for SC3Pv1 (chemistry_defs.json SC3Pv1)."""
-    needs_i1 = required_widths(chem, read_len)["I1"] > 0
+    I1 carries the barcode for SC3Pv1 (chemistry_defs.json SC3Pv1).
+    barcode_only skips decoding (and, when possible, even opening) every
+    read the barcode+UMI don't live on — the pass-1 fast path."""
+    w = required_widths(chem, read_len, keep_r1_rest, barcode_only)
+    needs_i1 = w["I1"] > 0
     if needs_i1 and not i1_path:
         raise ValueError(
             f"chemistry {chem.name} reads the barcode from I1; pass the "
             "_I1_ FASTQ (find_fastqs discovers it alongside R1/R2)")
+    if barcode_only and w["R2"] == 0:
+        r2_path = None
     if use_native:
         try:
             yield from _batches_native(chem, r1_path, r2_path, batch_size,
                                        read_len, keep_names, i1_path,
-                                       keep_r1_rest)
+                                       keep_r1_rest, barcode_only)
             return
         except RuntimeError:
             pass  # no toolchain: python fallback
@@ -382,7 +406,8 @@ def batches_from_fastqs(chem: Chemistry, r1_path: str, r2_path: str | None,
         if not r1:
             return
         yield extract_batch(chem, r1, r2, read_len, batch_size, next_id,
-                            names=names, i1=i1, keep_r1_rest=keep_r1_rest)
+                            names=names, i1=i1, keep_r1_rest=keep_r1_rest,
+                            barcode_only=barcode_only)
         next_id += len(r1)
         if len(r1) < batch_size:
             return
@@ -392,10 +417,13 @@ def _batches_native(chem: Chemistry, r1_path: str, r2_path: str | None,
                     batch_size: int, read_len: int,
                     keep_names: bool,
                     i1_path: str | None = None,
-                    keep_r1_rest: bool = False) -> Iterator[ReadBatch]:
+                    keep_r1_rest: bool = False,
+                    barcode_only: bool = False) -> Iterator[ReadBatch]:
     from ..native import NativeFastqReader
 
-    w = required_widths(chem, read_len, keep_r1_rest)
+    w = required_widths(chem, read_len, keep_r1_rest, barcode_only)
+    if barcode_only and w["R2"] == 0:
+        r2_path = None
     rd1 = NativeFastqReader(r1_path, keep_names=keep_names)
     rd2 = NativeFastqReader(r2_path) if r2_path else None
     rdi = NativeFastqReader(i1_path) if i1_path else None
@@ -421,7 +449,8 @@ def _batches_native(chem: Chemistry, r1_path: str, r2_path: str | None,
             yield extract_batch_arrays(chem, (s1, q1, l1), r2_arrays,
                                        read_len, batch_size, next_id, names,
                                        i1_arrays=i1_arrays,
-                                       keep_r1_rest=keep_r1_rest)
+                                       keep_r1_rest=keep_r1_rest,
+                                       barcode_only=barcode_only)
             next_id += n
             if n < batch_size:
                 return

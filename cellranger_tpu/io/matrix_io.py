@@ -119,7 +119,9 @@ class CountMatrix:
             g = f.create_group("matrix")
             csc = self.m.tocsc()
             csc.sort_indices()
-            opts = dict(compression="gzip", shuffle=True)
+            # gzip level 1: ~5x faster writes than the default level 4 for
+            # ~5% size — matrix writes showed up in run profiles
+            opts = dict(compression="gzip", compression_opts=1, shuffle=True)
             g.create_dataset("data", data=csc.data.astype(np.int32), **opts)
             g.create_dataset("indices", data=csc.indices.astype(np.int64), **opts)
             g.create_dataset("indptr", data=csc.indptr.astype(np.int64), **opts)
@@ -154,13 +156,21 @@ class CountMatrix:
     def save_mex(self, directory: str):
         os.makedirs(directory, exist_ok=True)
         coo = self.m.tocoo()
-        with gzip.open(os.path.join(directory, "matrix.mtx.gz"), "wt") as f:
+        with gzip.open(os.path.join(directory, "matrix.mtx.gz"), "wt",
+                       compresslevel=1) as f:
             f.write("%%MatrixMarket matrix coordinate integer general\n")
             f.write('%metadata_json: {"software_version": "cellranger-tpu-0.1.0", '
                     '"format_version": 2}\n')
             f.write(f"{self.m.shape[0]} {self.m.shape[1]} {coo.nnz}\n")
-            for r, c, v in zip(coo.row, coo.col, coo.data):
-                f.write(f"{r + 1} {c + 1} {v}\n")
+            # one vectorized format pass (a python loop here was minutes at
+            # 100M-nnz scale)
+            rows = np.char.add(np.char.add(
+                (coo.row + 1).astype(np.int64).astype("U"), " "), np.char.add(
+                np.char.add((coo.col + 1).astype(np.int64).astype("U"), " "),
+                coo.data.astype(np.int64).astype("U")))
+            f.write("\n".join(rows.tolist()))
+            if len(rows):
+                f.write("\n")
         with gzip.open(os.path.join(directory, "features.tsv.gz"), "wt") as f:
             for d in self.features.feature_defs:
                 f.write(f"{d.id}\t{d.name}\t{d.feature_type}\n")

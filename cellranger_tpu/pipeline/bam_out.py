@@ -58,7 +58,11 @@ class BamCollector:
     def _sort_keys(self, pos, aln_len, mapped):
         g = self.gi.pos_to_genomic(pos.astype(np.int64),
                                    aln_len.astype(np.int64))
-        key = np.where(mapped, g["chrom"].astype(np.int64), 2**31) * (1 << 33) \
+        # unmapped sentinel chrom = chrom_count (fits the 33-bit-shift
+        # layout; _max_key reserves chrom_count+1, and 2**31 would overflow
+        # int64 under the shift)
+        key = np.where(mapped, g["chrom"].astype(np.int64),
+                       len(self.gi.chrom_names)) * (1 << 33) \
             + np.where(mapped, g["gpos"], 0)
         return key, g
 

@@ -845,42 +845,36 @@ def run_count(cfg: CountConfig, out_dir: str,
         # feature patterns declared on R1 need the R1-remainder view
         need_r1_rest = any(pat.read == "R1" for pat in fb_extractors)
 
-        def my_batches():
+        def my_batches(barcode_only: bool = False):
             for li, pair in my_work:
                 r1, r2 = pair[0], pair[1]
                 i1 = pair[2] if len(pair) > 2 else None
                 is_fb = libraries[li].library_type != "Gene Expression"
                 for batch in batches_from_fastqs(
                         chem, r1, r2, batch_size, cfg.read_len,
-                        keep_names=cfg.write_bam, i1_path=i1,
-                        keep_r1_rest=need_r1_rest and is_fb):
+                        keep_names=cfg.write_bam and not barcode_only,
+                        i1_path=i1,
+                        keep_r1_rest=need_r1_rest and is_fb
+                        and not barcode_only,
+                        barcode_only=barcode_only):
                     yield li, batch
 
         # ---- pass 1 (== MAKE_SHARD): stream + count valid barcodes ----
-        # Nothing is cached: pass 2 re-streams the FASTQs (the native
-        # reader decodes ~4M reads/s, far above the device step rate), so
-        # peak host RAM is O(one batch) — the SpillVec/shardio discipline
-        # (spill_vec.rs) instead of r1's all-in-RAM batch list.
-        wl_counts = jnp.zeros((whitelist.size,), jnp.int32)
-        pass1_step = executor.make_pass1(whitelist.size)
-        for li, batch in my_batches():
-            wl_counts = pass1_step(batch.bc_packed, batch.slot_valid,
-                                   wl_table, wl_counts)
-            n = batch.n_reads
-            metrics.q30_bc_bases += int((batch.bc_qual[:n] >= 63).sum())
-            metrics.bc_bases += int(batch.bc_qual[:n].size)
-            metrics.q30_umi_bases += int((batch.umi_qual[:n] >= 63).sum())
-            metrics.umi_bases += int(batch.umi_qual[:n].size)
-            in_len = batch.rna_qual[:n][batch.rna_nmask[:n]]
-            metrics.q30_rna_bases += int((in_len >= 63).sum())
-            metrics.rna_bases += int(in_len.size)
-            if batch.rna2 is not None:   # paired-end mate counts too
-                in2 = batch.rna2_qual[:n][batch.rna2_nmask[:n]]
-                metrics.q30_rna_bases += int((in2 >= 63).sum())
-                metrics.rna_bases += int(in2.size)
+        # HOST-ONLY: whitelist membership of 2-bit-packed barcodes is one
+        # vectorized searchsorted against the sorted whitelist — no device
+        # round trips, no compiles, and barcode_only decode never opens the
+        # cDNA read (half the IO).  Nothing is cached: pass 2 re-streams
+        # the FASTQs, so peak host RAM is O(one batch) — the
+        # SpillVec/shardio discipline (spill_vec.rs) instead of an
+        # all-in-RAM batch list.  q30 base tallies happen in pass 2 where
+        # the quals are decoded anyway.
+        wl_counts = np.zeros(whitelist.size, np.int64)
+        for li, batch in my_batches(barcode_only=True):
+            idx = whitelist.index_of(batch.bc_packed[:batch.n_reads])
+            np.add.at(wl_counts, idx[idx >= 0], 1)
         # one cross-host collective merges the histogram (Metric::merge of
         # MAKE_SHARD's join); every host needs the global prior for pass 2
-        wl_counts = dist.allsum_array(np.asarray(wl_counts))
+        wl_counts = dist.allsum_array(wl_counts)
 
         perf.lap("pass1_extract_whitelist")
 
@@ -951,6 +945,19 @@ def run_count(cfg: CountConfig, out_dir: str,
                 bam_collector.add_batch(batch, ho)
 
         for li, batch in my_batches():
+            # q30 base tallies (host; quals are decoded here anyway)
+            n0 = batch.n_reads
+            metrics.q30_bc_bases += int((batch.bc_qual[:n0] >= 63).sum())
+            metrics.bc_bases += int(batch.bc_qual[:n0].size)
+            metrics.q30_umi_bases += int((batch.umi_qual[:n0] >= 63).sum())
+            metrics.umi_bases += int(batch.umi_qual[:n0].size)
+            in_len = batch.rna_qual[:n0][batch.rna_nmask[:n0]]
+            metrics.q30_rna_bases += int((in_len >= 63).sum())
+            metrics.rna_bases += int(in_len.size)
+            if batch.rna2 is not None:   # paired-end mate counts too
+                in2 = batch.rna2_qual[:n0][batch.rna2_nmask[:n0]]
+                metrics.q30_rna_bases += int((in2 >= 63).sum())
+                metrics.rna_bases += int(in2.size)
             lib_type = libraries[li].library_type
             if lib_type != "Gene Expression" or probe_set is not None:
                 # non-step paths run synchronously; flush the pipeline

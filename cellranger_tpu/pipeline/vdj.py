@@ -34,8 +34,6 @@ from ..vdj.reference import VdjReference
 
 MIN_UMIS_PER_CONTIG = 2
 from ..params import get as _param
-# site tunable cap (parameters.toml vdj_max_reads_per_barcode)
-_VDJ_MAX_READS_PER_BC = int(_param("vdj_max_reads_per_barcode"))
 
 
 @dataclass
@@ -51,6 +49,9 @@ class VdjConfig:
 
 def run_vdj(cfg: VdjConfig, out_dir: str) -> dict:
     os.makedirs(out_dir, exist_ok=True)
+    # read the site tunable per RUN (not at import) so a parameters.toml /
+    # CRTPU_PARAMETERS override loaded after this module imports applies
+    _VDJ_MAX_READS_PER_BC = int(_param("vdj_max_reads_per_barcode"))
     chem = get_chemistry(cfg.chemistry)
     wl = Whitelist.load(cfg.whitelist_path)
     from ..ops.bucket_table import BucketTable

@@ -240,8 +240,11 @@ def check_bam(actual_path: str, expected_path: str,
         ref = r["ref_id"] if r["ref_id"] >= 0 else 1 << 30
         return (ref, r["pos"], r["name"])
 
-    recs_a = sorted((r for r in recs_a if not r["flag"] & 0x100), key=key)
-    recs_e = sorted((r for r in recs_e if not r["flag"] & 0x100), key=key)
+    # secondary alignments ARE compared (correctness.rs compares them and
+    # skips only their UB tag — the branch below); prior rounds filtered
+    # them out here, leaving that skip dead code
+    recs_a = sorted(recs_a, key=key)
+    recs_e = sorted(recs_e, key=key)
     if len(recs_a) != len(recs_e):
         diffs.append(f"record count {len(recs_a)} != {len(recs_e)}")
         return diffs
