@@ -49,12 +49,10 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
 
-def _build_step(genome: bytes, txome, wl_seqs: np.ndarray, chem):
-    import jax.numpy as jnp
+def _build_step(genome: bytes, txome, chem):
     from cellranger_tpu.align.aligner import DeviceIndex
     from cellranger_tpu.align.annotate import AnnotationIndex
     from cellranger_tpu.align.index import GenomeIndex
-    from cellranger_tpu.ops.bucket_table import BucketTable
     from cellranger_tpu.pipeline.count import _make_step
 
     t0 = time.time()
@@ -62,16 +60,20 @@ def _build_step(genome: bytes, txome, wl_seqs: np.ndarray, chem):
     t_index = time.time() - t0
     didx = DeviceIndex.from_host(gi)
     ann = AnnotationIndex.build(txome, gi)
-    step = _make_step(didx, ann, len(wl_seqs), chem, READ_LEN)
-    wl_table = BucketTable.build_exact(
-        wl_seqs, np.arange(len(wl_seqs), dtype=np.uint32),
-        entries=8, fields=3).with_counts(np.ones(len(wl_seqs), np.int64))
-    return step, wl_table, t_index
+    step = _make_step(didx, ann, chem, READ_LEN)
+    return step, t_index
 
 
 def _make_batch(rng, genome_codes: np.ndarray, wl_seqs: np.ndarray,
-                batch: int, pos=None):
+                batch: int, chem, pos=None):
+    """Synthetic batch -> (packed uint32 input plane, host time/s for the
+    barcode resolve+pack, which is part of the steady-state pipeline but
+    overlaps the device step in production)."""
     import jax.numpy as jnp
+    from types import SimpleNamespace
+    from cellranger_tpu.ops import barcode as bcops
+    from cellranger_tpu.pipeline.count import pack_step_input
+
     G = len(genome_codes)
     if pos is None:
         pos = rng.integers(0, G - READ_LEN - 1, batch)
@@ -80,22 +82,26 @@ def _make_batch(rng, genome_codes: np.ndarray, wl_seqs: np.ndarray,
     for j in range(2):
         rna[np.arange(batch), err_pos[:, j]] ^= 1
     # 97% exact whitelist hits, 3% one sequencing error (real v3 runs)
-    bc_idx = rng.integers(0, len(wl_seqs), batch)
-    bcs = wl_seqs[bc_idx].copy()
+    bc_i = rng.integers(0, len(wl_seqs), batch)
+    bcs = wl_seqs[bc_i].copy()
     n_err = (batch * 3) // 100
     flip = (rng.integers(1, 4, n_err).astype(np.uint32)
             << (2 * rng.integers(0, 16, n_err)).astype(np.uint32))
     bcs[:n_err] ^= flip
-    return (
-        jnp.asarray(bcs),
-        jnp.full((batch, 16), 70, jnp.uint8),
-        jnp.ones(batch, bool),
-        jnp.asarray(rng.integers(0, 1 << 24, batch).astype(np.uint32)),
-        jnp.ones(batch, bool),
-        jnp.asarray(rna),
-        jnp.ones((batch, READ_LEN), bool),
-        jnp.ones(batch, bool),
-    )
+    qual = np.full((batch, 16), 70, np.uint8)
+    slot = np.ones(batch, bool)
+    t0 = time.time()
+    bc_idx, hit, corrected, _cb = bcops.host_resolve_barcodes(
+        bcs, qual, slot, wl_seqs, np.ones(len(wl_seqs), np.int64), 16)
+    shim = SimpleNamespace(
+        batch_size=batch, umi_packed=rng.integers(
+            0, 1 << 24, batch).astype(np.uint32),
+        slot_valid=slot, umi_valid=np.ones(batch, bool), rna=rna,
+        rna_nmask=np.ones((batch, READ_LEN), bool),
+        rna2=None, rna2_nmask=None)
+    buf = pack_step_input(chem, READ_LEN, shim, bc_idx)
+    t_host = time.time() - t0
+    return jnp.asarray(buf), t_host
 
 
 def _time_step(step, args, iters: int, windows: int = 3):
@@ -129,12 +135,13 @@ def bench_primary(chem, txome_of):
     txome = txome_of(GENOME_LEN, 2000)
     wl = np.sort(np.unique(
         rng.integers(0, 2**32, N_WL, dtype=np.uint64).astype(np.uint32)))
-    step, wl_table, t_index = _build_step(genome, txome, wl, chem)
-    args = _make_batch(rng, genome_codes, wl, BATCH) + (wl_table,)
+    step, t_index = _build_step(genome, txome, chem)
+    buf, t_host = _make_batch(rng, genome_codes, wl, BATCH, chem)
     print("bench[primary]: compiled+timing...", file=sys.stderr)
-    dt, t_compile, m = _time_step(step, args, TIMED_ITERS)
+    dt, t_compile, m = _time_step(step, (buf,), TIMED_ITERS)
     return dict(reads_per_sec=BATCH / dt, step_ms=dt * 1e3,
                 compile_s=t_compile, host_index_build_s=t_index,
+                host_resolve_pack_ms=round(t_host * 1e3, 1),
                 mapped_frac=m["n_mapped"] / BATCH,
                 conf_frac=m["n_conf"] / BATCH)
 
@@ -145,7 +152,6 @@ def bench_human_scale(chem, txome_of):
     from cellranger_tpu.align.aligner import DeviceIndex
     from cellranger_tpu.align.annotate import AnnotationIndex
     from cellranger_tpu.align.index import GenomeIndex
-    from cellranger_tpu.ops.bucket_table import BucketTable
     from cellranger_tpu.pipeline.count import _make_step
 
     rng = np.random.default_rng(1)
@@ -172,13 +178,10 @@ def bench_human_scale(chem, txome_of):
 
     didx = DeviceIndex.from_host(gi)
     ann = AnnotationIndex.build(txome, gi)
-    step = _make_step(didx, ann, HUMAN_N_WL, chem, READ_LEN)
+    step = _make_step(didx, ann, chem, READ_LEN)
     wl = np.sort(np.unique(rng.integers(
         0, 2**32, HUMAN_N_WL + 200_000, dtype=np.uint64)
         .astype(np.uint32)))[:HUMAN_N_WL]
-    wl_table = BucketTable.build_exact(
-        wl, np.arange(len(wl), dtype=np.uint32),
-        entries=8, fields=3).with_counts(np.ones(len(wl), np.int64))
     # reads: 25% drawn FROM the repeated segment (multimapper pressure);
     # the rest uniform over the whole genome
     rng2 = np.random.default_rng(2)
@@ -188,10 +191,10 @@ def bench_human_scale(chem, txome_of):
                       n_rep),
         rng2.integers(0, HUMAN_GENOME_LEN - READ_LEN - 1, BATCH - n_rep)])
     rng2.shuffle(pos)
-    args = _make_batch(rng2, genome_codes, wl, BATCH, pos=pos) + (wl_table,)
+    buf, t_host = _make_batch(rng2, genome_codes, wl, BATCH, chem, pos=pos)
     print(f"bench[human]: index {built} ({t_index:.0f}s), compiling...",
           file=sys.stderr)
-    dt, t_compile, m = _time_step(step, args, HUMAN_TIMED_ITERS)
+    dt, t_compile, m = _time_step(step, (buf,), HUMAN_TIMED_ITERS)
     return dict(reads_per_sec=round(BATCH / dt, 1),
                 step_ms=round(dt * 1e3, 2), compile_s=round(t_compile, 1),
                 index_s=round(t_index, 1), index=built,

@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import make_sharded_step, make_sharded_bc_histogram, \
-    make_sharded_part_dedup
+from .mesh import make_sharded_step, make_sharded_part_dedup
 from ..ops.dedup import dedup_molecules
 
 
@@ -84,7 +83,6 @@ class Executor:
         self.n_devices = mesh.devices.size if mesh is not None else 1
         self._sharding = (NamedSharding(mesh, P(axis))
                           if mesh is not None else None)
-        self._hist_fn = None
         self._dedup_fns: dict[int, object] = {}
 
     def round_batch(self, batch_size: int) -> int:
@@ -98,56 +96,11 @@ class Executor:
             return jnp.asarray(a)
         return jax.device_put(np.asarray(a), self._sharding)
 
-    def wrap_step(self, step_fn, n_batch_args: int = 8):
+    def wrap_step(self, step_fn, n_batch_args: int = 1):
         if self.mesh is None:
             return step_fn
         return make_sharded_step(step_fn, self.mesh, self.axis,
                                  n_batch_args=n_batch_args)
-
-    def histogram(self, idx, valid, wl_size: int):
-        """Whitelist count histogram of one batch (psum-merged on a mesh)."""
-        from ..ops.barcode import count_valid_barcodes
-        if self.mesh is None:
-            return count_valid_barcodes(idx, valid, wl_size)
-        if self._hist_fn is None:
-            self._hist_fn = make_sharded_bc_histogram(
-                self.mesh, wl_size, self.axis)
-        return self._hist_fn(self.put(idx), self.put(valid))
-
-    def make_pass1(self, wl_size: int):
-        """ONE jitted program per pass-1 batch: whitelist lookup +
-        histogram + accumulate, all device-resident.  Eager per-op
-        dispatch here cost ~25s/batch on tunneled backends (every op a
-        round trip)."""
-        import functools
-        from ..ops.barcode import count_valid_barcodes, whitelist_lookup
-
-        def _hist(bc_packed, slot_valid, wl_table):
-            hit, idx = whitelist_lookup(bc_packed, wl_table)
-            return count_valid_barcodes(idx, slot_valid, wl_size)
-
-        if self.mesh is None:
-            @functools.partial(jax.jit, donate_argnums=(3,))
-            def hist_step(bc_packed, slot_valid, wl_table, wl_counts):
-                return wl_counts + _hist(bc_packed, slot_valid, wl_table)
-
-            def step(bc_packed, slot_valid, wl_table, wl_counts):
-                return hist_step(jnp.asarray(bc_packed),
-                                 jnp.asarray(slot_valid), wl_table,
-                                 wl_counts)
-            return step
-
-        from jax.sharding import PartitionSpec as P
-        fn = jax.jit(jax.shard_map(
-            lambda b, s, w: jax.lax.psum(_hist(b, s, w), self.axis),
-            mesh=self.mesh,
-            in_specs=(P(self.axis), P(self.axis), P(None)),
-            out_specs=P(None), check_vma=False))
-
-        def step(bc_packed, slot_valid, wl_table, wl_counts):
-            return fn(self.put(bc_packed), self.put(slot_valid),
-                      wl_table) + wl_counts
-        return step
 
     def dedup_partitions(self, parts, umi_len: int):
         """Dedup barcode-disjoint molecule partitions.

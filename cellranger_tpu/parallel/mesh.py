@@ -38,33 +38,38 @@ def shard_batch_arrays(mesh: Mesh, arrays: dict, axis: str = "data") -> dict:
 
 
 def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data",
-                      n_batch_args: int = 8):
+                      n_batch_args: int = 1):
     """Wrap the fused count step for SPMD execution: batch dims sharded,
-    whitelist arrays replicated, metrics psummed across chips.
+    metrics psummed across chips.
 
-    n_batch_args: leading per-read array arguments (8 single-end, 10 with a
-    paired-end mate); the trailing argument is always the replicated
-    whitelist table.  out_specs are pytree PREFIXES (arrays -> P(axis),
-    metrics -> P()) so the wrapper keeps working as the step grows new
-    output fields."""
+    n_batch_args: per-read array arguments (1 since round 3 — the packed
+    uint32 input plane).  When step_fn carries `.impl`/`.bound_args`
+    attributes (see count._make_step), the bound index pytrees flow
+    through shard_map as REPLICATED ARGUMENTS rather than closure
+    constants — closed-over arrays get serialized into the compile
+    payload (HTTP 413 / minutes of compile on remote-compile backends).
+    out_specs are pytree PREFIXES (arrays -> P(axis), metrics -> P()) so
+    the wrapper keeps working as the step grows new output fields."""
 
+    impl = getattr(step_fn, "impl", step_fn)
+    bound = tuple(getattr(step_fn, "bound_args", ()))
     mkey_cell = {"k": "metrics"}
 
     def spmd(*args):
-        out = dict(step_fn(*args))
+        out = dict(impl(*args))
         mkey = "mvec" if "mvec" in out else "metrics"
         mkey_cell["k"] = mkey  # recorded at trace time (first call)
         metrics = jax.tree.map(lambda x: jax.lax.psum(x, axis),
                                out.pop(mkey))
         return out, metrics
 
-    batch_spec = (P(axis),) * n_batch_args + (P(None),)
+    in_spec = (P(None),) * len(bound) + (P(axis),) * n_batch_args
     fn = jax.jit(jax.shard_map(
-        spmd, mesh=mesh, in_specs=batch_spec, out_specs=(P(axis), P()),
+        spmd, mesh=mesh, in_specs=in_spec, out_specs=(P(axis), P()),
         check_vma=False))
 
     def wrapped(*args):
-        out, metrics = fn(*args)
+        out, metrics = fn(*bound, *args)
         out = dict(out)
         out[mkey_cell["k"]] = metrics
         return out

@@ -148,34 +148,40 @@ class CountMetrics:
 
 MAX_INSERT = 2000      # max genomic span of a proper read pair (fragment
                        # sizes are <1kb; generous bound like STAR's window)
-CORRECT_CAP_FRAC = 16  # correction capacity = batch // 16 invalid reads
 
-# ---- packed step output layout ----
-# The fused step returns THREE arrays instead of ~27: every [B] integer
-# column rides one [B, NI] int32 plane, booleans one [B, NB] bool plane,
-# scalar metrics one [NM] vector.  One device->host fetch per plane — on
-# tunneled/remote backends each fetch is a round trip, and 27 of them per
-# batch dominated the e2e wall clock (measured ~4s/batch).
-I32_FIELDS = ("bc_idx", "gene", "umi", "pos", "mapq", "strand", "aln_len",
-              "aln_start", "region", "sj_donor", "sj_acceptor",
-              "sj_right_len", "corrected_bc", "gene_unpaired")
-U32_FIELDS = frozenset(("bc_idx", "gene", "umi", "pos", "corrected_bc"))
-BOOL_FIELDS = ("conf_ok", "mapped", "antisense", "bc_ok", "novel_sj",
-               "mm", "gene_discordant", "conf_base")
-METRIC_FIELDS = ("n_valid_bc", "n_corrected", "n_valid_umi", "n_mapped",
-                 "n_conf", "n_exonic", "n_intronic", "n_intergenic",
-                 "n_antisense", "n_usable", "n_correct_overflow",
+# ---- packed step IO (round 3: ONE transfer each way per batch) ----
+#
+# INPUT: one [B, W] uint32 plane.  On tunneled/remote TPU backends every
+# transfer costs ~35ms latency + ~65MB/s, so the 8-10 separate arrays of
+# r2 (~200B/read) dominated the e2e wall.  Barcode membership + posterior
+# correction moved to the HOST (vectorized searchsorted + 48-candidate
+# probe over the few % invalid reads, ops.barcode.host_resolve_barcodes),
+# so the batch ships a final bc_idx and 2-bit packed cDNA (~48B/read) and
+# the device does only what it is good at: alignment/annotation FLOPs.
+# Per-read words:
+#   0: bc_idx (int32 bits; whitelist rank or -1)
+#   1: umi 2-bit packed
+#   2: flags — bit0 slot_valid, bit1 umi_valid
+#   3..: cDNA codes 2-bit packed (16 bases/word), then nmask bits
+#        (32/word); paired-end chems append the mate's codes+mask.
+#
+# OUTPUT (stream mode): every [B] integer column rides one [B, NI] int32
+# plane, booleans one [B, NB] bool plane, scalar metrics one [NM] vector.
+I32_FIELDS = ("gene", "pos", "mapq", "strand", "aln_len", "aln_start",
+              "region", "sj_donor", "sj_acceptor", "sj_right_len",
+              "gene_unpaired")
+U32_FIELDS = frozenset(("gene", "pos", "sj_donor", "sj_acceptor"))
+BOOL_FIELDS = ("conf_ok", "mapped", "antisense", "novel_sj", "mm",
+               "gene_discordant")
+METRIC_FIELDS = ("n_mapped", "n_conf", "n_exonic", "n_intronic",
+                 "n_intergenic", "n_antisense", "n_usable",
                  "n_promote_overflow", "n_tso", "n_polya_trimmed",
                  "n_improper_pair")
 KG_LIST = 4  # gene_list/anti_list columns appended after I32_FIELDS
 
 
 def unpack_step_out(out) -> tuple[dict, dict]:
-    """Packed device step output -> (ho: named host arrays, m: metrics).
-    Also accepts the adaptive (fused=False) step's NAMED output form."""
-    if "i32" not in out:
-        ho = {k: np.asarray(v) for k, v in out.items() if k != "metrics"}
-        return ho, {k: int(v) for k, v in out["metrics"].items()}
+    """Packed device step output -> (ho: named host arrays, m: metrics)."""
     i32 = np.asarray(out["i32"])
     flags = np.asarray(out["flags"])
     mvec = np.asarray(out["mvec"])
@@ -190,77 +196,114 @@ def unpack_step_out(out) -> tuple[dict, dict]:
         ho[k] = flags[:, j]
     m = {k: int(v) for k, v in zip(METRIC_FIELDS, mvec)}
     return ho, m
-                       # (real runs are ~97% whitelist-valid; overflow is
-                       # counted in n_correct_overflow)
+
+
+def _codes_words(read_len: int) -> tuple[int, int]:
+    """(code words, nmask words) per read for a packed cDNA plane."""
+    return (read_len + 15) // 16, (read_len + 31) // 32
+
+
+def packed_width(chem: Chemistry, read_len: int) -> int:
+    rw, nw = _codes_words(read_len)
+    per = rw + nw
+    return 3 + per * (2 if chem.rna2 is not None else 1)
+
+
+def _pack_codes_into(buf: np.ndarray, o: int, codes, nmask, L: int) -> int:
+    """2-bit-pack codes [B, L] + bit-pack nmask into buf columns at o."""
+    rw, nw = _codes_words(L)
+    B = len(codes)
+    c = codes
+    if c.shape[1] < rw * 16:
+        c = np.pad(c, ((0, 0), (0, rw * 16 - c.shape[1])))
+    c = c.reshape(B, rw, 16).astype(np.uint32)
+    w = np.zeros((B, rw), np.uint32)
+    for k in range(16):
+        w |= c[:, :, k] << np.uint32(2 * (15 - k))
+    buf[:, o:o + rw] = w
+    mb = np.packbits(np.ascontiguousarray(nmask[:, :L]), axis=1,
+                     bitorder="little")
+    if mb.shape[1] < nw * 4:
+        mb = np.pad(mb, ((0, 0), (0, nw * 4 - mb.shape[1])))
+    buf[:, o + rw:o + rw + nw] = np.ascontiguousarray(mb).view(np.uint32)
+    return o + rw + nw
+
+
+def pack_step_input(chem: Chemistry, read_len: int, batch,
+                    bc_idx: np.ndarray) -> np.ndarray:
+    """Host: assemble the single uint32 input plane for one batch."""
+    B = batch.batch_size
+    buf = np.zeros((B, packed_width(chem, read_len)), np.uint32)
+    buf[:, 0] = np.asarray(bc_idx, np.int32).view(np.uint32)
+    buf[:, 1] = batch.umi_packed
+    buf[:, 2] = (batch.slot_valid.astype(np.uint32)
+                 | (batch.umi_valid.astype(np.uint32) << 1))
+    o = _pack_codes_into(buf, 3, batch.rna, batch.rna_nmask, read_len)
+    if chem.rna2 is not None:
+        _pack_codes_into(buf, o, batch.rna2, batch.rna2_nmask, read_len)
+    return buf
+
+
+def _unpack_codes(buf, o: int, L: int):
+    """In-jit: packed columns at o -> (codes uint8 [B, L], nmask bool)."""
+    rw, nw = _codes_words(L)
+    B = buf.shape[0]
+    w = buf[:, o:o + rw]
+    shifts = (2 * (15 - jnp.arange(16))).astype(jnp.uint32)
+    codes = ((w[:, :, None] >> shifts) & 3).astype(jnp.uint8) \
+        .reshape(B, rw * 16)[:, :L]
+    mw = buf[:, o + rw:o + rw + nw]
+    bits = ((mw[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1) \
+        .astype(jnp.bool_).reshape(B, nw * 32)[:, :L]
+    return codes, bits
+
+
 SECOND_CAP_FRAC = 4    # 2nd-locus annotation capacity = batch // 4
 
 
-def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
-               chem: Chemistry, read_len: int, fused: bool = True):
-    """Fused jit step: correct barcodes + align + annotate one batch.
+def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
+               chem: Chemistry, read_len: int):
+    """Fused jit step: align + annotate one packed batch.
 
-    fused=False returns an ADAPTIVE wrapper instead: the jit omits the
-    48-probe posterior correction (which otherwise always pays its B/8
-    capacity, ~25% of a clean batch's step time), and correction runs as a
-    separate small jit whose capacity is the power-of-two bucket of the
-    batch's ACTUAL invalid count — valid-heavy batches pay ~nothing. The
-    fused form remains for shard_map (a single pure SPMD program).
-
-    The genome/annotation indices are BOUND AS ARGUMENTS of the returned
-    closure's inner jit — large arrays captured as jit constants get
-    serialized into the compile payload (pathological compile times on
+    The input is the single uint32 plane of `pack_step_input` (bc_idx is
+    already final — HOST membership + correction, see the layout comment
+    above).  The genome/annotation indices are BOUND AS ARGUMENTS of the
+    returned closure's inner jit — large arrays captured as jit constants
+    get serialized into the compile payload (pathological compile times on
     remote-compile backends).
 
     Rare work is COMPACTED before it runs (jnp.nonzero with static size +
-    scatter-back): the 48-candidate posterior correction touches only
-    invalid-barcode reads, and second-locus annotation touches only 2-locus
-    reads — on real data both are small fractions, and every candidate
-    probe is a whole HBM row fetch (the unit of cost, tools/row_bench.py)."""
+    scatter-back): second-locus annotation touches only multi-locus reads,
+    SW rescue and novel-SJ discovery only low-score suspects — on real
+    data all are small fractions, and every candidate probe is a whole HBM
+    row fetch (the unit of cost, tools/row_bench.py)."""
     align_impl = make_aligner(didx, read_len, bind=False)
     annotate_impl = make_annotator(ann_idx, didx.genome_len, didx.sj_overhang,
                                    chem.strandedness, bind=False)
-    bc_len = chem.barcode_length
     from ..ops.trim import make_trimmer
     trim_impl = make_trimmer(read_len)
     paired = chem.rna2 is not None
     glen = didx.genome_len
+    rw, nw = _codes_words(read_len)
 
-    def _body(didx, ann_idx, bc_packed, bc_qual, bc_exact, umi_packed,
-              umi_valid, rna, rna_nmask, rna2, rna2_nmask, slot_valid,
-              wl_table):
-        B = bc_packed.shape[0]
-        hit, idx = bcops.whitelist_lookup(bc_packed, wl_table)
+    def _body(didx, ann_idx, buf):
+        B = buf.shape[0]
+        bc_idx = jax.lax.bitcast_convert_type(buf[:, 0], jnp.int32)
+        umi_packed = buf[:, 1]
+        flags_in = buf[:, 2]
+        slot_valid = (flags_in & 1) > 0
+        umi_valid = (flags_in & 2) > 0
+        rna, rna_nmask = _unpack_codes(buf, 3, read_len)
+        if paired:
+            rna2, rna2_nmask = _unpack_codes(buf, 3 + rw + nw, read_len)
+
+        bc_ok = (bc_idx >= 0) & slot_valid
 
         # ---- TSO/polyA trimming (aligner.rs:101-166): mask, don't move —
         # the aligner treats trimmed bases like N's and the CIGAR soft-clip
         # arithmetic restores them (the :404 restore, for free) ----
         tr = trim_impl(rna, rna_nmask)
         rna_nmask = tr["nmask"]
-
-        if fused:
-            # ---- compacted posterior correction of invalid barcodes ----
-            C = max(B // CORRECT_CAP_FRAC, 1)
-            invalid = ~hit & slot_valid
-            sel = jnp.nonzero(invalid, size=C, fill_value=B)[0]
-            sel_c = jnp.minimum(sel, B - 1)
-            corr_bc_c, corr_idx_c, acc_c = bcops.correct_barcodes(
-                bc_packed[sel_c], bc_qual[sel_c], wl_table, bc_len)
-            corr_bc = bc_packed.at[sel].set(
-                jnp.where(acc_c, corr_bc_c, bc_packed[sel_c]), mode="drop")
-            corr_idx = jnp.full((B,), -1, jnp.int32).at[sel].set(
-                corr_idx_c, mode="drop")
-            corrected = jnp.zeros((B,), bool).at[sel].set(acc_c, mode="drop")
-            n_correct_overflow = jnp.maximum(
-                jnp.sum(invalid.astype(jnp.int32)) - C, 0)
-        else:
-            # adaptive mode: correction happens outside this jit
-            corr_bc = bc_packed
-            corr_idx = jnp.full((B,), -1, jnp.int32)
-            corrected = jnp.zeros((B,), bool)
-            n_correct_overflow = jnp.int32(0)
-
-        bc_ok = (hit | corrected) & slot_valid
-        bc_idx = jnp.where(hit, idx, corr_idx)
 
         aln = align_impl(didx, rna, rna_nmask)
         ann = annotate_impl(ann_idx, aln["pos"], aln["aln_len"],
@@ -396,9 +439,6 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
         conf_ok = (ann["conf_mapped"] & bc_ok & umi_valid & slot_valid)
         mapped = aln["mapped"] & slot_valid
         m = dict(
-            n_valid_bc=jnp.sum((hit & slot_valid).astype(jnp.int32)),
-            n_corrected=jnp.sum((corrected & ~hit & slot_valid).astype(jnp.int32)),
-            n_valid_umi=jnp.sum((umi_valid & slot_valid).astype(jnp.int32)),
             n_mapped=jnp.sum(mapped.astype(jnp.int32)),
             n_conf=jnp.sum((ann["conf_mapped"] & slot_valid).astype(jnp.int32)),
             n_exonic=jnp.sum((mapped & (ann["region"] == REGION_EXONIC)).astype(jnp.int32)),
@@ -406,7 +446,6 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             n_intergenic=jnp.sum((mapped & (ann["region"] == REGION_INTERGENIC)).astype(jnp.int32)),
             n_antisense=jnp.sum((mapped & ann["antisense"]).astype(jnp.int32)),
             n_usable=jnp.sum(conf_ok.astype(jnp.int32)),
-            n_correct_overflow=n_correct_overflow,
             n_promote_overflow=n_promote_overflow,
             n_tso=jnp.sum((tr["matched_tso"] & slot_valid).astype(jnp.int32)),
             n_polya_trimmed=jnp.sum(
@@ -414,34 +453,26 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
             n_improper_pair=n_improper,
         )
         out = dict(
-            bc_idx=bc_idx.astype(jnp.uint32),
             gene=jnp.maximum(ann["gene"], 0).astype(jnp.uint32),
-            umi=umi_packed,
             conf_ok=conf_ok,
-            pos=aln["pos"], mapq=mapq_eff, strand=aln["strand"],
+            pos=aln["pos"].astype(jnp.uint32), mapq=mapq_eff,
+            strand=aln["strand"],
             mapped=mapped,
             aln_len=aln["aln_len"], aln_start=aln["aln_start"],
             region=ann["region"], antisense=ann["antisense"],
-            corrected_bc=corr_bc, bc_ok=bc_ok,
             novel_sj=aln.get("novel_sj", jnp.zeros((B,), bool)),
-            sj_donor=aln.get("sj_donor", jnp.zeros((B,), jnp.int32)),
-            sj_acceptor=aln.get("sj_acceptor", jnp.zeros((B,), jnp.int32)),
+            sj_donor=aln.get("sj_donor", jnp.zeros((B,), jnp.int32))
+            .astype(jnp.uint32),
+            sj_acceptor=aln.get("sj_acceptor", jnp.zeros((B,), jnp.int32))
+            .astype(jnp.uint32),
             sj_right_len=aln.get("sj_right_len", jnp.zeros((B,), jnp.int32)),
             # BAM tag payloads: mm (rescued multimapper), TX/AN gene
             # lists, PE gene-discordance + unpaired gene (gX/gN)
             mm=promoted,
             gene_list=ann["gene_list"], anti_list=ann["anti_list"],
             gene_discordant=gene_discordant, gene_unpaired=gene_unpaired,
-            # conf-mapped & UMI-valid, independent of barcode validity:
-            # the host correction-overflow retry recomputes
-            # conf_ok = conf_base & bc_ok after late corrections
-            conf_base=(ann["conf_mapped"] & umi_valid & slot_valid),
             metrics=m,
         )
-        if not fused:
-            out["hit"] = hit
-            out["wl_idx"] = idx
-            return out
 
         # ---- pack outputs into 3 planes (one device->host fetch each) ----
         def as_i32(a):
@@ -457,87 +488,17 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex, wl_size: int,
         mvec = jnp.stack([m[k] for k in METRIC_FIELDS]).astype(jnp.int32)
         return dict(i32=ints, flags=flags, mvec=mvec)
 
-    if paired:
-        @jax.jit
-        def step_impl(didx, ann_idx, bc_packed, bc_qual, bc_exact,
-                      umi_packed, umi_valid, rna, rna_nmask, rna2,
-                      rna2_nmask, slot_valid, wl_table):
-            return _body(didx, ann_idx, bc_packed, bc_qual, bc_exact,
-                         umi_packed, umi_valid, rna, rna_nmask, rna2,
-                         rna2_nmask, slot_valid, wl_table)
-    else:
-        @jax.jit
-        def step_impl(didx, ann_idx, bc_packed, bc_qual, bc_exact,
-                      umi_packed, umi_valid, rna, rna_nmask, slot_valid,
-                      wl_table):
-            return _body(didx, ann_idx, bc_packed, bc_qual, bc_exact,
-                         umi_packed, umi_valid, rna, rna_nmask, None, None,
-                         slot_valid, wl_table)
+    @jax.jit
+    def step_impl(didx, ann_idx, buf):
+        return _body(didx, ann_idx, buf)
 
-    if fused:
-        def step(*args):
-            return step_impl(didx, ann_idx, *args)
+    def step(buf):
+        return step_impl(didx, ann_idx, buf)
 
-        return step
-    assert not paired, "adaptive split-step supports single-read chems only"
-
-    # ---- adaptive wrapper: bucketed out-of-step correction ----
-    correct_jits: dict[int, object] = {}
-
-    def correct_fn(C: int):
-        if C not in correct_jits:
-            @jax.jit
-            def corr(bc_c, qual_c, wl_table):
-                return bcops.correct_barcodes(bc_c, qual_c, wl_table, bc_len)
-            correct_jits[C] = corr
-        return correct_jits[C]
-
-    def step(bc_packed, bc_qual, bc_exact, umi_packed, umi_valid,
-             rna, rna_nmask, slot_valid, wl_table):
-        out = dict(step_impl(didx, ann_idx, bc_packed, bc_qual, bc_exact,
-                             umi_packed, umi_valid, rna, rna_nmask,
-                             slot_valid, wl_table))
-        hit = np.asarray(out.pop("hit"))
-        wl_idx = np.asarray(out.pop("wl_idx"))
-        conf_base = np.asarray(out["conf_base"])
-        slot = np.asarray(slot_valid)
-        B = len(hit)
-        bc_np = np.asarray(bc_packed)
-        inv = np.flatnonzero(~hit & slot)
-        corrected = np.zeros(B, bool)
-        corr_idx = np.full(B, -1, np.int32)
-        corr_bc = bc_np.copy()
-        if len(inv):
-            C = 1024
-            while C < len(inv):
-                C *= 2
-            C = min(C, B)
-            sel = inv[:C]
-            pad = C - len(sel)
-            bq_np = np.asarray(bc_qual)
-            bc_c = np.pad(bc_np[sel], (0, pad))
-            q_c = np.pad(bq_np[sel], ((0, pad), (0, 0)))
-            cb, cidx, acc = correct_fn(C)(
-                jnp.asarray(bc_c), jnp.asarray(q_c), wl_table)
-            acc = np.asarray(acc)[:len(sel)]
-            hits_sel = sel[acc]
-            corrected[hits_sel] = True
-            corr_bc[hits_sel] = np.asarray(cb)[:len(sel)][acc]
-            corr_idx[hits_sel] = np.asarray(cidx)[:len(sel)][acc]
-        bc_ok = (hit | corrected) & slot
-        bc_idx = np.where(hit, wl_idx, corr_idx)
-        conf_ok = conf_base & bc_ok
-        out["bc_idx"] = bc_idx.astype(np.uint32)
-        out["bc_ok"] = bc_ok
-        out["conf_ok"] = conf_ok
-        out["corrected_bc"] = corr_bc
-        m = {k: int(v) for k, v in out["metrics"].items()}
-        m["n_corrected"] = int((corrected & ~hit & slot).sum())
-        m["n_usable"] = int(conf_ok.sum())
-        m["n_correct_overflow"] = int(max(len(inv) - B, 0))
-        out["metrics"] = m
-        return out
-
+    # expose for shard_map wrapping: the indices must flow as replicated
+    # ARGUMENTS there, not closure constants (parallel/mesh.py)
+    step.impl = step_impl
+    step.bound_args = (didx, ann_idx)
     return step
 
 
@@ -550,72 +511,6 @@ def _pow2_pad(n: int, minimum: int = 1024) -> int:
     while p < n:
         p *= 2
     return p
-
-
-def make_bc_resolver(bc_len: int):
-    """ONE jitted program for non-step library batches (RTL/FB): whitelist
-    lookup + posterior correction + combination.  Eager per-op dispatch is
-    a round trip each on tunneled backends."""
-    @jax.jit
-    def resolve(bc_packed, bc_qual, slot_valid, wl_table):
-        hit, idx = bcops.whitelist_lookup(bc_packed, wl_table)
-        corr_bc, corr_idx, corrected = bcops.correct_barcodes(
-            bc_packed, bc_qual, wl_table, bc_len)
-        bc_ok = (hit | corrected) & slot_valid
-        bc_idx = jnp.where(hit, idx, corr_idx)
-        n_corrected = jnp.sum((corrected & ~hit & slot_valid)
-                              .astype(jnp.int32))
-        return bc_ok, bc_idx, corr_bc, n_corrected
-
-    return resolve
-
-
-def _make_correct_cache(bc_len: int):
-    """Power-of-two-bucketed jits of the posterior correction, for the
-    overflow retry path (one compile per bucket size)."""
-    cache: dict[int, object] = {}
-
-    def get(C: int):
-        if C not in cache:
-            @jax.jit
-            def corr(bc_c, qual_c, wl_table):
-                return bcops.correct_barcodes(bc_c, qual_c, wl_table, bc_len)
-            cache[C] = corr
-        return cache[C]
-
-    return get
-
-
-def _retry_correction(ho: dict, batch, wl_table, bc_len: int,
-                      correct_fn) -> int:
-    """Host retry when the in-step correction capacity overflowed: run the
-    posterior correction over EVERY still-invalid read of the batch (the
-    reference corrects all of them, barcode_correction.rs:265).  Re-running
-    already-rejected candidates is deterministic-idempotent, so the final
-    corrected set is independent of the in-step capacity — this is what
-    makes single-chip and mesh runs (different per-device capacities)
-    byte-identical.  Mutates ho in place; returns newly corrected count."""
-    inv = np.flatnonzero(batch.slot_valid & ~ho["bc_ok"])
-    if not len(inv):
-        return 0
-    C = _pow2_pad(len(inv))
-    bc_c = np.zeros(C, np.uint32)
-    bc_c[:len(inv)] = batch.bc_packed[inv]
-    q_c = np.zeros((C, batch.bc_qual.shape[1]), np.uint8)
-    q_c[:len(inv)] = batch.bc_qual[inv]
-    cb, cidx, acc = correct_fn(C)(jnp.asarray(bc_c), jnp.asarray(q_c),
-                                  wl_table)
-    acc = np.asarray(acc)[:len(inv)]
-    rows = inv[acc]
-    if len(rows):
-        ho["bc_ok"] = ho["bc_ok"].copy()
-        ho["bc_ok"][rows] = True
-        ho["bc_idx"] = ho["bc_idx"].copy()
-        ho["bc_idx"][rows] = np.asarray(cidx)[:len(inv)][acc].astype(np.uint32)
-        ho["corrected_bc"] = ho["corrected_bc"].copy()
-        ho["corrected_bc"][rows] = np.asarray(cb)[:len(inv)][acc]
-        ho["conf_ok"] = ho["conf_base"] & ho["bc_ok"]
-    return int(len(rows))
 
 
 def _fb_tag_lists(pat, src, fo, fb_ref, features, n_genes: int, n: int):
@@ -814,26 +709,10 @@ def run_count(cfg: CountConfig, out_dir: str,
         raw_views = None
         perf.lap("resume_checkpoint")
     else:
-        # fused=True: on tunneled/remote TPU backends the adaptive
-        # split-step's per-batch host round-trips cost far more than the
-        # correction capacity it saves (measured 15x worse); the fused
-        # single program stays on device. fused=False remains available
-        # for local-attached deployments.
         step = (None if probe_set is not None
                 else executor.wrap_step(
-                    _make_step(didx, ann_idx, whitelist.size, chem,
-                               cfg.read_len),
-                    n_batch_args=10 if chem.rna2 is not None else 8))
-        correct_fn = _make_correct_cache(chem.barcode_length)
-        bc_resolver = make_bc_resolver(chem.barcode_length)
-        # whitelist as a bucket-row table: ONE row gather per membership /
-        # correction-candidate probe; the count column (posterior prior)
-        # is filled in after pass 1
-        wl_table = BucketTable.build_exact(
-            whitelist.sorted_seqs, np.arange(whitelist.size, dtype=np.uint32),
-            entries=8, fields=3)
-        # device-resident ONCE: numpy leaves re-upload on every jit call
-        wl_table = jax.device_put(wl_table)
+                    _make_step(didx, ann_idx, chem, cfg.read_len),
+                    n_batch_args=1))
 
         # this host's share of the FASTQ work (all of it when single-host)
         # (pairs may be (r1, r2) or (r1, r2, i1) — I1 carries the barcode
@@ -878,10 +757,14 @@ def run_count(cfg: CountConfig, out_dir: str,
 
         perf.lap("pass1_extract_whitelist")
 
-        # ---- pass 2: fused correct/align/annotate, spilling molecules ----
-        # fill the whitelist rows' count column with the pass-1 prior so each
-        # correction candidate probe is a single row gather
-        wl_table = jax.device_put(wl_table.with_counts(np.asarray(wl_counts)))
+        # ---- pass 2: host barcode resolve + fused align/annotate step ----
+        def resolve_bc(batch):
+            """Host membership + posterior correction with the pass-1
+            prior; returns (bc_idx, hit, corrected, corrected_bc)."""
+            return bcops.host_resolve_barcodes(
+                batch.bc_packed, batch.bc_qual, batch.slot_valid,
+                whitelist.sorted_seqs, wl_counts, chem.barcode_length)
+
         n_parts = int(_param("spill_partitions") or
                       (SPILL_PARTS if executor.n_devices <= SPILL_PARTS
                        else executor.n_devices))
@@ -910,21 +793,12 @@ def run_count(cfg: CountConfig, out_dir: str,
         # overlap structure, par_proc.rs:106, without threads)
         pending: tuple | None = None
 
-        def process_gex(batch, out):
+        def process_gex(batch, hi, out):
             ho, m = unpack_step_out(out)
-            if m["n_correct_overflow"] > 0:
-                # in-step correction capacity overflowed: retry on host
-                # over every still-invalid read (no read is ever
-                # dropped from correction — barcode_correction.rs:265)
-                n_new = _retry_correction(ho, batch, wl_table,
-                                          chem.barcode_length, correct_fn)
-                m["n_corrected"] += n_new
-                m["n_usable"] = int(ho["conf_ok"].sum())
-                metrics.correction_retries += 1
             metrics.total_reads += batch.n_reads
-            metrics.valid_barcode_reads += m["n_valid_bc"] + m["n_corrected"]
-            metrics.corrected_barcode_reads += m["n_corrected"]
-            metrics.valid_umi_reads += m["n_valid_umi"]
+            metrics.valid_barcode_reads += hi["n_valid_bc"] + hi["n_corrected"]
+            metrics.corrected_barcode_reads += hi["n_corrected"]
+            metrics.valid_umi_reads += hi["n_valid_umi"]
             metrics.mapped_reads += m["n_mapped"]
             metrics.conf_mapped_reads += m["n_conf"]
             metrics.exonic_reads += m["n_exonic"]
@@ -932,16 +806,20 @@ def run_count(cfg: CountConfig, out_dir: str,
             metrics.intergenic_reads += m["n_intergenic"]
             metrics.antisense_reads += m["n_antisense"]
             metrics.usable_reads += m["n_usable"]
-            metrics.correction_capacity_overflow += m["n_correct_overflow"]
             metrics.promote_overflow += m["n_promote_overflow"]
             metrics.tso_reads += m["n_tso"]
             metrics.polya_trimmed_reads += m["n_polya_trimmed"]
             metrics.improper_pair_reads += m["n_improper_pair"]
             conf = ho["conf_ok"]
-            spill.append(ho["bc_idx"][conf], ho["gene"][conf],
-                         ho["umi"][conf])
+            spill.append(hi["bc_idx"].view(np.uint32)[conf],
+                         ho["gene"][conf], batch.umi_packed[conf])
             _tally_sj(sj_counts, ho, batch.n_reads, gi)
             if bam_collector is not None:
+                # merge the host-resolved barcode view into the step output
+                ho["bc_idx"] = hi["bc_idx"]
+                ho["bc_ok"] = hi["bc_idx"] >= 0
+                ho["corrected_bc"] = hi["corr_bc"]
+                ho["umi"] = batch.umi_packed
                 bam_collector.add_batch(batch, ho)
 
         for li, batch in my_batches():
@@ -965,16 +843,15 @@ def run_count(cfg: CountConfig, out_dir: str,
                     process_gex(*pending)
                     pending = None
             if lib_type == "Gene Expression" and probe_set is not None:
-                # RTL: cell-barcode handling + probe alignment
-                slot = jnp.asarray(batch.slot_valid)
-                bc_ok, bc_idx, corr_bc, n_corrected = bc_resolver(
-                    jnp.asarray(batch.bc_packed),
-                    jnp.asarray(batch.bc_qual), slot, wl_table)
+                # RTL: host cell-barcode resolve + probe alignment
+                bc_idx, hit, corrected, corr_bc = resolve_bc(batch)
+                bc_ok = bc_idx >= 0
+                n_corrected = int(corrected.sum())
                 pa = probe_align(jnp.asarray(batch.rna),
                                  jnp.asarray(batch.rna_nmask))
-                conf = (np.asarray(pa["conf_mapped"]) & np.asarray(bc_ok)
+                conf = (np.asarray(pa["conf_mapped"]) & bc_ok
                         & batch.umi_valid)
-                bc_combined = np.asarray(bc_idx).astype(np.int64)
+                bc_combined = bc_idx.astype(np.int64)
                 if probe_bc_packed is not None:
                     from ..io.probe_bc import assign_probe_bcs
                     pidx, pok = assign_probe_bcs(
@@ -983,7 +860,7 @@ def run_count(cfg: CountConfig, out_dir: str,
                     conf = conf & pok
                     bc_combined = bc_combined * n_probe + np.maximum(pidx, 0)
                 metrics.total_reads += batch.n_reads
-                metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
+                metrics.valid_barcode_reads += int(bc_ok.sum())
                 metrics.corrected_barcode_reads += int(n_corrected)
                 metrics.valid_umi_reads += int(
                     (batch.umi_valid & batch.slot_valid).sum())
@@ -996,35 +873,30 @@ def run_count(cfg: CountConfig, out_dir: str,
                              np.asarray(pa["gene"])[conf].astype(np.uint32),
                              np.asarray(batch.umi_packed)[conf])
             elif lib_type == "Gene Expression":
-                args = [executor.put(batch.bc_packed),
-                        executor.put(batch.bc_qual),
-                        executor.put(batch.bc_exact),
-                        executor.put(batch.umi_packed),
-                        executor.put(batch.umi_valid),
-                        executor.put(batch.rna),
-                        executor.put(batch.rna_nmask)]
-                if chem.rna2 is not None:
-                    args += [executor.put(batch.rna2),
-                             executor.put(batch.rna2_nmask)]
-                out = step(*args, executor.put(batch.slot_valid), wl_table)
+                bc_idx, hit, corrected, corr_bc = resolve_bc(batch)
+                buf = pack_step_input(chem, cfg.read_len, batch, bc_idx)
+                out = step(executor.put(buf))
+                hi = dict(bc_idx=bc_idx, corr_bc=corr_bc,
+                          n_valid_bc=int(hit.sum()),
+                          n_corrected=int(corrected.sum()),
+                          n_valid_umi=int((batch.umi_valid
+                                           & batch.slot_valid).sum()))
                 if pending is not None:
                     process_gex(*pending)
-                pending = (batch, out)
+                pending = (batch, hi, out)
             else:
                 # feature-barcode library: cell bc handling + feature
                 # extraction over every declared pattern (R1 patterns read
                 # the R1 remainder, R2 patterns the cDNA read —
                 # feature_extraction.rs:166 supports both)
-                slot = jnp.asarray(batch.slot_valid)
-                bc_ok, bc_idx, corr_bc, n_corrected = bc_resolver(
-                    jnp.asarray(batch.bc_packed),
-                    jnp.asarray(batch.bc_qual), slot, wl_table)
+                bc_idx, hit, corrected, corr_bc = resolve_bc(batch)
+                bc_ok = bc_idx >= 0
                 metrics.total_reads += batch.n_reads
-                metrics.valid_barcode_reads += int(jnp.sum(bc_ok))
-                metrics.corrected_barcode_reads += int(n_corrected)
+                metrics.valid_barcode_reads += int(bc_ok.sum())
+                metrics.corrected_barcode_reads += int(corrected.sum())
                 metrics.valid_umi_reads += int(
                     (batch.umi_valid & batch.slot_valid).sum())
-                bc_ok_np = np.asarray(bc_ok)
+                bc_ok_np = bc_ok
                 n = batch.n_reads
                 fb_rows = None  # per-read best extraction across patterns
                 for pat, extract in fb_extractors.items():

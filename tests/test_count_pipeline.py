@@ -306,12 +306,12 @@ def test_mesh_run_count_byte_identical(synthetic_run, tmp_path):
         np.testing.assert_array_equal(mi1[k], mi2[k], err_msg=k)
 
 
-def test_correction_overflow_retry(synthetic_run, tmp_path, monkeypatch):
-    """With the in-step correction capacity forced to ~1 slot, the host
-    retry must still correct every correctable barcode: no reads lost
+def test_correction_batch_size_invariant(synthetic_run, tmp_path):
+    """Host posterior correction has no per-batch capacity: with HALF the
+    reads carrying a 1-base barcode error, every correctable barcode is
+    corrected regardless of batch size and the outputs are identical
     (barcode_correction.rs:265 corrects all of them)."""
     import gzip
-    import cellranger_tpu.pipeline.count as cnt
     s = synthetic_run
     rng = np.random.default_rng(77)
     # rewrite R1 with 1-base barcode errors on half the reads
@@ -335,18 +335,17 @@ def test_correction_overflow_retry(synthetic_run, tmp_path, monkeypatch):
                 whitelist_path=s["wl"], chemistry="SC3Pv3",
                 read_len=READ_LEN, batch_size=2048,
                 secondary_analysis=False, checkpoint=False)
-    out1 = str(tmp_path / "full_cap")
+    out1 = str(tmp_path / "b2048")
     sum1 = run_count(CountConfig(**base), out1)
-    # capacity 2048/2048 = 1 slot -> massive overflow -> retry path
-    monkeypatch.setattr(cnt, "CORRECT_CAP_FRAC", 2048)
-    out2 = str(tmp_path / "tiny_cap")
-    sum2 = run_count(CountConfig(**base), out2)
-    assert sum2["correction_retries"] > 0
+    assert sum1["corrected_barcode_reads"] > 0
+    base2 = dict(base, batch_size=512)
+    out2 = str(tmp_path / "b512")
+    sum2 = run_count(CountConfig(**base2), out2)
     assert sum2["valid_barcode_reads"] == sum1["valid_barcode_reads"]
     assert sum2["corrected_barcode_reads"] == sum1["corrected_barcode_reads"]
     m1 = CountMatrix.load_h5(os.path.join(out1, "raw_feature_bc_matrix.h5"))
     m2 = CountMatrix.load_h5(os.path.join(out2, "raw_feature_bc_matrix.h5"))
-    assert (m1.m != m2.m).nnz == 0, "retry path changed the matrix"
+    assert (m1.m != m2.m).nnz == 0, "batch size changed the matrix"
 
 
 def test_partitioned_dedup_matches_single(synthetic_run, tmp_path, monkeypatch):
