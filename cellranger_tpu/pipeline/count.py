@@ -21,8 +21,11 @@ histogram and molecule table merge with psum/all-gather (see parallel/).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
+import queue as _queue
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -125,6 +128,9 @@ class CountMetrics:
     # multimapped reads whose loci pairs overflowed the promotion capacity
     # (never considered for gene promotion; silent in r1, counted now)
     promote_overflow: int = 0
+    # novel-SJ rows beyond the per-batch device append capacity
+    # (accumulate mode; junction tallies only, molecules are never capped)
+    sj_capacity_overflow: int = 0
 
     def to_dict(self, extra: dict | None = None) -> dict:
         d = dict(self.__dict__)
@@ -262,7 +268,7 @@ SECOND_CAP_FRAC = 4    # 2nd-locus annotation capacity = batch // 4
 
 
 def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
-               chem: Chemistry, read_len: int):
+               chem: Chemistry, read_len: int, accumulate: bool = False):
     """Fused jit step: align + annotate one packed batch.
 
     The input is the single uint32 plane of `pack_step_input` (bc_idx is
@@ -473,7 +479,11 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
             gene_discordant=gene_discordant, gene_unpaired=gene_unpaired,
             metrics=m,
         )
+        out["bc_idx"] = bc_idx
+        out["umi"] = umi_packed
+        return out
 
+    def _pack_stream(out, m):
         # ---- pack outputs into 3 planes (one device->host fetch each) ----
         def as_i32(a):
             if a.dtype == jnp.uint32:
@@ -488,17 +498,87 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
         mvec = jnp.stack([m[k] for k in METRIC_FIELDS]).astype(jnp.int32)
         return dict(i32=ints, flags=flags, mvec=mvec)
 
-    @jax.jit
-    def step_impl(didx, ann_idx, buf):
-        return _body(didx, ann_idx, buf)
+    if not accumulate:
+        @jax.jit
+        def step_impl(didx, ann_idx, buf):
+            out = _body(didx, ann_idx, buf)
+            return _pack_stream(out, out["metrics"])
 
-    def step(buf):
-        return step_impl(didx, ann_idx, buf)
+        def step(buf):
+            return step_impl(didx, ann_idx, buf)
 
-    # expose for shard_map wrapping: the indices must flow as replicated
-    # ARGUMENTS there, not closure constants (parallel/mesh.py)
-    step.impl = step_impl
+        # expose for shard_map wrapping: the indices must flow as
+        # replicated ARGUMENTS there, not closure constants
+        # (parallel/mesh.py)
+        step.impl = step_impl
+        step.bound_args = (didx, ann_idx)
+        return step
+
+    # ---- accumulate mode: outputs stay ON DEVICE between drains ----
+    # The step appends its conf-mapped molecule rows, novel-SJ rows, and
+    # annotated-junction histogram into donated device buffers and adds
+    # its metrics into a running vector.  Steady state fetches NOTHING per
+    # batch (the tunneled-backend fetch latency was the e2e wall); the
+    # host drains the buffers in bulk every ~mol_cap/B batches.
+    n_sj = int(didx.sj_rows.shape[0])
+    glen_u = jnp.uint32(didx.genome_len)
+    contig2 = jnp.uint32(2 * didx.sj_overhang)
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def step_acc_impl(didx, ann_idx, buf, acc):
+        out = _body(didx, ann_idx, buf)
+        m = out["metrics"]
+        B = buf.shape[0]
+        conf = out["conf_ok"]
+        sel = jnp.nonzero(conf, size=B, fill_value=B)[0]
+        selc = jnp.minimum(sel, B - 1)
+        rows = jnp.stack(
+            [jax.lax.bitcast_convert_type(out["bc_idx"], jnp.uint32)[selc],
+             out["gene"][selc], out["umi"][selc]], axis=1)
+        n_new = jnp.sum(conf.astype(jnp.int32))
+        mol = jax.lax.dynamic_update_slice(acc["mol"], rows,
+                                           (acc["mol_n"], jnp.int32(0)))
+        # novel splice junctions: one row per unique-mapper read (rare)
+        m255 = out["mapped"] & (out["mapq"] == 255)
+        nsj = out["novel_sj"] & m255
+        SJB = max(B // 4, 64)   # novel-SJ rows appended per batch (cap)
+        selj = jnp.nonzero(nsj, size=SJB, fill_value=B)[0]
+        seljc = jnp.minimum(selj, B - 1)
+        sj_rows = jnp.stack(
+            [out["sj_donor"][seljc], out["sj_acceptor"][seljc],
+             out["strand"][seljc].astype(jnp.uint32)], axis=1)
+        n_sj_new = jnp.minimum(jnp.sum(nsj.astype(jnp.int32)), SJB)
+        sj = jax.lax.dynamic_update_slice(acc["sj"], sj_rows,
+                                          (acc["sj_n"], jnp.int32(0)))
+        n_sj_over = jnp.maximum(jnp.sum(nsj.astype(jnp.int32)) - SJB, 0)
+        # annotated-junction contig hits: exact histogram over (ji, strand)
+        on_contig = m255 & (out["pos"] >= glen_u) & ~nsj
+        ji = jnp.where(on_contig, (out["pos"] - glen_u) // contig2, 0)
+        hidx = (ji.astype(jnp.int32) * 2
+                + out["strand"].astype(jnp.int32))
+        sjh = acc["sjh"].at[jnp.where(on_contig, hidx, 0)].add(
+            jnp.where(on_contig, 1, 0))
+        mvec = acc["mvec"] + jnp.stack(
+            [m[k] for k in METRIC_FIELDS] + [n_sj_over]).astype(jnp.int64)
+        return dict(mol=mol, mol_n=acc["mol_n"] + n_new,
+                    sj=sj, sj_n=acc["sj_n"] + n_sj_new, sjh=sjh, mvec=mvec)
+
+    def init_acc(mol_cap: int, sj_cap: int):
+        return dict(
+            mol=jnp.zeros((mol_cap, 3), jnp.uint32),
+            mol_n=jnp.int32(0),
+            sj=jnp.zeros((sj_cap, 3), jnp.uint32),
+            sj_n=jnp.int32(0),
+            sjh=jnp.zeros((max(2 * n_sj, 1),), jnp.int32),
+            mvec=jnp.zeros((len(METRIC_FIELDS) + 1,), jnp.int64),
+        )
+
+    def step(buf, acc):
+        return step_acc_impl(didx, ann_idx, buf, acc)
+
+    step.impl = step_acc_impl
     step.bound_args = (didx, ann_idx)
+    step.init_acc = init_acc
     return step
 
 
@@ -709,9 +789,16 @@ def run_count(cfg: CountConfig, out_dir: str,
         raw_views = None
         perf.lap("resume_checkpoint")
     else:
+        # accumulate mode (single-chip, no BAM): step outputs stay on
+        # device between bulk drains — steady state fetches nothing per
+        # batch.  BAM needs per-read outputs (stream mode), and the mesh
+        # path streams too (its outputs shard across devices).
+        accumulate = (probe_set is None and not cfg.write_bam
+                      and executor.mesh is None)
         step = (None if probe_set is not None
                 else executor.wrap_step(
-                    _make_step(didx, ann_idx, chem, cfg.read_len),
+                    _make_step(didx, ann_idx, chem, cfg.read_len,
+                               accumulate=accumulate),
                     n_batch_args=1))
 
         # this host's share of the FASTQ work (all of it when single-host)
@@ -786,12 +873,95 @@ def run_count(cfg: CountConfig, out_dir: str,
             bam_collector = BamCollector(gi, ref.transcriptome,
                                          os.path.join(out_dir, "_bam_spool"),
                                          read_group=cfg.sample_id)
-        # 1-deep software pipeline over the device: dispatch batch i+1
-        # (async under jax), then do batch i's host work (spill, SJ tally,
-        # BAM spool) while the device runs — the device never idles during
-        # FASTQ decode, and decode overlaps the step (the par_proc
-        # overlap structure, par_proc.rs:106, without threads)
+        # ---- producer thread + device pipeline (par_proc.rs:106 analog):
+        # the producer decodes, resolves barcodes, and packs the next
+        # batches while the main thread dispatches to the device.  In
+        # stream mode a 1-deep pending slot additionally overlaps the
+        # fetch with the next dispatch; in accumulate mode there is no
+        # per-batch fetch at all.
         pending: tuple | None = None
+
+        def prep(item):
+            li, batch = item
+            if (libraries[li].library_type == "Gene Expression"
+                    and probe_set is None):
+                bc_idx, hit, corrected, corr_bc = resolve_bc(batch)
+                buf = pack_step_input(chem, cfg.read_len, batch, bc_idx)
+                hi = dict(bc_idx=bc_idx, corr_bc=corr_bc,
+                          n_valid_bc=int(hit.sum()),
+                          n_corrected=int(corrected.sum()),
+                          n_valid_umi=int((batch.umi_valid
+                                           & batch.slot_valid).sum()))
+                return li, batch, hi, buf
+            return li, batch, None, None
+
+        bq: _queue.Queue = _queue.Queue(maxsize=3)
+
+        def _producer():
+            try:
+                for item in my_batches():
+                    bq.put(prep(item))
+                bq.put(None)
+            except BaseException as e:  # re-raised on the main thread
+                bq.put(e)
+
+        threading.Thread(target=_producer, daemon=True).start()
+
+        def queued_batches():
+            while True:
+                item = bq.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+
+        # accumulate-mode state: device-resident output buffers + host
+        # bounds that guarantee the in-jit dynamic appends never clamp
+        mol_cap = max(4 * batch_size, 1 << 20)
+        sj_cap = max(4 * batch_size, 1 << 18)
+        sjb_per_batch = max(batch_size // 4, 64)
+        acc = step.init_acc(mol_cap, sj_cap) if accumulate else None
+        acc_rows = 0
+        acc_sj_rows = 0
+        sjh_total = None
+        sj_capacity_overflow = 0
+
+        def drain_acc():
+            """Fetch + reset the device accumulators: spill molecule rows,
+            tally SJ rows, fold metrics.  Called every ~mol_cap reads and
+            once at the end of the pass."""
+            nonlocal acc, acc_rows, acc_sj_rows, sjh_total, \
+                sj_capacity_overflow
+            a = jax.tree.map(np.asarray, acc)
+            nmol = int(a["mol_n"])
+            rows = a["mol"][:nmol]
+            spill.append(rows[:, 0], rows[:, 1], rows[:, 2])
+            nsj = int(a["sj_n"])
+            if nsj:
+                u, c = np.unique(a["sj"][:nsj], axis=0, return_counts=True)
+                for (d, ac_, s), cnt in zip(u.tolist(), c.tolist()):
+                    key = (d, ac_, s, 0)
+                    sj_counts[key] = sj_counts.get(key, 0) + cnt
+            sjh_total = (a["sjh"] if sjh_total is None
+                         else sjh_total + a["sjh"])
+            mv = a["mvec"]
+            m = {k: int(v) for k, v in zip(METRIC_FIELDS, mv)}
+            sj_capacity_overflow += int(mv[-1])
+            metrics.mapped_reads += m["n_mapped"]
+            metrics.conf_mapped_reads += m["n_conf"]
+            metrics.exonic_reads += m["n_exonic"]
+            metrics.intronic_reads += m["n_intronic"]
+            metrics.intergenic_reads += m["n_intergenic"]
+            metrics.antisense_reads += m["n_antisense"]
+            metrics.usable_reads += m["n_usable"]
+            metrics.promote_overflow += m["n_promote_overflow"]
+            metrics.tso_reads += m["n_tso"]
+            metrics.polya_trimmed_reads += m["n_polya_trimmed"]
+            metrics.improper_pair_reads += m["n_improper_pair"]
+            acc = step.init_acc(mol_cap, sj_cap)
+            acc_rows = 0
+            acc_sj_rows = 0
 
         def process_gex(batch, hi, out):
             ho, m = unpack_step_out(out)
@@ -822,7 +992,7 @@ def run_count(cfg: CountConfig, out_dir: str,
                 ho["umi"] = batch.umi_packed
                 bam_collector.add_batch(batch, ho)
 
-        for li, batch in my_batches():
+        for li, batch, hi, buf in queued_batches():
             # q30 base tallies (host; quals are decoded here anyway)
             n0 = batch.n_reads
             metrics.q30_bc_bases += int((batch.bc_qual[:n0] >= 63).sum())
@@ -872,15 +1042,20 @@ def run_count(cfg: CountConfig, out_dir: str,
                 spill.append(bc_combined.astype(np.uint32)[conf],
                              np.asarray(pa["gene"])[conf].astype(np.uint32),
                              np.asarray(batch.umi_packed)[conf])
+            elif lib_type == "Gene Expression" and accumulate:
+                if (acc_rows + batch.batch_size > mol_cap
+                        or acc_sj_rows + sjb_per_batch > sj_cap):
+                    drain_acc()
+                acc = step(executor.put(buf), acc)
+                acc_rows += batch.batch_size
+                acc_sj_rows += sjb_per_batch
+                metrics.total_reads += batch.n_reads
+                metrics.valid_barcode_reads += (hi["n_valid_bc"]
+                                                + hi["n_corrected"])
+                metrics.corrected_barcode_reads += hi["n_corrected"]
+                metrics.valid_umi_reads += hi["n_valid_umi"]
             elif lib_type == "Gene Expression":
-                bc_idx, hit, corrected, corr_bc = resolve_bc(batch)
-                buf = pack_step_input(chem, cfg.read_len, batch, bc_idx)
                 out = step(executor.put(buf))
-                hi = dict(bc_idx=bc_idx, corr_bc=corr_bc,
-                          n_valid_bc=int(hit.sum()),
-                          n_corrected=int(corrected.sum()),
-                          n_valid_umi=int((batch.umi_valid
-                                           & batch.slot_valid).sum()))
                 if pending is not None:
                     process_gex(*pending)
                 pending = (batch, hi, out)
@@ -961,7 +1136,18 @@ def run_count(cfg: CountConfig, out_dir: str,
         if pending is not None:
             process_gex(*pending)
             pending = None
-            perf.lap("pass2_correct_align_annotate")
+        if accumulate and acc is not None:
+            drain_acc()
+            # annotated-junction contig hits: exact device histogram over
+            # (junction, strand) -> the (donor, acceptor, strand, 1) keys
+            if sjh_total is not None:
+                for h in np.flatnonzero(sjh_total):
+                    ji, s = int(h) // 2, int(h) % 2
+                    key = (int(gi.sj_donor_end[ji]),
+                           int(gi.sj_acceptor_start[ji]), s, 1)
+                    sj_counts[key] = sj_counts.get(key, 0) + int(sjh_total[h])
+            metrics.sj_capacity_overflow += sj_capacity_overflow
+        perf.lap("pass2_correct_align_annotate")
 
         # ---- multi-host handoff: workers publish partials and exit ----
         # (the Martian chunk/join boundary: spill files + a metrics JSON on
