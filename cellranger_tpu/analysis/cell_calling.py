@@ -161,11 +161,13 @@ def est_background_profile_sgt(matrix, use_bcs):
 
 
 def eval_multinomial_loglikelihoods(dense_cols: np.ndarray, profile: np.ndarray):
-    """log PMF of multinomial(n_b, profile) at columns [F, B] (stats.py:24)."""
-    logp = np.log(profile)
+    """log PMF of multinomial(n_b, profile) at columns [F, B] (stats.py:24).
+    xlogy gives 0*log(0) = 0, matching scipy's multinomial.logpmf on
+    zero-probability features with zero counts."""
+    from scipy.special import xlogy
     n = dense_cols.sum(axis=0)
     return (gammaln(n + 1) - gammaln(dense_cols + 1).sum(axis=0)
-            + (dense_cols * logp[:, None]).sum(axis=0))
+            + xlogy(dense_cols, profile[:, None]).sum(axis=0))
 
 
 def simulate_multinomial_loglikelihoods(profile: np.ndarray, umis_per_bc: np.ndarray,

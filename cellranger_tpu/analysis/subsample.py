@@ -15,6 +15,15 @@ import numpy as np
 DEFAULT_RATES = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
 
 
+def compute_target_depths(max_target: float, num_targets: int) -> np.ndarray:
+    """Sorted distinct nonzero integer subsampling depths up to max_target
+    (subsample.py:140-159): num_targets+1 linspace points from 0, unique,
+    zeros dropped."""
+    distinct = np.unique(np.linspace(0, max_target, num_targets + 1,
+                                     dtype=int))
+    return distinct[distinct > 0]
+
+
 def subsample_metrics(mol_bc: np.ndarray, mol_gene: np.ndarray,
                       mol_reads: np.ndarray, cell_bc_idx: np.ndarray,
                       rates=DEFAULT_RATES, seed: int = 0) -> dict:

@@ -559,7 +559,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
         sjh = acc["sjh"].at[jnp.where(on_contig, hidx, 0)].add(
             jnp.where(on_contig, 1, 0))
         mvec = acc["mvec"] + jnp.stack(
-            [m[k] for k in METRIC_FIELDS] + [n_sj_over]).astype(jnp.int64)
+            [m[k] for k in METRIC_FIELDS] + [n_sj_over]).astype(jnp.int32)
         return dict(mol=mol, mol_n=acc["mol_n"] + n_new,
                     sj=sj, sj_n=acc["sj_n"] + n_sj_new, sjh=sjh, mvec=mvec)
 
@@ -570,7 +570,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
             sj=jnp.zeros((sj_cap, 3), jnp.uint32),
             sj_n=jnp.int32(0),
             sjh=jnp.zeros((max(2 * n_sj, 1),), jnp.int32),
-            mvec=jnp.zeros((len(METRIC_FIELDS) + 1,), jnp.int64),
+            mvec=jnp.zeros((len(METRIC_FIELDS) + 1,), jnp.int32),
         )
 
     def step(buf, acc):

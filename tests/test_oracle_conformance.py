@@ -1,0 +1,239 @@
+"""Live-oracle conformance: run the REFERENCE pipeline's own Python
+implementations (cell_calling / cell_calling_helpers / sgt / stats /
+molecule_counter, imported from /root/reference) against this engine's
+re-implementations on shared synthetic inputs.
+
+These are the first bits of north-star evidence (BASELINE "tiny-ref
+bit-for-bit"): the deterministic layers (SGT r*, ambient profile,
+multinomial log-likelihoods, ambient p-values, BH adjustment, the seeded
+ordmag bootstrap) must match EXACTLY; the Monte-Carlo EmptyDrops
+simulation uses an independent (also seeded) sampling scheme, so its
+parity check is at the decision level on a well-separated input plus a
+distributional check on the simulated null.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from oracle_ref import load_oracle
+
+ORACLE = load_oracle()
+pytestmark = pytest.mark.skipif(ORACLE is None,
+                                reason="reference tree not available")
+
+
+# ---------------------------------------------------------------------------
+# Simple Good-Turing (sgt.py:34,97 vs analysis/sgt.py)
+# ---------------------------------------------------------------------------
+
+def test_sgt_rstar_parity():
+    from cellranger_tpu.analysis.sgt import sgt_proportions
+    rng = np.random.RandomState(42)
+    # Zipf-ish frequency profile: many singletons, a few large counts
+    freqs = np.concatenate([
+        rng.zipf(1.7, 400).astype(np.int64),
+        np.ones(200, np.int64)])
+    p_ours, p0_ours = sgt_proportions(freqs)
+    p_ref, p0_ref = ORACLE.sgt.sgt_proportions(freqs)
+    assert np.allclose(p0_ours, p0_ref, rtol=1e-12, atol=0)
+    np.testing.assert_allclose(p_ours, p_ref, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# ordmag initial cell calling (cell_calling_helpers.py:864-960)
+# ---------------------------------------------------------------------------
+
+def _synth_counts(seed=0, n_cells=300, n_ambient=8000):
+    rng = np.random.RandomState(seed)
+    cells = rng.negative_binomial(20, 0.01, n_cells) + 500
+    ambient = rng.negative_binomial(1, 0.3, n_ambient)
+    return np.concatenate([cells, ambient]).astype(np.int64)
+
+
+def test_find_within_ordmag_parity():
+    from cellranger_tpu.analysis.cell_calling import find_within_ordmag
+    counts = _synth_counts()
+    nonzero = counts[counts > 0]
+    for bidx in (0, 3, 10, 100):
+        ours = find_within_ordmag(nonzero, bidx)
+        ref = ORACLE.helpers.find_within_ordmag(nonzero, bidx)
+        assert int(ours) == int(ref), bidx
+
+
+def test_estimate_recovered_cells_parity():
+    from cellranger_tpu.analysis.cell_calling import \
+        estimate_recovered_cells_ordmag
+    counts = _synth_counts()
+    nonzero = counts[counts > 0]
+    ours = estimate_recovered_cells_ordmag(nonzero, 262_144)
+    ref = ORACLE.helpers.estimate_recovered_cells_ordmag(nonzero, 262_144)
+    assert int(ours[0]) == int(ref[0])
+    assert np.isclose(ours[1], ref[1])
+
+
+@pytest.mark.parametrize("recovered", [None, 250])
+@pytest.mark.parametrize("seed", [0, 7])
+def test_ordmag_bootstrap_full_parity(recovered, seed):
+    """The full seeded (RandomState(0)) bootstrap call must select the
+    IDENTICAL barcode set, including the tie-extension rule."""
+    from cellranger_tpu.analysis.cell_calling import call_initial_cells_ordmag
+    counts = _synth_counts(seed=seed)
+    ours = call_initial_cells_ordmag(counts, recovered_cells=recovered,
+                                     chemistry_name=None)
+    ref_idx, ref_metrics, _msg = ORACLE.helpers.filter_cellular_barcodes_ordmag(
+        counts, recovered_cells=recovered, chemistry_description=None)
+    np.testing.assert_array_equal(np.asarray(ours.filtered_idx),
+                                  np.asarray(ref_idx))
+    assert ours.filtered_bcs == ref_metrics.filtered_bcs
+
+
+def test_ordmag_tie_extension_parity():
+    """A count profile with a heavy tie at the cutoff exercises the
+    >=cutoff extension + 20% bail rule (helpers.py:846-859)."""
+    from cellranger_tpu.analysis.cell_calling import call_initial_cells_ordmag
+    rng = np.random.RandomState(3)
+    counts = np.concatenate([
+        np.full(50, 1000, np.int64),       # clear cells
+        np.full(400, 120, np.int64),       # massive tie near the cutoff
+        rng.negative_binomial(1, 0.4, 5000).astype(np.int64)])
+    ours = call_initial_cells_ordmag(counts, recovered_cells=60,
+                                     chemistry_name=None)
+    ref_idx, ref_metrics, _ = ORACLE.helpers.filter_cellular_barcodes_ordmag(
+        counts, recovered_cells=60, chemistry_description=None)
+    np.testing.assert_array_equal(np.asarray(ours.filtered_idx),
+                                  np.asarray(ref_idx))
+
+
+# ---------------------------------------------------------------------------
+# EmptyDrops components (cell_calling.py:47-112, stats.py:24-233)
+# ---------------------------------------------------------------------------
+
+def _synth_matrix(seed=1, n_feat=600, n_bc=800):
+    # spectrum tuned so the SGT log-log slope is < -1 (the estimator's
+    # applicability condition, asserted identically by both sides)
+    rng = np.random.RandomState(seed)
+    profile = rng.dirichlet(np.full(n_feat, 0.05))
+    umis = np.concatenate([
+        rng.randint(300, 900, 40),          # real cells
+        rng.randint(1, 40, n_bc - 40)])     # ambient
+    cols = [rng.multinomial(n, profile) for n in umis]
+    m = sp.csc_matrix(np.stack(cols, axis=1).astype(np.int64))
+    return m, umis
+
+
+def test_ambient_profile_sgt_parity():
+    from cellranger_tpu.analysis.cell_calling import est_background_profile_sgt
+    m, _ = _synth_matrix()
+    use_bcs = np.arange(100, 700)
+    feats_o, prof_o = est_background_profile_sgt(m, use_bcs)
+    feats_r, prof_r = ORACLE.cell_calling.est_background_profile_sgt(m, use_bcs)
+    np.testing.assert_array_equal(feats_o, feats_r)
+    np.testing.assert_allclose(prof_o, prof_r, rtol=1e-10)
+
+
+def test_multinomial_loglk_parity():
+    from cellranger_tpu.analysis.cell_calling import \
+        eval_multinomial_loglikelihoods
+    m, _ = _synth_matrix()
+    profile = np.asarray(m.sum(axis=1)).ravel().astype(float)
+    profile = profile / profile.sum()
+    sub = m[:, :50]
+    ours = eval_multinomial_loglikelihoods(sub.toarray(), profile)
+    ref = ORACLE.stats.eval_multinomial_loglikelihoods(sub, profile)
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+
+def test_ambient_pvalues_parity():
+    """Given the SAME simulated null, the p-value computation must agree
+    exactly (stats.py:205-233)."""
+    from cellranger_tpu.analysis.cell_calling import compute_ambient_pvalues
+    rng = np.random.RandomState(5)
+    sim_n = np.arange(1, 200)
+    sim_loglk = -np.abs(rng.normal(50, 20, (len(sim_n), 500)))
+    umis = rng.randint(1, 199, 64)
+    obs = -np.abs(rng.normal(40, 25, 64))
+    ours = compute_ambient_pvalues(umis, obs, sim_n, sim_loglk)
+    ref = ORACLE.stats.compute_ambient_pvalues(umis, obs, sim_n, sim_loglk)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=0)
+
+
+def test_bh_adjust_parity():
+    from cellranger_tpu.analysis.cell_calling import adjust_pvalue_bh
+    from cellranger.analysis.diffexp import adjust_pvalue_bh as ref_bh
+    rng = np.random.RandomState(9)
+    p = rng.uniform(0, 1, 257)
+    np.testing.assert_allclose(adjust_pvalue_bh(p), ref_bh(p), rtol=1e-12)
+
+
+def test_simulated_null_distribution_close():
+    """The Monte-Carlo null: our vectorized sampler is an independent
+    (seeded) scheme, so compare distributions, not streams — the per-N
+    median/IQR of simulated log-likelihoods must agree within a tight
+    envelope."""
+    from cellranger_tpu.analysis.cell_calling import \
+        simulate_multinomial_loglikelihoods
+    rng = np.random.RandomState(11)
+    profile = rng.dirichlet(np.full(60, 0.5))
+    umis = np.repeat(np.array([5, 20, 50, 100]), 8)
+    n_o, lk_o = simulate_multinomial_loglikelihoods(profile, umis,
+                                                    num_sims=400)
+    n_r, lk_r = ORACLE.stats.simulate_multinomial_loglikelihoods(
+        profile, umis, num_sims=400)
+    np.testing.assert_array_equal(n_o, n_r)
+    med_o, med_r = np.median(lk_o, axis=1), np.median(lk_r, axis=1)
+    iqr_r = np.subtract(*np.percentile(lk_r, [75, 25], axis=1))
+    assert np.all(np.abs(med_o - med_r) <= 0.35 * iqr_r + 0.75), \
+        (med_o, med_r, iqr_r)
+
+
+# ---------------------------------------------------------------------------
+# subsample target depths (subsample.py:140)
+# ---------------------------------------------------------------------------
+
+def test_compute_target_depths_parity():
+    from cellranger_tpu.analysis.subsample import compute_target_depths
+    for max_t, n in ((30_000, 5), (999, 12), (3, 10)):
+        np.testing.assert_array_equal(
+            compute_target_depths(max_t, n),
+            ORACLE.subsample.compute_target_depths(max_t, n))
+
+
+# ---------------------------------------------------------------------------
+# molecule_info.h5 format: readable by the REFERENCE MoleculeCounter
+# ---------------------------------------------------------------------------
+
+def test_molecule_info_opens_with_reference_reader(tmp_path):
+    """Write a molecule_info.h5 with this engine's writer and open it with
+    the reference's MoleculeCounter (molecule_counter.py:347) — column
+    data must round-trip."""
+    from cellranger_tpu.io.matrix_io import FeatureDef, FeatureReference
+    from cellranger_tpu.io.molecule_info import save_molecule_info
+
+    path = str(tmp_path / "molecule_info.h5")
+    features = FeatureReference([
+        FeatureDef("G0", "G0", "Gene Expression"),
+        FeatureDef("G1", "G1", "Gene Expression")])
+    barcodes = [b"AAAA-1", b"CCCC-1", b"GGGG-1"]
+    save_molecule_info(
+        path,
+        barcode_idx=np.array([0, 1, 2, 2], np.uint64),
+        feature_idx=np.array([0, 1, 0, 1], np.uint32),
+        umi=np.array([1, 2, 3, 4], np.uint32),
+        count=np.array([2, 1, 5, 1], np.uint32),
+        library_idx=np.zeros(4, np.uint16),
+        barcodes=barcodes, features=features, gem_group=1,
+        pass_filter_bc_idx=np.array([0, 2], np.uint64),
+        metrics={"total_reads": 9, "usable_read_pairs": 9,
+                 "chemistry": "SC3Pv3", "sample_id": "t"})
+
+    mc_h5, version = ORACLE.molecule_counter.get_h5py_file_and_version(path)
+    assert version >= 3, version
+    np.testing.assert_array_equal(np.asarray(mc_h5["barcode_idx"]),
+                                  [0, 1, 2, 2])
+    np.testing.assert_array_equal(np.asarray(mc_h5["count"]), [2, 1, 5, 1])
+    np.testing.assert_array_equal(np.asarray(mc_h5["feature_idx"]),
+                                  [0, 1, 0, 1])
+    mc_h5.close()
