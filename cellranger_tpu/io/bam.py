@@ -20,8 +20,14 @@ BAM_CMATCH = 0      # M
 BAM_CREF_SKIP = 3   # N
 BAM_CSOFT_CLIP = 4  # S
 
+FLAG_PAIRED = 1
+FLAG_PROPER_PAIR = 2
 FLAG_UNMAPPED = 4
+FLAG_MATE_UNMAPPED = 8
 FLAG_REVERSE = 16
+FLAG_MATE_REVERSE = 32
+FLAG_FIRST_MATE = 64
+FLAG_SECOND_MATE = 128
 
 # xf bitmask — exact ExtraFlags values (cr_bam/src/bam_tags.rs:41-59).
 # A duplicate read is simply CONF_MAPPED without UMI_COUNT/LOW_SUPPORT.
@@ -83,7 +89,8 @@ class BamWriter:
 
     def write_record(self, name: bytes, flag: int, ref_id: int, pos: int,
                      mapq: int, cigar: list[tuple[int, int]],
-                     seq: bytes, qual: bytes, tags: list[tuple[str, str, object]]):
+                     seq: bytes, qual: bytes, tags: list[tuple[str, str, object]],
+                     next_ref: int = -1, next_pos: int = -1, tlen: int = 0):
         """cigar: [(op_len, op_code)]; tags: [(tag, type_char, value)]."""
         nb = name + b"\x00"
         l_seq = len(seq)
@@ -97,7 +104,7 @@ class BamWriter:
         end = pos + sum(l for l, op in cigar if op in (0, 2, 3)) if cigar else pos + 1
         bin_ = _reg2bin(pos, max(end, pos + 1))
         rec = struct.pack("<iiBBHHHiiii", ref_id, pos, len(nb), mapq, bin_,
-                          len(cigar), flag, l_seq, -1, -1, 0)
+                          len(cigar), flag, l_seq, next_ref, next_pos, tlen)
         rec += nb
         for (ln, op) in cigar:
             rec += struct.pack("<I", (ln << 4) | op)

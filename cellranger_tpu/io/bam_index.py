@@ -39,10 +39,10 @@ class IndexingBamWriter(BamWriter):
         return self._f.tell()
 
     def write_record(self, name, flag, ref_id, pos, mapq, cigar, seq, qual,
-                     tags):
+                     tags, next_ref=-1, next_pos=-1, tlen=0):
         start = self._voffset()
         super().write_record(name, flag, ref_id, pos, mapq, cigar, seq, qual,
-                             tags)
+                             tags, next_ref, next_pos, tlen)
         end = self._voffset()
         if ref_id >= 0:
             rlen = sum(l for l, op in cigar if op in (0, 2, 3)) or 1

@@ -67,6 +67,7 @@ def read_bam(path):
                 raise ValueError(f"unhandled tag type {tc}")
         records.append(dict(name=name.decode(), flag=flag, ref_id=ref_id,
                             pos=pos, mapq=mapq, cigar=cigar, seq=seq,
-                            qual=qual, tags=tags))
+                            qual=qual, tags=tags, next_ref=_nr, next_pos=_np,
+                            tlen=_tl))
         off = end
     return refs, records, text

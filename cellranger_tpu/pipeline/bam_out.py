@@ -20,7 +20,9 @@ import os
 import numpy as np
 
 from ..io.bam import (BAM_CMATCH, BAM_CREF_SKIP, BAM_CSOFT_CLIP,
-                      FLAG_REVERSE, FLAG_UNMAPPED, XF_CONF_FEATURE,
+                      FLAG_FIRST_MATE, FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED,
+                      FLAG_PAIRED, FLAG_PROPER_PAIR, FLAG_REVERSE,
+                      FLAG_SECOND_MATE, FLAG_UNMAPPED, XF_CONF_FEATURE,
                       XF_CONF_MAPPED, XF_GENE_DISCORDANT,
                       XF_LOW_SUPPORT_UMI, XF_UMI_COUNT)
 from ..io.bam_index import IndexingBamWriter as BamWriter
@@ -66,8 +68,38 @@ class BamCollector:
             + np.where(mapped, g["gpos"], 0)
         return key, g
 
+    def _spool_chunk(self, chunk, n):
+        """Attach genomic sort keys + coordinates and band-spool a chunk."""
+        # mate fields: neutral defaults so single-end / feature chunks can
+        # share a band (and its concatenation) with paired-end chunks
+        chunk.setdefault("pair_flag", np.zeros(n, np.int64))
+        chunk.setdefault("mate_chrom", np.full(n, -1, np.int32))
+        chunk.setdefault("mate_gpos", np.full(n, -1, np.int64))
+        chunk.setdefault("tlen", np.zeros(n, np.int64))
+        chunk.setdefault("umi_rep", np.ones(n, bool))
+        key, g = self._sort_keys(chunk["pos"], chunk["aln_len"],
+                                 chunk["mapped"])
+        chunk["sort_key"] = key
+        chunk["g_chrom"] = g["chrom"][:n].astype(np.int32)
+        chunk["g_gpos"] = g["gpos"][:n].astype(np.int64)
+        chunk["g_spliced"] = g["spliced"][:n].astype(bool)
+        chunk["g_intron_len"] = g["intron_len"][:n].astype(np.int64)
+        chunk["g_donor_off"] = g["donor_off"][:n].astype(np.int64)
+        band = np.minimum((key * self.n_bands) // self._max_key,
+                          self.n_bands - 1)
+        band = np.where(chunk["mapped"].astype(bool), band, self.n_bands)
+        self.spool.add(band.astype(np.int64), chunk)
+        self.n_reads += n
+        return chunk
+
     def add_batch(self, batch, ho: dict):
-        """ho: host-side (numpy) step output dict for this batch."""
+        """ho: host-side (numpy) step output dict for this batch.
+
+        Paired-end chemistries (batch.rna2 + ho['pos2'] present) emit TWO
+        records per read — both mates with 0x1/0x40/0x80 paired FLAG bits,
+        mate RNEXT/PNEXT, and reference-span TLEN (write_pos_bam.rs emits
+        every mate).  An improper pair is unmapped as a whole upstream, so
+        both its records land in the unmapped band with 0x4|0x8 set."""
         n = batch.n_reads
         take = lambda a: np.asarray(a)[:n]
         chunk = dict(
@@ -90,19 +122,54 @@ class BamCollector:
         chunk["is_feature"] = np.zeros(n, bool)
         for k in ("fr", "fq", "fb", "fx"):
             chunk[k] = [b""] * n
-        key, g = self._sort_keys(chunk["pos"], chunk["aln_len"],
-                                 chunk["mapped"])
-        chunk["sort_key"] = key
-        chunk["g_chrom"] = g["chrom"][:n].astype(np.int32)
-        chunk["g_gpos"] = g["gpos"][:n].astype(np.int64)
-        chunk["g_spliced"] = g["spliced"][:n].astype(bool)
-        chunk["g_intron_len"] = g["intron_len"][:n].astype(np.int64)
-        chunk["g_donor_off"] = g["donor_off"][:n].astype(np.int64)
-        band = np.minimum((key * self.n_bands) // self._max_key,
-                          self.n_bands - 1)
-        band = np.where(chunk["mapped"].astype(bool), band, self.n_bands)
-        self.spool.add(band.astype(np.int64), chunk)
-        self.n_reads += n
+        paired = "pos2" in ho and getattr(batch, "rna2", None) is not None
+        if not paired:
+            self._spool_chunk(chunk, n)
+            return
+        # ---- paired-end: build the mate-2 chunk and cross-link mates ----
+        mapped = chunk["mapped"].astype(bool)
+        chunk2 = dict(chunk)
+        chunk2.update(
+            rna=take(batch.rna2), rna_qual=take(batch.rna2_qual),
+            rna_len=take(batch.rna2_len), nmask=take(batch.rna2_nmask),
+            pos=take(ho["pos2"]).astype(np.int64),
+            mapq=take(ho["mapq2"]), strand=take(ho["strand2"]),
+            aln_len=take(ho["aln_len2"]), aln_start=take(ho["aln_start2"]),
+            # mate-2 shares the pair-level gene/region annotation; SJ
+            # discovery runs on mate 1 only
+            novel_sj=np.zeros(n, np.int64))
+        g1 = self.gi.pos_to_genomic(chunk["pos"].astype(np.int64),
+                                    chunk["aln_len"].astype(np.int64))
+        g2 = self.gi.pos_to_genomic(chunk2["pos"].astype(np.int64),
+                                    chunk2["aln_len"].astype(np.int64))
+        c1, p1 = g1["chrom"][:n].astype(np.int64), g1["gpos"][:n]
+        c2, p2 = g2["chrom"][:n].astype(np.int64), g2["gpos"][:n]
+        e1 = p1 + chunk["aln_len"] + np.where(
+            g1["spliced"][:n], g1["intron_len"][:n], 0)
+        e2 = p2 + chunk2["aln_len"] + np.where(
+            g2["spliced"][:n], g2["intron_len"][:n], 0)
+        span = np.maximum(e1, e2) - np.minimum(p1, p2)
+        same = mapped & (c1 == c2)
+        tlen1 = np.where(same, np.where(p1 <= p2, span, -span), 0)
+        base = FLAG_PAIRED | np.where(mapped, FLAG_PROPER_PAIR,
+                                      FLAG_MATE_UNMAPPED)
+        rev1 = (chunk["strand"] == 1)
+        rev2 = (chunk2["strand"] == 1)
+        chunk["pair_flag"] = (base | FLAG_FIRST_MATE
+                              | np.where(mapped & rev2, FLAG_MATE_REVERSE, 0))
+        chunk2["pair_flag"] = (base | FLAG_SECOND_MATE
+                               | np.where(mapped & rev1, FLAG_MATE_REVERSE, 0))
+        chunk["mate_chrom"] = np.where(mapped, c2, -1).astype(np.int32)
+        chunk["mate_gpos"] = np.where(mapped, p2, -1)
+        chunk["tlen"] = tlen1
+        chunk2["mate_chrom"] = np.where(mapped, c1, -1).astype(np.int32)
+        chunk2["mate_gpos"] = np.where(mapped, p1, -1)
+        chunk2["tlen"] = -tlen1
+        # only mate 1 is the molecule representative (UMI_COUNT eligible)
+        chunk["umi_rep"] = np.ones(n, bool)
+        chunk2["umi_rep"] = np.zeros(n, bool)
+        self._spool_chunk(chunk, n)
+        self._spool_chunk(chunk2, n)
 
     def add_feature_batch(self, batch, conf_ok, bc_ok, bc_idx, corrected_bc,
                           gene, fr, fq, fb_seq, fx,
@@ -142,6 +209,11 @@ class BamCollector:
         for k in _CHUNK_KEYS_2D:
             chunk[k] = np.full((n, 4), -1, np.int32)
         chunk["is_feature"] = np.ones(n, bool)
+        chunk["pair_flag"] = np.zeros(n, np.int64)
+        chunk["mate_chrom"] = np.full(n, -1, np.int32)
+        chunk["mate_gpos"] = np.full(n, -1, np.int64)
+        chunk["tlen"] = np.zeros(n, np.int64)
+        chunk["umi_rep"] = np.ones(n, bool)
         self.spool.add(np.full(n, self.n_bands, np.int64), chunk)
         self.n_reads += n
 
@@ -236,7 +308,10 @@ class BamCollector:
                 tags.append(("CB", "Z", cb + b"-%d" % gem_group))
 
             xf = 0
-            flag = 0
+            flag = int(cat["pair_flag"][i])
+            mate_ref = int(cat["mate_chrom"][i])
+            mate_pos = int(cat["mate_gpos"][i])
+            tlen = int(cat["tlen"][i])
             if not mapped[i]:
                 if cat["is_feature"][i]:
                     # feature-barcode library read (FeatureExtracted tags)
@@ -260,8 +335,9 @@ class BamCollector:
                                 xf |= XF_UMI_COUNT
                 # every record carries xf (unmapped non-feature: 0)
                 tags.append(("xf", "i", xf))
-                w.write_record(cat["names"][i], FLAG_UNMAPPED, -1, -1, 0, [],
-                               seq, qual, tags)
+                w.write_record(cat["names"][i], flag | FLAG_UNMAPPED,
+                               -1, -1, 0, [], seq, qual, tags,
+                               next_ref=mate_ref, next_pos=mate_pos)
                 continue
             if st == 1:
                 flag |= FLAG_REVERSE
@@ -321,7 +397,7 @@ class BamCollector:
                     tags.append(("UB", "Z", ub))
                 if low_arr[i]:
                     xf |= XF_LOW_SUPPORT_UMI
-                else:
+                elif cat["umi_rep"][i]:
                     mol_key = (int(cat["bc_idx"][i]), gene, cu)
                     if mol_key not in seen_mol:
                         # first conf read of the molecule in coordinate
@@ -333,4 +409,5 @@ class BamCollector:
                     # separate flag in the reference's ExtraFlags)
             w.write_record(cat["names"][i], flag, chrom, gpos,
                            int(cat["mapq"][i]), cig, seq, qual,
-                           tags + [("xf", "i", xf)])
+                           tags + [("xf", "i", xf)],
+                           next_ref=mate_ref, next_pos=mate_pos, tlen=tlen)

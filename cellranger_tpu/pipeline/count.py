@@ -176,7 +176,10 @@ MAX_INSERT = 2000      # max genomic span of a proper read pair (fragment
 I32_FIELDS = ("gene", "pos", "mapq", "strand", "aln_len", "aln_start",
               "region", "sj_donor", "sj_acceptor", "sj_right_len",
               "gene_unpaired")
-U32_FIELDS = frozenset(("gene", "pos", "sj_donor", "sj_acceptor"))
+# mate-2 columns appended for paired-end chemistries (presence inferred
+# from the i32 plane width in unpack_step_out)
+PE_I32_FIELDS = ("pos2", "mapq2", "strand2", "aln_len2", "aln_start2")
+U32_FIELDS = frozenset(("gene", "pos", "sj_donor", "sj_acceptor", "pos2"))
 BOOL_FIELDS = ("conf_ok", "mapped", "antisense", "novel_sj", "mm",
                "gene_discordant")
 METRIC_FIELDS = ("n_mapped", "n_conf", "n_exonic", "n_intronic",
@@ -192,10 +195,13 @@ def unpack_step_out(out) -> tuple[dict, dict]:
     flags = np.asarray(out["flags"])
     mvec = np.asarray(out["mvec"])
     ho: dict = {}
-    for j, k in enumerate(I32_FIELDS):
+    names = I32_FIELDS
+    if i32.shape[1] >= len(I32_FIELDS) + len(PE_I32_FIELDS) + 2 * KG_LIST:
+        names = I32_FIELDS + PE_I32_FIELDS
+    for j, k in enumerate(names):
         col = i32[:, j]
         ho[k] = col.view(np.uint32) if k in U32_FIELDS else col
-    n = len(I32_FIELDS)
+    n = len(names)
     ho["gene_list"] = i32[:, n:n + KG_LIST]
     ho["anti_list"] = i32[:, n + KG_LIST:n + 2 * KG_LIST]
     for j, k in enumerate(BOOL_FIELDS):
@@ -437,10 +443,19 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
             ann = dict(ann, gene=gene_p, conf_mapped=conf_p)
             aln = dict(aln, mapped=proper)
             mapq_eff = jnp.where(proper, mapq_eff, 0)
+            # mate-2 coordinates for the PE BAM records (both mates are
+            # emitted, write_pos_bam.rs; an improper pair is unmapped as a
+            # whole, so mate-2 mapped-ness is `proper` too)
+            pe_out = dict(
+                pos2=aln2["pos"].astype(jnp.uint32),
+                mapq2=jnp.where(proper, aln2["mapq"], 0),
+                strand2=aln2["strand"],
+                aln_len2=aln2["aln_len"], aln_start2=aln2["aln_start"])
         else:
             n_improper = jnp.int32(0)
             gene_discordant = jnp.zeros((B,), bool)
             gene_unpaired = ann["gene"]
+            pe_out = {}
 
         conf_ok = (ann["conf_mapped"] & bc_ok & umi_valid & slot_valid)
         mapped = aln["mapped"] & slot_valid
@@ -478,6 +493,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
             gene_list=ann["gene_list"], anti_list=ann["anti_list"],
             gene_discordant=gene_discordant, gene_unpaired=gene_unpaired,
             metrics=m,
+            **pe_out,
         )
         out["bc_idx"] = bc_idx
         out["umi"] = umi_packed
@@ -490,7 +506,8 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
                 return jax.lax.bitcast_convert_type(a, jnp.int32)
             return a.astype(jnp.int32)
 
-        ints = jnp.stack([as_i32(out[k]) for k in I32_FIELDS], axis=1)
+        names = I32_FIELDS + (PE_I32_FIELDS if "pos2" in out else ())
+        ints = jnp.stack([as_i32(out[k]) for k in names], axis=1)
         ints = jnp.concatenate(
             [ints, out["gene_list"].astype(jnp.int32),
              out["anti_list"].astype(jnp.int32)], axis=1)

@@ -100,3 +100,53 @@ def test_sc5p_pe_pair_gene_intersection(tmp_path):
     assert s["mapped_reads"] == 12
     assert s["conf_mapped_reads"] == 12
     assert s["total_molecules"] == 12
+
+
+def test_sc5p_pe_bam_both_mates(tmp_path):
+    """PE write_bam emits BOTH mate records with paired FLAG bits, mate
+    RNEXT/PNEXT, and symmetric TLEN (write_pos_bam.rs emits every mate)."""
+    rng = np.random.default_rng(73)
+    genome = _build_ref(tmp_path, rng)
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(40)})
+    open(tmp_path / "wl.txt", "w").writelines(s + "\n" for s in wl)
+    r1p, r2p = _write_pe_run(tmp_path, genome, rng, wl,
+                             n_proper=15, n_discordant=5)
+    s = run_count(CountConfig(
+        fastq_pairs=[(r1p, r2p)], reference_path=str(tmp_path / "ref"),
+        whitelist_path=str(tmp_path / "wl.txt"), chemistry="SC5P-PE",
+        read_len=READ_LEN, batch_size=256, secondary_analysis=False,
+        checkpoint=False, write_bam=True), str(tmp_path / "out"))
+    assert s["conf_mapped_reads"] == 15
+    from cellranger_tpu.io.bam_read import read_bam
+    refs, records, _ = read_bam(str(tmp_path / "out" /
+                                    "possorted_genome_bam.bam"))
+    # two records per read pair, every record paired + one mate bit
+    assert len(records) == 2 * 20
+    by_name = {}
+    for r in records:
+        assert r["flag"] & 0x1
+        assert bool(r["flag"] & 0x40) != bool(r["flag"] & 0x80)
+        by_name.setdefault(r["name"], []).append(r)
+    n_umi_count = 0
+    for name, pair in by_name.items():
+        assert len(pair) == 2
+        m1 = next(r for r in pair if r["flag"] & 0x40)
+        m2 = next(r for r in pair if r["flag"] & 0x80)
+        if not (m1["flag"] & 0x4):   # proper pair: both mapped
+            for a, b in ((m1, m2), (m2, m1)):
+                assert a["flag"] & 0x2
+                assert a["next_ref"] == b["ref_id"]
+                assert a["next_pos"] == b["pos"]
+            assert m1["tlen"] == -m2["tlen"] != 0
+            # mate-reverse bit mirrors the other mate's reverse bit
+            assert bool(m1["flag"] & 0x20) == bool(m2["flag"] & 0x10)
+            assert bool(m2["flag"] & 0x20) == bool(m1["flag"] & 0x10)
+            # conf pairs carry GX on both mates, UMI_COUNT on at most one
+            if "GX" in m1["tags"]:
+                assert m2["tags"].get("GX") == m1["tags"]["GX"]
+            n_umi_count += sum(bool(r["tags"]["xf"] & 8) for r in pair)
+        else:                        # improper: both unmapped, mate-unmapped
+            assert m2["flag"] & 0x4
+            assert m1["flag"] & 0x8 and m2["flag"] & 0x8
+            assert not (m1["flag"] & 0x2)
+    assert n_umi_count == s["total_molecules"] == 15
