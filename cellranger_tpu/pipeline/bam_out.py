@@ -233,24 +233,22 @@ class BamCollector:
             return
         gene_ids = [g_.id for g_ in txome.genes]
         gene_names = [g_.name for g_ in txome.genes]
-        gene_strands = [getattr(g_, "strand", "+") for g_ in txome.genes]
-        self._gene_ids, self._gene_strands = gene_ids, gene_strands
+        self._gene_ids = gene_ids
+        self._build_tx_tables()
         rb = np.asarray(raw_views.get("raw_bc", np.zeros(0, np.uint32)))
         rg = np.asarray(raw_views.get("raw_gene", np.zeros(0, np.uint32)))
         ru = np.asarray(raw_views.get("raw_umi", np.zeros(0, np.uint32)))
         rc = np.asarray(raw_views.get("raw_corr_umi", np.zeros(0, np.uint32)))
         rl = np.asarray(raw_views.get("raw_low", np.zeros(0, bool)))
-        seen_mol: set = set()  # packed (bc, gene, corr_umi) already counted
 
-        for band in range(self.n_bands + 1):
+        def load_band(band):
             chunks = list(self.spool.iter_band(band))
             if not chunks:
-                continue
+                return None
             cat = {k: (np.concatenate([c[k] for c in chunks])
                        if isinstance(chunks[0][k], np.ndarray)
                        else sum((c[k] for c in chunks), []))
                    for k in chunks[0]}
-            order = np.argsort(cat["sort_key"], kind="stable")
             # corrected-UMI / low-support join against the raw-triple views
             if len(rb):
                 jidx, jfound = lex3_join_np(
@@ -262,24 +260,109 @@ class BamCollector:
             else:
                 corr_umi = cat["umi_packed"].astype(np.uint32)
                 low_sup = np.zeros(len(corr_umi), bool)
-            self._write_rows(w, cat, order, corr_umi, low_sup, seen_mol,
+            return cat, corr_umi, low_sup
+
+        # ---- pass A: the UMI_COUNT representative of each molecule is the
+        # read with min (raw UMI, qname) among its conf-mapped reads
+        # (mark_dups.rs:147-151 min UmiSelectKey, :252-258 rekeyed to the
+        # min raw UMI correcting into the molecule; mate-1 records only) --
+        rep: dict = {}
+        for band in range(self.n_bands + 1):
+            r = load_band(band)
+            if r is None:
+                continue
+            cat, corr_umi, low_sup = r
+            el = (cat["conf_ok"].astype(bool) & cat["umi_valid"].astype(bool)
+                  & cat["umi_rep"].astype(bool) & ~low_sup)
+            for i in np.flatnonzero(el):
+                k = (int(cat["bc_idx"][i]), int(cat["gene"][i]),
+                     int(corr_umi[i]))
+                cand = (int(cat["umi_packed"][i]), cat["names"][i])
+                if k not in rep or cand < rep[k]:
+                    rep[k] = cand
+
+        for band in range(self.n_bands + 1):
+            r = load_band(band)
+            if r is None:
+                continue
+            cat, corr_umi, low_sup = r
+            order = np.argsort(cat["sort_key"], kind="stable")
+            self._write_rows(w, cat, order, corr_umi, low_sup, rep,
                              gene_ids, gene_names, bc_len, umi_len, gem_group)
         w.close()
         self.spool.close()
 
-    def _gene_set_tag(self, genes_row) -> bytes:
-        """TX/AN tag payload: ';'-joined 'gene_id,strand' entries
-        (transcript.rs:164-174 intron-mode form: gene id + strand; the
-        transcript-projected 'txid,pos,cigar' form needs per-transcript
-        coordinates the interval annotator does not carry)."""
+    def _build_tx_tables(self):
+        """Per-gene transcript projection tables: gene index -> list of
+        (tx_id, chrom_idx, tx_reverse, exon_starts, exon_ends, cum_len,
+        tx_len), chrom-relative genomic coordinates."""
+        chrom_idx = {c if isinstance(c, str) else c.decode(): i
+                     for i, c in enumerate(self.gi.chrom_names)}
+        self._gene_txs: dict = {}
+        for t in self.txome.transcripts:
+            starts = np.asarray([s for s, _ in t.exons], np.int64)
+            ends = np.asarray([e for _, e in t.exons], np.int64)
+            lens = ends - starts
+            cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            rec = (t.id, chrom_idx.get(t.chrom, -1), t.strand == "-",
+                   starts, ends, cum, int(lens.sum()))
+            self._gene_txs.setdefault(t.gene_index, []).append(rec)
+
+    @staticmethod
+    def _project_tx(rec, chrom: int, segs, lclip: int, rclip: int):
+        """Project a read's genomic aligned segments onto one transcript
+        (transcript.rs:436 align_to_transcript): every segment must sit
+        inside an exon and consecutive segments must split exactly at the
+        transcript's exon junctions.  Returns 'pos,cigar' in transcript
+        coordinates or None if incompatible."""
+        tx_id, tx_chrom, tx_rev, starts, ends, cum, tx_len = rec
+        if chrom != tx_chrom:
+            return None
+        idxs = []
+        for s, e in segs:
+            i = int(np.searchsorted(starts, s, side="right")) - 1
+            if i < 0 or e > ends[i] or s < starts[i]:
+                return None
+            idxs.append(i)
+        for k in range(len(segs) - 1):
+            # junction between segment k and k+1 must be this exon junction
+            if (segs[k][1] != ends[idxs[k]] or idxs[k + 1] != idxs[k] + 1
+                    or segs[k + 1][0] != starts[idxs[k + 1]]):
+                return None
+        tx_pos = int(cum[idxs[0]] + (segs[0][0] - starts[idxs[0]]))
+        aligned = int(sum(e - s for s, e in segs))
+        if tx_rev:
+            tx_pos = tx_len - (tx_pos + aligned)
+            lclip, rclip = rclip, lclip
+        cig = (f"{lclip}S" if lclip else "") + f"{aligned}M" \
+            + (f"{rclip}S" if rclip else "")
+        return f"{tx_pos},{cig}"
+
+    def _gene_set_tag(self, genes_row, chrom: int, segs, lclip: int,
+                      rclip: int, antisense: bool) -> bytes:
+        """TX/AN tag payload (transcript.rs:163-174): ';'-joined entries —
+        'tx_id,{strand}{pos},{cigar}' per splice-compatible transcript,
+        falling back to the 'gene_id,{strand}' gene form when no transcript
+        of the gene projects (intronic reads).  strand is the alignment
+        orientation relative to the transcript: '+' for sense (TX), '-'
+        for antisense (AN)."""
+        strand_c = "-" if antisense else "+"
         parts = []
         for g in sorted(int(x) for x in genes_row if x >= 0):
-            gid = self._gene_ids[g]
-            gid = gid if isinstance(gid, str) else gid.decode()
-            parts.append(f"{gid},{self._gene_strands[g]}")
-        return ";".join(parts).encode()
+            hit = False
+            if segs is not None:
+                for rec in self._gene_txs.get(g, ()):
+                    p = self._project_tx(rec, chrom, segs, lclip, rclip)
+                    if p is not None:
+                        parts.append(f"{rec[0]},{strand_c}{p}")
+                        hit = True
+            if not hit:
+                gid = self._gene_ids[g]
+                gid = gid if isinstance(gid, str) else gid.decode()
+                parts.append(f"{gid},{strand_c}")
+        return ";".join(sorted(parts)).encode()
 
-    def _write_rows(self, w, cat, order, corr_umi_arr, low_arr, seen_mol,
+    def _write_rows(self, w, cat, order, corr_umi_arr, low_arr, rep,
                     gene_ids, gene_names, bc_len, umi_len, gem_group):
         mapped = cat["mapped"].astype(bool)
         for i in order:
@@ -330,8 +413,8 @@ class BamCollector:
                             xf |= XF_LOW_SUPPORT_UMI
                         else:
                             mol_key = (int(cat["bc_idx"][i]), gene, cu)
-                            if mol_key not in seen_mol:
-                                seen_mol.add(mol_key)
+                            if rep.get(mol_key) == (int(cat["umi_packed"][i]),
+                                                    cat["names"][i]):
                                 xf |= XF_UMI_COUNT
                 # every record carries xf (unmapped non-feature: 0)
                 tags.append(("xf", "i", xf))
@@ -370,11 +453,27 @@ class BamCollector:
             gene = int(cat["gene"][i])
             region = REGION_CHARS[int(cat["region"][i])]
             tags.append(("RE", "A", region))
-            # TX / AN gene-set tags (transcript.rs:73-99)
-            tx = self._gene_set_tag(cat["gene_list"][i])
+            # TX / AN transcript-projected tags (transcript.rs:436).  The
+            # read's genomic aligned segments; novel-SJ reads fall back to
+            # the gene form (their junction lives in packed coordinates)
+            gp = int(cat["g_gpos"][i])
+            al = int(cat["aln_len"][i])
+            if cat["novel_sj"][i]:
+                segs = None
+            elif cat["g_spliced"][i] and cat["g_intron_len"][i] > 0:
+                d = int(cat["g_donor_off"][i])
+                il = int(cat["g_intron_len"][i])
+                segs = [(gp, gp + d), (gp + d + il, gp + al + il)]
+            else:
+                segs = [(gp, gp + al)]
+            lclip = astart
+            rcl = max(L - astart - al, 0)
+            tx = self._gene_set_tag(cat["gene_list"][i], chrom, segs,
+                                    lclip, rcl, antisense=False)
             if tx:
                 tags.append(("TX", "Z", tx))
-            an = self._gene_set_tag(cat["anti_list"][i])
+            an = self._gene_set_tag(cat["anti_list"][i], chrom, segs,
+                                    lclip, rcl, antisense=True)
             if an:
                 tags.append(("AN", "Z", an))
             if cat["mm"][i]:
@@ -399,11 +498,8 @@ class BamCollector:
                     xf |= XF_LOW_SUPPORT_UMI
                 elif cat["umi_rep"][i]:
                     mol_key = (int(cat["bc_idx"][i]), gene, cu)
-                    if mol_key not in seen_mol:
-                        # first conf read of the molecule in coordinate
-                        # order is the UMI-count representative (the
-                        # reference picks min (UmiType, qname); parity TODO)
-                        seen_mol.add(mol_key)
+                    if rep.get(mol_key) == (int(cat["umi_packed"][i]),
+                                            cat["names"][i]):
                         xf |= XF_UMI_COUNT
                     # a duplicate is CONF_MAPPED without UMI_COUNT (no
                     # separate flag in the reference's ExtraFlags)

@@ -95,14 +95,22 @@ def test_rg_header_and_tag(dual_lib_bam_run):
 
 
 def test_tx_an_tags(dual_lib_bam_run):
+    """Exonic reads carry the transcript-projected TX form
+    'tx_id,{strand}{pos},{cigar}' (transcript.rs:171, align_to_transcript);
+    these fixture reads sit wholly inside single-exon transcripts, so every
+    TX entry must project with a full-length M cigar and in-range pos."""
     s, records, _ = dual_lib_bam_run
     tx = [r for r in records if "TX" in r["tags"]]
     assert len(tx) >= 30
+    tx_len = {"TD": 4000, "TE": 3000}
     for r in tx:
         for part in r["tags"]["TX"].split(";"):
-            gid, strand = part.split(",")
-            assert gid in ("GD", "GE")
-            assert strand in "+-"
+            tid, spos, cigar = part.split(",")
+            assert tid in ("TD", "TE")
+            assert spos[0] == "+"   # sense entries
+            pos = int(spos[1:])
+            assert 0 <= pos <= tx_len[tid] - READ_LEN
+            assert cigar == f"{READ_LEN}M"
     # antisense reads would carry AN instead; none in this sense-only run
     assert all("AN" not in r["tags"] or r["tags"]["AN"] for r in records)
 
@@ -131,3 +139,63 @@ def test_r1_pattern_counted(dual_lib_bam_run):
     # 30 usable antibody reads total (20 R2-pattern + 10 R1-pattern)
     from cellranger_tpu.io.matrix_io import CountMatrix
     assert s["usable_reads"] >= 30 + 40 - 2  # all ab + most gex
+
+
+def test_project_tx_spliced_and_reverse():
+    """Unit: _project_tx handles junction-spanning segments and the
+    reverse-strand position/clip flip (transcript.rs:536-545)."""
+    from cellranger_tpu.pipeline.bam_out import BamCollector
+    # transcript: exons [100,200) + [300,450) on chrom 0, forward
+    starts = np.asarray([100, 300], np.int64)
+    ends = np.asarray([200, 450], np.int64)
+    cum = np.asarray([0, 100], np.int64)
+    fwd = ("T1", 0, False, starts, ends, cum, 250)
+    rev = ("T1", 0, True, starts, ends, cum, 250)
+    # read: 40 bases ending at the donor + 51 from the acceptor
+    segs = [(160, 200), (300, 351)]
+    assert BamCollector._project_tx(fwd, 0, segs, 0, 0) == "60,91M"
+    # reverse-strand transcript: pos = 250 - (60 + 91)
+    assert BamCollector._project_tx(rev, 0, segs, 3, 5) == "99,5S91M3S"
+    # wrong chrom / segment crossing the junction off-exon -> None
+    assert BamCollector._project_tx(fwd, 1, segs, 0, 0) is None
+    assert BamCollector._project_tx(fwd, 0, [(160, 210)], 0, 0) is None
+    # junction mismatch: first segment stops short of the exon end
+    assert BamCollector._project_tx(fwd, 0, [(150, 195), (300, 340)],
+                                    0, 0) is None
+
+
+def test_umi_count_min_qname_tie_break(tmp_path):
+    """The UMI_COUNT representative is the min-(raw UMI, qname) read of the
+    molecule (mark_dups.rs:147-151), NOT the first in coordinate order:
+    name zz read placed earlier on the genome must NOT take the flag."""
+    rng = np.random.default_rng(97)
+    genome = _rand(rng, b"ACGT", 12_000)
+    write_fasta(str(tmp_path / "g.fa"), {"chr1": genome})
+    with open(tmp_path / "g.gtf", "w") as f:
+        f.write('chr1\tt\texon\t1001\t9000\t.\t+\t.\t'
+                'gene_id "GZ"; transcript_id "TZ"; gene_name "GeneZ";\n')
+    ReferencePackage.build(str(tmp_path / "g.fa"), str(tmp_path / "g.gtf"),
+                           str(tmp_path / "ref"))
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(8)})
+    open(tmp_path / "wl.txt", "w").writelines(s + "\n" for s in wl)
+    umi = "ACACACACACAC"
+    g1 = str(tmp_path / "t_S1_L001_R1_001.fastq.gz")
+    g2 = str(tmp_path / "t_S1_L001_R2_001.fastq.gz")
+    with gzip.open(g1, "wt") as f1, gzip.open(g2, "wt") as f2:
+        # same (bc, umi, gene): zz maps EARLIER on the genome than aa
+        for name, p in (("zz", 1500), ("aa", 6000)):
+            f1.write(f"@{name}\n{wl[0]}{umi}\n+\n{'F' * 28}\n")
+            cdna = genome[p:p + READ_LEN].decode()
+            f2.write(f"@{name}\n{cdna}\n+\n{'F' * READ_LEN}\n")
+    s = run_count(CountConfig(
+        fastq_pairs=[(g1, g2)], reference_path=str(tmp_path / "ref"),
+        whitelist_path=str(tmp_path / "wl.txt"), chemistry="SC3Pv3",
+        read_len=READ_LEN, batch_size=256, secondary_analysis=False,
+        checkpoint=False, write_bam=True), str(tmp_path / "out"))
+    assert s["total_molecules"] == 1
+    _, records, _ = read_bam(str(tmp_path / "out" /
+                                 "possorted_genome_bam.bam"))
+    by = {r["name"]: r for r in records}
+    assert by["aa"]["tags"]["xf"] & 8      # min qname wins
+    assert not (by["zz"]["tags"]["xf"] & 8)
+    assert by["zz"]["pos"] < by["aa"]["pos"]
