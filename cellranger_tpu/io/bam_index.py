@@ -38,6 +38,24 @@ class IndexingBamWriter(BamWriter):
     def _file_offset(self) -> int:
         return self._f.tell()
 
+    def write_raw(self, raw: bytes):
+        """Append one already-encoded record (no block-size prefix),
+        tracking its virtual offsets for the index."""
+        import struct as _struct
+        start = self._voffset()
+        self._write(_struct.pack("<i", len(raw)) + raw)
+        end = self._voffset()
+        ref_id, pos = _struct.unpack_from("<ii", raw, 0)
+        if ref_id >= 0:
+            l_rn = raw[8]
+            n_cig = _struct.unpack_from("<H", raw, 12)[0]
+            rlen = 0
+            for k in range(n_cig):
+                v = _struct.unpack_from("<I", raw, 32 + l_rn + 4 * k)[0]
+                if (v & 0xF) in (0, 2, 3):
+                    rlen += v >> 4
+            self._records.append((ref_id, pos, pos + (rlen or 1), start, end))
+
     def write_record(self, name, flag, ref_id, pos, mapq, cigar, seq, qual,
                      tags, next_ref=-1, next_pos=-1, tlen=0):
         start = self._voffset()

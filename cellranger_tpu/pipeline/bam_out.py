@@ -120,6 +120,9 @@ class BamCollector:
             chunk[k] = (take(src) if src is not None
                         else np.full((n, 4), -1, np.int32))
         chunk["is_feature"] = np.zeros(n, bool)
+        # library-tagged gene: join key against the dedup raw-triple views
+        chunk["gene_lib"] = take(ho.get("gene_lib", ho.get("gene"))) \
+            .astype(np.uint32)
         for k in ("fr", "fq", "fb", "fx"):
             chunk[k] = [b""] * n
         paired = "pos2" in ho and getattr(batch, "rna2", None) is not None
@@ -174,7 +177,7 @@ class BamCollector:
     def add_feature_batch(self, batch, conf_ok, bc_ok, bc_idx, corrected_bc,
                           gene, fr, fq, fb_seq, fx,
                           seq_codes=None, seq_qual=None, seq_len=None,
-                          seq_nmask=None):
+                          seq_nmask=None, gene_lib=None):
         """Feature-barcode library reads: unmapped records carrying the
         fr/fq/fb/fx tags (read.rs:1335-1360 FeatureExtracted) and xf
         CONF_FEATURE when counted.  fr/fq/fb/fx: per-read bytes (b'' =
@@ -209,6 +212,8 @@ class BamCollector:
         for k in _CHUNK_KEYS_2D:
             chunk[k] = np.full((n, 4), -1, np.int32)
         chunk["is_feature"] = np.ones(n, bool)
+        chunk["gene_lib"] = take(gene_lib if gene_lib is not None
+                                 else gene).astype(np.uint32)
         chunk["pair_flag"] = np.zeros(n, np.int64)
         chunk["mate_chrom"] = np.full(n, -1, np.int32)
         chunk["mate_gpos"] = np.full(n, -1, np.int64)
@@ -250,10 +255,11 @@ class BamCollector:
                        else sum((c[k] for c in chunks), []))
                    for k in chunks[0]}
             # corrected-UMI / low-support join against the raw-triple views
+            gl = cat.get("gene_lib", cat["gene"]).astype(np.uint32)
             if len(rb):
                 jidx, jfound = lex3_join_np(
                     rb, rg, ru, cat["bc_idx"].astype(np.uint32),
-                    cat["gene"].astype(np.uint32), cat["umi_packed"])
+                    gl, cat["umi_packed"])
                 corr_umi = np.where(jfound, rc[jidx],
                                     cat["umi_packed"].astype(np.uint32))
                 low_sup = jfound & rl[jidx]
@@ -274,9 +280,9 @@ class BamCollector:
             cat, corr_umi, low_sup = r
             el = (cat["conf_ok"].astype(bool) & cat["umi_valid"].astype(bool)
                   & cat["umi_rep"].astype(bool) & ~low_sup)
+            gl = cat.get("gene_lib", cat["gene"])
             for i in np.flatnonzero(el):
-                k = (int(cat["bc_idx"][i]), int(cat["gene"][i]),
-                     int(corr_umi[i]))
+                k = (int(cat["bc_idx"][i]), int(gl[i]), int(corr_umi[i]))
                 cand = (int(cat["umi_packed"][i]), cat["names"][i])
                 if k not in rep or cand < rep[k]:
                     rep[k] = cand
@@ -408,11 +414,11 @@ class BamCollector:
                         if cat["umi_valid"][i]:
                             tags.append(("UB", "Z", encode.decode_codes(
                                 encode.unpack_np(np.uint32(cu), umi_len))))
-                        gene = int(cat["gene"][i])
                         if low_arr[i]:
                             xf |= XF_LOW_SUPPORT_UMI
                         else:
-                            mol_key = (int(cat["bc_idx"][i]), gene, cu)
+                            mol_key = (int(cat["bc_idx"][i]),
+                                       int(cat["gene_lib"][i]), cu)
                             if rep.get(mol_key) == (int(cat["umi_packed"][i]),
                                                     cat["names"][i]):
                                 xf |= XF_UMI_COUNT
@@ -497,7 +503,8 @@ class BamCollector:
                 if low_arr[i]:
                     xf |= XF_LOW_SUPPORT_UMI
                 elif cat["umi_rep"][i]:
-                    mol_key = (int(cat["bc_idx"][i]), gene, cu)
+                    mol_key = (int(cat["bc_idx"][i]),
+                               int(cat["gene_lib"][i]), cu)
                     if rep.get(mol_key) == (int(cat["umi_packed"][i]),
                                             cat["names"][i]):
                         xf |= XF_UMI_COUNT

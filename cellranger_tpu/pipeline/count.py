@@ -155,6 +155,14 @@ class CountMetrics:
 MAX_INSERT = 2000      # max genomic span of a proper read pair (fragment
                        # sizes are <1kb; generous bound like STAR's window)
 
+# the spill/dedup gene column carries the LIBRARY index in its high bits so
+# molecules stay distinct per library (the reference processes per-library
+# chunks, molecule_counter.py:90-104 tracks a real library table); stripped
+# back out after dedup.  24 bits cover any feature reference; 8 bits of
+# library index.
+LIB_SHIFT = 24
+LIB_MASK = np.uint32((1 << LIB_SHIFT) - 1)
+
 # ---- packed step IO (round 3: ONE transfer each way per batch) ----
 #
 # INPUT: one [B, W] uint32 plane.  On tunneled/remote TPU backends every
@@ -542,7 +550,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
     contig2 = jnp.uint32(2 * didx.sj_overhang)
 
     @functools.partial(jax.jit, donate_argnums=(3,))
-    def step_acc_impl(didx, ann_idx, buf, acc):
+    def step_acc_impl(didx, ann_idx, buf, acc, lib_tag):
         out = _body(didx, ann_idx, buf)
         m = out["metrics"]
         B = buf.shape[0]
@@ -551,7 +559,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
         selc = jnp.minimum(sel, B - 1)
         rows = jnp.stack(
             [jax.lax.bitcast_convert_type(out["bc_idx"], jnp.uint32)[selc],
-             out["gene"][selc], out["umi"][selc]], axis=1)
+             out["gene"][selc] | lib_tag, out["umi"][selc]], axis=1)
         n_new = jnp.sum(conf.astype(jnp.int32))
         mol = jax.lax.dynamic_update_slice(acc["mol"], rows,
                                            (acc["mol_n"], jnp.int32(0)))
@@ -590,8 +598,8 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
             mvec=jnp.zeros((len(METRIC_FIELDS) + 1,), jnp.int32),
         )
 
-    def step(buf, acc):
-        return step_acc_impl(didx, ann_idx, buf, acc)
+    def step(buf, acc, lib_tag=0):
+        return step_acc_impl(didx, ann_idx, buf, acc, jnp.uint32(lib_tag))
 
     step.impl = step_acc_impl
     step.bound_args = (didx, ann_idx)
@@ -779,6 +787,9 @@ def run_count(cfg: CountConfig, out_dir: str,
                                                         cfg.read_len)
 
     libraries = cfg.libraries or [LibraryDef(cfg.fastq_pairs, "Gene Expression")]
+    if len(features.feature_defs) >= (1 << LIB_SHIFT) or len(libraries) > 255:
+        raise ValueError("feature reference / library count exceeds the "
+                         "24-bit gene + 8-bit library packing")
     metrics = CountMetrics()
 
     perf.lap("load_reference_index")
@@ -796,6 +807,7 @@ def run_count(cfg: CountConfig, out_dir: str,
     if _resume is not None:
         mbc = _resume["mbc"]; mgene = _resume["mgene"]
         mumi = _resume["mumi"]; mreads = _resume["mreads"]
+        mlib = _resume.get("mlib", np.zeros(len(mbc), np.uint16))
         sjk = _resume["sj_keys"]; sjv = _resume["sj_vals"]
         sj_counts = {tuple(int(x) for x in k): int(v)
                      for k, v in zip(sjk, sjv)}
@@ -980,8 +992,9 @@ def run_count(cfg: CountConfig, out_dir: str,
             acc_rows = 0
             acc_sj_rows = 0
 
-        def process_gex(batch, hi, out):
+        def process_gex(li, batch, hi, out):
             ho, m = unpack_step_out(out)
+            lib_bits = np.uint32(li << LIB_SHIFT)
             metrics.total_reads += batch.n_reads
             metrics.valid_barcode_reads += hi["n_valid_bc"] + hi["n_corrected"]
             metrics.corrected_barcode_reads += hi["n_corrected"]
@@ -999,7 +1012,7 @@ def run_count(cfg: CountConfig, out_dir: str,
             metrics.improper_pair_reads += m["n_improper_pair"]
             conf = ho["conf_ok"]
             spill.append(hi["bc_idx"].view(np.uint32)[conf],
-                         ho["gene"][conf], batch.umi_packed[conf])
+                         ho["gene"][conf] | lib_bits, batch.umi_packed[conf])
             _tally_sj(sj_counts, ho, batch.n_reads, gi)
             if bam_collector is not None:
                 # merge the host-resolved barcode view into the step output
@@ -1007,6 +1020,8 @@ def run_count(cfg: CountConfig, out_dir: str,
                 ho["bc_ok"] = hi["bc_idx"] >= 0
                 ho["corrected_bc"] = hi["corr_bc"]
                 ho["umi"] = batch.umi_packed
+                # library-tagged gene: the dedup raw-triple join key
+                ho["gene_lib"] = ho["gene"] | lib_bits
                 bam_collector.add_batch(batch, ho)
 
         for li, batch, hi, buf in queued_batches():
@@ -1057,13 +1072,15 @@ def run_count(cfg: CountConfig, out_dir: str,
                 probes_conf = np.asarray(pa["probe"])[conf]
                 np.add.at(probe_region_reads, region_of_probe[probes_conf], 1)
                 spill.append(bc_combined.astype(np.uint32)[conf],
-                             np.asarray(pa["gene"])[conf].astype(np.uint32),
+                             np.asarray(pa["gene"])[conf].astype(np.uint32)
+                             | np.uint32(li << LIB_SHIFT),
                              np.asarray(batch.umi_packed)[conf])
             elif lib_type == "Gene Expression" and accumulate:
                 if (acc_rows + batch.batch_size > mol_cap
                         or acc_sj_rows + sjb_per_batch > sj_cap):
                     drain_acc()
-                acc = step(executor.put(buf), acc)
+                acc = step(executor.put(buf), acc,
+                           lib_tag=np.uint32(li << LIB_SHIFT))
                 acc_rows += batch.batch_size
                 acc_sj_rows += sjb_per_batch
                 metrics.total_reads += batch.n_reads
@@ -1075,7 +1092,7 @@ def run_count(cfg: CountConfig, out_dir: str,
                 out = step(executor.put(buf))
                 if pending is not None:
                     process_gex(*pending)
-                pending = (batch, hi, out)
+                pending = (li, batch, hi, out)
             else:
                 # feature-barcode library: cell bc handling + feature
                 # extraction over every declared pattern (R1 patterns read
@@ -1140,14 +1157,16 @@ def run_count(cfg: CountConfig, out_dir: str,
                     metrics.conf_mapped_reads += int(conf.sum())
                     spill.append(
                         np.asarray(bc_idx).astype(np.uint32)[:n][conf],
-                        fb_rows["gene"][conf],
+                        fb_rows["gene"][conf] | np.uint32(li << LIB_SHIFT),
                         np.asarray(batch.umi_packed)[:n][conf])
                 if bam_collector is not None and fb_rows is not None:
                     bam_collector.add_feature_batch(
                         batch, fb_rows["conf"], bc_ok_np,
                         np.asarray(bc_idx), np.asarray(corr_bc),
                         fb_rows["gene"], fb_rows["fr"], fb_rows["fq"],
-                        fb_rows["fb"], fb_rows["fx"])
+                        fb_rows["fb"], fb_rows["fx"],
+                        gene_lib=fb_rows["gene"]
+                        | np.uint32(li << LIB_SHIFT))
 
             perf.lap("pass2_correct_align_annotate")
         if pending is not None:
@@ -1234,8 +1253,14 @@ def run_count(cfg: CountConfig, out_dir: str,
         mgene = np.concatenate([x[1] for x in parts_out])
         mumi = np.concatenate([x[2] for x in parts_out])
         mreads = np.concatenate([x[3] for x in parts_out])
+        # strip the library tag out of the gene column (set at spill time
+        # so dedup ran per-library, like the reference's per-library chunks)
+        mlib = (mgene >> np.uint32(LIB_SHIFT)).astype(np.uint16)
+        mgene = mgene & LIB_MASK
         order = np.lexsort((mumi, mgene, mbc))
-        mbc, mgene, mumi, mreads = mbc[order], mgene[order], mumi[order], mreads[order]
+        mbc, mgene, mumi, mreads, mlib = (mbc[order], mgene[order],
+                                          mumi[order], mreads[order],
+                                          mlib[order])
         metrics.total_molecules = int(len(mbc))
         raw_views = None
         if keep_raw:
@@ -1248,6 +1273,7 @@ def run_count(cfg: CountConfig, out_dir: str,
         if ckpt is not None:
             sj_items = sorted(sj_counts.items())
             save = dict(mbc=mbc, mgene=mgene, mumi=mumi, mreads=mreads,
+                        mlib=mlib,
                         sj_keys=np.asarray([k for k, _ in sj_items],
                                            np.int64).reshape(-1, 4),
                         sj_vals=np.asarray([v for _, v in sj_items],
@@ -1306,7 +1332,7 @@ def run_count(cfg: CountConfig, out_dir: str,
         # barcode whose FB reads are mostly UMI corrections is aggregate
         if raw_views is not None and len(raw_views["raw_bc"]):
             from ..analysis.aggregates import detect_highly_corrected_bcs
-            fb_mask = raw_views["raw_gene"] >= np.uint32(n_genes)
+            fb_mask = (raw_views["raw_gene"] & LIB_MASK) >= np.uint32(n_genes)
             rb = raw_views["raw_bc"][fb_mask].astype(np.int64)
             rreads = raw_views["raw_reads"][fb_mask].astype(np.int64)
             rcorr = (raw_views["raw_corr_umi"]
@@ -1412,13 +1438,16 @@ def run_count(cfg: CountConfig, out_dir: str,
                         f"{strand_c}\t{motif}\t{annot}\t{c}\n")
 
     # ---- molecule_info.h5 ----
-    # library_idx per molecule: GEX features -> library 0, feature-barcode
-    # features -> the (single) FB library slot
-    lib_idx = (mgene >= n_genes).astype(np.uint16)
+    # real per-molecule library index, threaded from spill time through
+    # dedup in the gene column's high bits (molecule_counter.py:90-104)
+    library_info = [
+        {"library_type": lib.library_type, "library_id": str(i),
+         "gem_group": cfg.gem_group}
+        for i, lib in enumerate(libraries)]
     save_molecule_info(
         os.path.join(out_dir, "molecule_info.h5"),
         barcode_idx=mbc, feature_idx=mgene, umi=mumi, count=mreads,
-        library_idx=lib_idx,
+        library_idx=mlib, library_info=library_info,
         barcodes=barcodes, features=features, gem_group=cfg.gem_group,
         pass_filter_bc_idx=np.asarray(cells_idx, np.uint64),
         metrics={"total_reads": metrics.total_reads,

@@ -199,3 +199,23 @@ def test_umi_count_min_qname_tie_break(tmp_path):
     assert by["aa"]["tags"]["xf"] & 8      # min qname wins
     assert not (by["zz"]["tags"]["xf"] & 8)
     assert by["zz"]["pos"] < by["aa"]["pos"]
+
+
+def test_molecule_info_real_library_table(dual_lib_bam_run, tmp_path_factory):
+    """library_idx is threaded per molecule from spill through dedup
+    (molecule_counter.py:90-104): GEX molecules carry the GEX library's
+    index, antibody molecules the antibody library's, and library_info
+    lists every configured library."""
+    from cellranger_tpu.io.molecule_info import load_molecule_info
+    # the fixture's count out dir
+    out = None
+    for d in tmp_path_factory.getbasetemp().glob("dialect*/out"):
+        out = d
+    mi = load_molecule_info(str(out / "molecule_info.h5"))
+    assert [li["library_type"] for li in mi["library_info"]] == \
+        ["Gene Expression", "Antibody Capture"]
+    fid = mi["features_id"]
+    n_genes = sum(1 for x in fid if not x.startswith(b"AB"))
+    is_fb = mi["feature_idx"] >= n_genes
+    assert len(mi["library_idx"]) > 0
+    assert np.array_equal(mi["library_idx"] == 1, is_fb)
