@@ -118,3 +118,40 @@ def load_molecule_info(path: str) -> dict:
         out["features_id"] = f["features/id"][:]
         out["file_version"] = int(f.attrs["file_version"])
     return out
+
+
+def subset_molecule_info(src: str, dst: str, keep_barcodes) -> int:
+    """Per-sample molecule_info (MULTI_WRITE_PER_SAMPLE_MOLECULE_INFO,
+    mro/rna/_basic_sc_rna_counter.mro:277-294): copy `src` keeping only
+    molecules whose barcode is in `keep_barcodes` (bytes, without the
+    gem-group suffix or with — both accepted); pass_filter keeps only the
+    sample's rows.  Returns the molecule count written."""
+    import h5py
+
+    keep = set()
+    for b in keep_barcodes:
+        b = b if isinstance(b, bytes) else b.encode()
+        keep.add(b)
+        keep.add(b.rsplit(b"-", 1)[0])
+    with h5py.File(src, "r") as f, h5py.File(dst, "w") as g:
+        barcodes = f["barcodes"][:]
+        bc_keep = np.asarray([b in keep or b.rsplit(b"-", 1)[0] in keep
+                              for b in barcodes])
+        bidx = f["barcode_idx"][:]
+        row_keep = bc_keep[bidx.astype(np.int64)]
+        g.attrs["file_version"] = f.attrs["file_version"]
+        opts = dict(compression="gzip")
+        for k in ("gem_group", "barcode_idx", "feature_idx", "library_idx",
+                  "umi", "count", "umi_type"):
+            g.create_dataset(k, data=f[k][:][row_keep], **opts)
+        g.create_dataset("barcodes", data=barcodes, **opts)
+        f.copy("features", g)
+        g.create_dataset("library_info", data=f["library_info"][()])
+        bi = g.create_group("barcode_info")
+        pf = f["barcode_info/pass_filter"][:]
+        if len(pf):
+            pf = pf[bc_keep[pf[:, 0].astype(np.int64)]]
+        bi.create_dataset("pass_filter", data=pf)
+        bi.create_dataset("genomes", data=f["barcode_info/genomes"][:])
+        g.create_dataset("metrics_json", data=f["metrics_json"][()])
+        return int(row_keep.sum())

@@ -15,15 +15,34 @@ from ..io.matrix_io import CountMatrix, MULTIPLEXING
 
 
 def write_sample_outs(sub: CountMatrix, sdir: str, sample_id: str,
-                      secondary: bool = True) -> dict:
+                      secondary: bool = True,
+                      count_out_dir: str | None = None) -> dict:
     """Per-sample outs (SAMPLE_ANALYZER + SAMPLE_REPORTER analog,
     mro/rna/sc_multi_core.mro:230,273): matrix h5 + MEX, sample metrics
-    JSON, secondary analysis, web summary."""
+    JSON, secondary analysis, web summary — plus, when the run-level outs
+    exist in count_out_dir, a per-sample BAM and per-sample molecule_info
+    (MULTI_WRITE_PER_SAMPLE_BAM / MULTI_WRITE_PER_SAMPLE_MOLECULE_INFO,
+    mro/rna/_basic_sc_rna_counter.mro:258-294)."""
     import json
 
     os.makedirs(sdir, exist_ok=True)
     sub.save_h5(os.path.join(sdir, "sample_filtered_feature_bc_matrix.h5"))
     sub.save_mex(os.path.join(sdir, "sample_filtered_feature_bc_matrix"))
+    sample_bcs = {b.decode() if isinstance(b, bytes) else b
+                  for b in sub.barcodes}
+    if count_out_dir:
+        mol = os.path.join(count_out_dir, "molecule_info.h5")
+        if os.path.exists(mol):
+            from ..io.molecule_info import subset_molecule_info
+            subset_molecule_info(
+                mol, os.path.join(sdir, "sample_molecule_info.h5"),
+                sub.barcodes)
+        bam = os.path.join(count_out_dir, "possorted_genome_bam.bam")
+        if os.path.exists(bam):
+            from ..io.bam_filter import filter_bam_by_cb
+            filter_bam_by_cb(
+                bam, os.path.join(sdir, "sample_alignments.bam"),
+                sample_bcs, read_group=sample_id)
     umis = sub.counts_per_bc()
     genes_per_cell = np.asarray((sub.m > 0).sum(axis=0)).ravel()
     metrics = dict(
@@ -91,7 +110,8 @@ def demux_samples(count_out_dir: str, samples: list[dict], out_dir: str) -> dict
     for sample_id, cols in per_sample_cols.items():
         sub = filtered.select_barcodes(np.asarray(cols))
         sdir = os.path.join(out_dir, "per_sample_outs", sample_id)
-        write_sample_outs(sub, sdir, sample_id)
+        write_sample_outs(sub, sdir, sample_id,
+                          count_out_dir=count_out_dir)
         summary["samples"][sample_id] = len(cols)
     return summary
 
@@ -135,7 +155,8 @@ def demux_overhang_samples(count_out_dir: str, samples: list[dict],
     for sample_id, cols in per_sample_cols.items():
         sub = filtered.select_barcodes(np.asarray(cols))
         sdir = os.path.join(out_dir, "per_sample_outs", sample_id)
-        write_sample_outs(sub, sdir, sample_id)
+        write_sample_outs(sub, sdir, sample_id,
+                          count_out_dir=count_out_dir)
         summary["samples"][sample_id] = len(cols)
     return summary
 
@@ -183,6 +204,7 @@ def demux_probe_samples(count_out_dir: str, samples: list[dict],
     for sample_id, cols in per_sample_cols.items():
         sub = filtered.select_barcodes(np.asarray(cols))
         sdir = os.path.join(out_dir, "per_sample_outs", sample_id)
-        write_sample_outs(sub, sdir, sample_id)
+        write_sample_outs(sub, sdir, sample_id,
+                          count_out_dir=count_out_dir)
         summary["samples"][sample_id] = len(cols)
     return summary

@@ -219,3 +219,25 @@ def test_molecule_info_real_library_table(dual_lib_bam_run, tmp_path_factory):
     is_fb = mi["feature_idx"] >= n_genes
     assert len(mi["library_idx"]) > 0
     assert np.array_equal(mi["library_idx"] == 1, is_fb)
+
+
+def test_per_sample_bam_filter(dual_lib_bam_run, tmp_path_factory, tmp_path):
+    """filter_bam_by_cb copies exactly one sample's records raw, preserving
+    order and index validity (per-sample BAM, MULTI_WRITE_PER_SAMPLE_BAM)."""
+    from cellranger_tpu.io.bam_filter import filter_bam_by_cb
+    out = None
+    for d in tmp_path_factory.getbasetemp().glob("dialect*/out"):
+        out = d
+    src = str(out / "possorted_genome_bam.bam")
+    _, all_recs, _ = read_bam(src)
+    cbs = sorted({r["tags"]["CB"] for r in all_recs if "CB" in r["tags"]})
+    keep = set(cbs[:2])
+    dst = str(tmp_path / "sample_alignments.bam")
+    n = filter_bam_by_cb(src, dst, keep, read_group="sampleX")
+    refs, recs, text = read_bam(dst)
+    assert len(recs) == n > 0
+    assert all(r["tags"].get("CB") in keep for r in recs)
+    assert "@RG\tID:sampleX" in text
+    exp = [r["name"] for r in all_recs if r["tags"].get("CB") in keep]
+    assert [r["name"] for r in recs] == exp   # order preserved
+    assert os.path.exists(dst + ".bai")

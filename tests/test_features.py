@@ -311,3 +311,33 @@ sampleB,CMO302
     assert top["cells_sampleA"] == d["samples"]["sampleA"]
     assert top["estimated_cells"] >= 30
     assert os.path.exists(os.path.join(out, "web_summary.html"))
+
+
+def test_per_sample_molecule_info(synthetic_run, tmp_path):
+    """Per-sample molecule_info (MULTI_WRITE_PER_SAMPLE_MOLECULE_INFO,
+    _basic_sc_rna_counter.mro:277-294): demux writes a subset h5 whose
+    molecules all belong to the sample's barcodes."""
+    from cellranger_tpu.io.molecule_info import (load_molecule_info,
+                                                 subset_molecule_info)
+    from cellranger_tpu.pipeline.count import CountConfig, run_count
+    s = synthetic_run
+    out = str(tmp_path / "out")
+    run_count(CountConfig(
+        fastq_pairs=[(s["r1"], s["r2"])], reference_path=s["ref"],
+        whitelist_path=s["wl"], chemistry="SC3Pv3", read_len=91,
+        batch_size=2048, secondary_analysis=False, checkpoint=False), out)
+    src = os.path.join(out, "molecule_info.h5")
+    mi = load_molecule_info(src)
+    keep = [s["cells"][i].encode() for i in range(10)]
+    dst = str(tmp_path / "sample_molecule_info.h5")
+    n = subset_molecule_info(src, dst, keep)
+    sub = load_molecule_info(dst)
+    assert len(sub["barcode_idx"]) == n > 0
+    keep_set = {k for k in keep}
+    got = {sub["barcodes"][int(b)].split(b"-")[0]
+           for b in sub["barcode_idx"]}
+    assert got <= keep_set
+    assert n < len(mi["barcode_idx"])
+    # library_info and features survive the subset
+    assert sub["library_info"] == mi["library_info"]
+    assert np.array_equal(sub["features_id"], mi["features_id"])
