@@ -53,6 +53,10 @@ class BamCollector:
         self.n_bands = n_bands
         self.read_group = read_group
         self.spool = BamSpool(spool_dir, n_bands)
+        # multihost: other hosts' spool directories, merged at write time
+        # (the per-chunk-BAM + samtools-cat structure of write_pos_bam.rs
+        # :65-101, with position bands instead of chunk files)
+        self.sibling_dirs: list[str] = []
         # sort key = chrom << 33 | genomic pos (33 bits cover any chrom)
         self._max_key = (len(gi.chrom_names) + 1) << 33
         self.n_reads = 0
@@ -232,7 +236,7 @@ class BamCollector:
         rg_header = f"@RG\tID:{self.read_group}\tSM:{self.read_group}\n"
         w = BamWriter(path, gi.chrom_names, ref_lens,
                       extra_header=rg_header)
-        if self.n_reads == 0:
+        if self.n_reads == 0 and not self.sibling_dirs:
             w.close()
             self.spool.close()
             return
@@ -248,6 +252,8 @@ class BamCollector:
 
         def load_band(band):
             chunks = list(self.spool.iter_band(band))
+            for d in self.sibling_dirs:
+                chunks.extend(BamSpool.iter_dir_band(d, band))
             if not chunks:
                 return None
             cat = {k: (np.concatenate([c[k] for c in chunks])

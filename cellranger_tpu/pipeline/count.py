@@ -702,12 +702,10 @@ def run_count(cfg: CountConfig, out_dir: str,
     from ..parallel.executor import Executor
     from .spill import MoleculeSpill
     perf = PerfTrace()
+    dist.init_from_env()   # no-op without the CRTPU_* env contract
     executor = Executor(mesh)
     nproc, pid = dist.process_count(), dist.process_index()
     multihost = nproc > 1
-    if multihost and cfg.write_bam:
-        raise ValueError("write_bam is a single-host output; rerun the BAM "
-                         "pass on one host (reads stream, so this is cheap)")
     from ..params import get as _param
     batch_size = executor.round_batch(
         int(_param("batch_size") or cfg.batch_size))
@@ -890,8 +888,11 @@ def run_count(cfg: CountConfig, out_dir: str,
             # load_union would silently merge)
             if pid == 0:
                 import glob as _glob
+                import shutil as _shutil
                 for f in _glob.glob(os.path.join(out_dir, "_spill", "*")):
                     os.remove(f)
+                _shutil.rmtree(os.path.join(out_dir, "_bam_spool"),
+                               ignore_errors=True)
             dist.barrier("spill-clean")
         spill = MoleculeSpill(os.path.join(out_dir, "_spill"), n_parts,
                               prefix=f"host{pid}_" if multihost else "")
@@ -899,8 +900,15 @@ def run_count(cfg: CountConfig, out_dir: str,
         bam_collector = None
         if cfg.write_bam and gi is not None:
             from .bam_out import BamCollector
+            # multihost: per-host band spools under the shared out dir;
+            # host 0 merges every host's bands at write time (the
+            # write_pos_bam.rs:65-101 per-chunk spool + cat analog)
+            bam_spool_dir = (os.path.join(out_dir, "_bam_spool",
+                                          f"host{pid}")
+                             if multihost
+                             else os.path.join(out_dir, "_bam_spool"))
             bam_collector = BamCollector(gi, ref.transcriptome,
-                                         os.path.join(out_dir, "_bam_spool"),
+                                         bam_spool_dir,
                                          read_group=cfg.sample_id)
         # ---- producer thread + device pipeline (par_proc.rs:106 analog):
         # the producer decodes, resolves barcodes, and packs the next
@@ -1198,10 +1206,19 @@ def run_count(cfg: CountConfig, out_dir: str,
             with open(os.path.join(out_dir, "_spill",
                                    f"host{pid}.json"), "w") as f:
                 json.dump(partial, f)
+            if bam_collector is not None:
+                bam_collector.spool.seal()
             dist.barrier("count-spill")
             if pid != 0:
                 spill.close(remove=False)
                 return {"worker": pid, "total_reads": metrics.total_reads}
+            if bam_collector is not None:
+                # host 0 merges every host's band spools at write time
+                import glob as _glob
+                bam_collector.sibling_dirs = sorted(
+                    d for d in _glob.glob(
+                        os.path.join(out_dir, "_bam_spool", "host*"))
+                    if os.path.basename(d) != f"host{pid}")
             # host 0: fold every host's metric partial (Metric::merge)
             merged = CountMetrics()
             sj_counts = {}
@@ -1409,6 +1426,10 @@ def run_count(cfg: CountConfig, out_dir: str,
             os.path.join(out_dir, "possorted_genome_bam.bam"),
             raw_views or {}, chem.barcode_length, chem.umi_length,
             gem_group=cfg.gem_group)
+        if bam_collector.sibling_dirs:
+            import shutil as _shutil
+            _shutil.rmtree(os.path.join(out_dir, "_bam_spool"),
+                           ignore_errors=True)
 
     # ---- splice junction table (STAR SJ.out.tab analog) ----
     if sj_counts and gi is not None:

@@ -170,8 +170,31 @@ class BamSpool:
                         protocol=pickle.HIGHEST_PROTOCOL)
 
     def iter_band(self, b: int):
-        self._files[b].flush()
+        if not self._files[b].closed:
+            self._files[b].flush()
         with open(os.path.join(self.dir, f"band{b}.pkl"), "rb") as f:
+            while True:
+                try:
+                    yield pickle.load(f)
+                except EOFError:
+                    return
+
+    def seal(self):
+        """Close write handles WITHOUT removing files — the multihost
+        worker handoff (host 0 reads every host's bands after the
+        barrier)."""
+        for f in self._files:
+            if not f.closed:
+                f.close()
+
+    @staticmethod
+    def iter_dir_band(directory: str, b: int):
+        """Yield the chunks of band b spooled under another host's
+        directory (absent file = empty band)."""
+        path = os.path.join(directory, f"band{b}.pkl")
+        if not os.path.exists(path):
+            return
+        with open(path, "rb") as f:
             while True:
                 try:
                     yield pickle.load(f)
@@ -180,6 +203,7 @@ class BamSpool:
 
     def close(self, remove: bool = True):
         for f in self._files:
-            f.close()
+            if not f.closed:
+                f.close()
         if remove:
             shutil.rmtree(self.dir, ignore_errors=True)
