@@ -143,10 +143,19 @@ def annotate_contig(contig: str, ref: VdjReference) -> ContigAnnotation:
     return ann
 
 
-def _cluster_cdr3s(seqs: list[str], max_mm: int) -> dict[str, str]:
+def _cluster_cdr3s(seqs: list[str], max_mm: int,
+                   counts: dict[str, int] | None = None) -> dict[str, str]:
     """Union-find clustering of same-length CDR3 nt sequences within
     Hamming distance max_mm; returns seq -> representative (the
-    lexicographically smallest member, so output is deterministic)."""
+    lexicographically smallest member, so output is deterministic).
+
+    counts (cells per sequence) enables the PAIRING-REFINEMENT frequency
+    gate (the enclone join heuristic, clonotype_assigner/src/assigner.rs
+    driving enclone_ranger): a near-identical CDR3 only merges when one
+    side is a MINOR variant (<= 1/4 the cells of the other) — somatic
+    hypermutation / sequencing-error variants are rare relative to the
+    true clone, while two co-dominant variants are distinct germline
+    clones that a naive distance cluster would wrongly join."""
     parent = {s: s for s in seqs}
 
     def find(s):
@@ -155,13 +164,25 @@ def _cluster_cdr3s(seqs: list[str], max_mm: int) -> dict[str, str]:
             s = parent[s]
         return s
 
+    # cluster-level cell counts: the gate compares the CLUSTERS being
+    # joined, not the two sequences, so a rare variant cannot transitively
+    # bridge two co-dominant clones (it attaches to whichever major it
+    # meets first in deterministic sorted order)
+    ccount = {s: (counts or {}).get(s, 1) for s in seqs}
     ss = sorted(set(seqs))
     for i, a in enumerate(ss):
         for b in ss[i + 1:]:
             if sum(x != y for x, y in zip(a, b)) <= max_mm:
                 ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
+                if ra == rb:
+                    continue
+                if counts is not None:
+                    ca, cb = ccount[ra], ccount[rb]
+                    if min(ca, cb) > max(1, max(ca, cb) // 4):
+                        continue  # co-dominant clones: refuse the join
+                root, child = min(ra, rb), max(ra, rb)
+                parent[child] = root
+                ccount[root] = ccount[root] + ccount[child]
     return {s: find(s) for s in ss}
 
 
@@ -193,15 +214,21 @@ def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
                       for bc, chains in per_cell.items()}
 
     if fuzzy:
-        # cluster CDR3s within (chain, v, j, len) buckets
+        # cluster CDR3s within (chain, v, j, len) buckets, counting the
+        # cells behind each variant for the pairing-refinement gate
         buckets: dict = {}
+        variant_cells: dict = {}
         for chains in per_cell.values():
-            for (ch, v, j, nt) in chains:
+            for key in chains:
+                ch, v, j, nt = key
                 buckets.setdefault((ch, v, j, len(nt)), set()).add(nt)
+                variant_cells[key] = variant_cells.get(key, 0) + 1
         rep = {}
         for (ch, v, j, ln), seqs in buckets.items():
             mm = max(1, ln // 10)
-            for s, r in _cluster_cdr3s(sorted(seqs), mm).items():
+            cnt = {nt: variant_cells[(ch, v, j, nt)] for nt in seqs}
+            for s, r in _cluster_cdr3s(sorted(seqs), mm,
+                                       counts=cnt).items():
                 rep[(ch, v, j, s)] = r
         per_cell = {bc: {(ch, v, j, rep[(ch, v, j, nt)])
                          for (ch, v, j, nt) in chains}
@@ -233,6 +260,17 @@ def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
                 sup = merged_into[sup]
             if sup != k:
                 keyed[sup].extend(keyed.pop(k))
+
+    if fuzzy:
+        # onesie filter (enclone's FILTER for single-chain artifacts): a
+        # STANDALONE single-chain clonotype supported by one cell is a
+        # likely fragment/doublet remnant and is dropped — unless its
+        # chain appears in no multi-chain clonotype (then it is the only
+        # evidence for that chain and survives)
+        multi_chain_members = {c for k in keyed if len(k) > 1 for c in k}
+        keyed = {k: bcs for k, bcs in keyed.items()
+                 if not (len(k) == 1 and len(bcs) == 1
+                         and k[0] in multi_chain_members)}
 
     out = []
     order = sorted(keyed.items(), key=lambda kv: (-len(kv[1]), kv[0]))
