@@ -25,8 +25,14 @@ MIN_WHITELIST_FRAC = 0.10  # below this no chemistry is credible
 # candidate matrix, detect_chemistry.rs); HT variants share their base
 # chemistry's geometry and are user-declared, like the reference
 DEFAULT_CANDIDATES = ("SC3Pv4", "SC3Pv3", "SC3Pv2", "SC3Pv3LT", "SC5P-R2",
-                      "SC5P-R2-v3", "SC5P-PE", "ARC-v1", "SFRP", "MFRP-RNA")
+                      "SC5P-R2-v3", "SC5P-PE", "SC5P-R1", "ARC-v1", "SFRP",
+                      "MFRP-RNA", "MFRP-Ab")
 PROBE_BC_MIN_FRAC = 0.30   # R2 probe-barcode hit fraction marking MFRP
+# OH multiplexing: the 2bp overhang view (R1[7:9]) of a multiplexed run
+# draws from the small per-well overhang set, so the top-4 2-mers cover
+# ~all whitelist-valid reads (16 would be uniform for a non-OH run)
+OH_TOP4_MIN_FRAC = 0.95
+OH_MIN_READS = 500
 
 # 10x template-switch oligo: 5' chemistries carry it on R1 right after the
 # barcode+UMI (cr_types chemistry geometry: SC5P rna starts at R1 offset
@@ -110,6 +116,26 @@ def probe_bc_frac(r2_seqs: list[bytes], chem_name: str,
     return float(probe_wl.contains(packed).mean())
 
 
+def overhang_top4_frac(r1_seqs: list[bytes], span_off: int = 7,
+                       span_len: int = 2) -> tuple[float, int]:
+    """(fraction of reads covered by the 4 most frequent overhang 2-mers,
+    read count) at the OH view R1[7:9] — the OH auto-detect signal
+    (detect_chemistry candidate matrix: *-OH defs share the base geometry,
+    so only the overhang-set restriction distinguishes them)."""
+    from collections import Counter
+    cnt = Counter()
+    for s in r1_seqs:
+        if len(s) >= span_off + span_len:
+            oh = s[span_off:span_off + span_len]
+            if all(b in b"ACGT" for b in oh):
+                cnt[bytes(oh)] += 1
+    n = sum(cnt.values())
+    if not n:
+        return 0.0, 0
+    top4 = sum(c for _, c in cnt.most_common(4))
+    return top4 / n, n
+
+
 def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
                      candidates=DEFAULT_CANDIDATES,
                      n_sample: int | None = None,
@@ -167,23 +193,31 @@ def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
         near = {c for c in near if c in pool}
 
     # probe-barcode disambiguation (SFRP vs MFRP family): an MFRP run's R2
-    # carries a probe barcode hitting its probe whitelist
+    # carries a probe barcode hitting its probe whitelist.  MEMBER
+    # resolution: each MFRP variant names its own probe whitelist
+    # (probe_bc offset/length differ across members), so the member whose
+    # whitelist actually matches wins (detect_chemistry/ probe-bc matrix)
     pf = 0.0
     mfrp = [c for c in near if get_chemistry(c).probe_bc is not None]
     plain = [c for c in near if get_chemistry(c).probe_bc is None]
     if mfrp and r2_seqs:
+        member_pf = {}
         for c in mfrp:
             pwl_name = get_chemistry(c).probe_bc_whitelist
             pwl = whitelists.get(pwl_name) if pwl_name else None
             if pwl is not None:
-                pf = max(pf, probe_bc_frac(r2_seqs, c, pwl))
+                member_pf[c] = probe_bc_frac(r2_seqs, c, pwl)
+        if member_pf:
+            pf = max(member_pf.values())
         if pf >= PROBE_BC_MIN_FRAC:
-            best = max(mfrp, key=lambda c: viable[c])
+            best = max(member_pf, key=lambda c: (member_pf[c], viable[c]))
         elif plain:
             best = max(plain, key=lambda c: viable[c])
 
-    # paired-end disambiguation (SC5P-PE vs SC5P-R2): PE runs carry cDNA
-    # on R1 beyond bc+umi (long R1) AND have an R2 mate
+    # single-read vs paired disambiguation among the 5' family
+    # (SC5P-PE vs SC5P-R2 vs SC5P-R1, detect_chemistry.rs candidate
+    # matrix): PE needs cDNA on R1 beyond bc+umi (long R1) AND an R2 mate;
+    # a run with NO R2 at all is the R1-only chemistry
     pe = [c for c in near if get_chemistry(c).rna2 is not None]
     se = [c for c in near if get_chemistry(c).rna2 is None]
     if pe and se:
@@ -191,7 +225,27 @@ def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
         long_r1 = r1_len >= ch.rna.offset + 25
         pool = pe if (long_r1 and r2_seqs) else se
         best = max(pool, key=lambda c: viable[c])
+    r1_only = [c for c in near if get_chemistry(c).rna.read == "R1"
+               and get_chemistry(c).rna2 is None]
+    if not r2_seqs:
+        if r1_only:
+            best = max(r1_only, key=lambda c: viable[c])
+    elif best in r1_only:
+        # an R2 mate exists: prefer the R2-based sibling over R1-only
+        r2_based = [c for c in near if get_chemistry(c).rna.read == "R2"]
+        if r2_based:
+            best = max(r2_based, key=lambda c: viable[c])
+
+    # OH (overhang-multiplexed) auto-detect: a *-OH sibling of the winner
+    # exists and the overhang view shows the restricted per-well set
+    oh_frac, oh_n = overhang_top4_frac(seqs)
+    oh_name = f"{best}-OH"
+    if (oh_name in CHEMISTRY_DEFS and oh_n >= OH_MIN_READS
+            and oh_frac >= OH_TOP4_MIN_FRAC):
+        viable[oh_name] = viable[best]   # same geometry/whitelist as base
+        best = oh_name
     return dict(chemistry=best, frac=viable[best],
                 per_candidate={k: round(v, 4) for k, v in fracs.items()},
                 r1_len=r1_len, tso_frac=round(tf, 4),
-                probe_bc_frac=round(pf, 4))
+                probe_bc_frac=round(pf, 4),
+                overhang_top4_frac=round(oh_frac, 4))

@@ -333,3 +333,103 @@ def test_detect_chemistry_pe_vs_r2(tmp_path):
     res2 = detect_chemistry(r1s, wls, candidates=("SC5P-R2", "SC5P-PE"),
                             n_sample=400, r2_path=r2p)
     assert res2["chemistry"] == "SC5P-R2"
+
+
+def test_detect_chemistry_oh_overhang(tmp_path):
+    """*-OH auto-detect (VERDICT r2 item 9): an overhang-multiplexed run's
+    R1[7:9] view draws from the small per-well overhang set, so the top-4
+    2-mers cover ~everything; a plain run is near-uniform over 16."""
+    import gzip
+    from cellranger_tpu.io.whitelist import Whitelist
+    from cellranger_tpu.pipeline.detect_chemistry import detect_chemistry
+    rng = np.random.default_rng(9)
+    oh_set = ["AC", "GT", "CA", "TG"]
+    wl_oh = sorted({
+        "".join(rng.choice(list("ACGT"), 7)) + oh_set[i % 4]
+        + "".join(rng.choice(list("ACGT"), 7))
+        for i in range(400)})
+    wl_plain = sorted({"".join(rng.choice(list("ACGT"), 16))
+                       for _ in range(400)})
+
+    def write_r1(path, wl):
+        with gzip.open(path, "wt") as f:
+            for i in range(600):
+                umi = "".join(rng.choice(list("ACGT"), 12))
+                f.write(f"@o{i}\n{wl[i % len(wl)]}{umi}\n+\n{'F' * 28}\n")
+
+    p_oh = str(tmp_path / "oh_S1_L001_R1_001.fastq.gz")
+    p_pl = str(tmp_path / "pl_S1_L001_R1_001.fastq.gz")
+    write_r1(p_oh, wl_oh)
+    write_r1(p_pl, wl_plain)
+    d_oh = detect_chemistry(
+        p_oh, {"3M-february-2018": Whitelist.from_seqs(wl_oh)},
+        candidates=("SC3Pv3",), n_sample=600)
+    d_pl = detect_chemistry(
+        p_pl, {"3M-february-2018": Whitelist.from_seqs(wl_plain)},
+        candidates=("SC3Pv3",), n_sample=600)
+    assert d_oh["chemistry"] == "SC3Pv3-OH"
+    assert d_oh["overhang_top4_frac"] >= 0.95
+    assert d_pl["chemistry"] == "SC3Pv3"
+    assert d_pl["overhang_top4_frac"] < 0.8
+
+
+def test_detect_chemistry_mfrp_member_resolution(tmp_path):
+    """MFRP MEMBER resolution by probe-bc whitelist hits (VERDICT r2 item
+    9): an antibody run's probe barcodes hit the Ab whitelist, so MFRP-Ab
+    beats MFRP-RNA even though gel-bead geometry is identical."""
+    import gzip
+    from cellranger_tpu.io.whitelist import Whitelist
+    from cellranger_tpu.pipeline.detect_chemistry import detect_chemistry
+    rng = np.random.default_rng(11)
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(300)})
+    rna_bcs = sorted({"".join(rng.choice(list("ACGT"), 8))
+                      for _ in range(24)})
+    ab_bcs = sorted({"".join(rng.choice(list("ACGT"), 8))
+                     for _ in range(24)} - set(rna_bcs))
+    wls = {"737K-fixed-rna-profiling": Whitelist.from_seqs(wl),
+           "probe-barcodes-fixed-rna-profiling-rna":
+               Whitelist.from_seqs(rna_bcs),
+           "probe-barcodes-fixed-rna-profiling-ab":
+               Whitelist.from_seqs(ab_bcs)}
+    r1p = str(tmp_path / "ab_r1.fastq.gz")
+    r2p = str(tmp_path / "ab_r2.fastq.gz")
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        for i in range(400):
+            umi = "".join(rng.choice(list("ACGT"), 12))
+            probe = "".join(rng.choice(list("ACGT"), 68))
+            pbc = ab_bcs[i % len(ab_bcs)]
+            f1.write(f"@a{i}\n{wl[i % len(wl)]}{umi}\n+\n{'F' * 28}\n")
+            f2.write(f"@a{i}\n{probe}{pbc}\n+\n{'F' * 76}\n")
+    res = detect_chemistry(r1p, wls,
+                           candidates=("SFRP", "MFRP-RNA", "MFRP-Ab"),
+                           n_sample=400, r2_path=r2p)
+    assert res["chemistry"] == "MFRP-Ab"
+    assert res["probe_bc_frac"] >= 0.9
+
+
+def test_detect_chemistry_sc5p_r1(tmp_path):
+    """SC5P-R1 (VERDICT r2 item 9): a TSO-bearing 5' run with NO R2 file
+    resolves to the R1-only chemistry; with an R2 it stays R2-based."""
+    import gzip
+    from cellranger_tpu.io.whitelist import Whitelist
+    from cellranger_tpu.pipeline.detect_chemistry import detect_chemistry
+    rng = np.random.default_rng(13)
+    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(200)})
+    wls = {"737K-august-2016": Whitelist.from_seqs(wl)}
+    r1p = str(tmp_path / "r1only_S1_L001_R1_001.fastq.gz")
+    r2p = str(tmp_path / "r1only_S1_L001_R2_001.fastq.gz")
+    with gzip.open(r1p, "wt") as f1, gzip.open(r2p, "wt") as f2:
+        for i in range(400):
+            umi = "".join(rng.choice(list("ACGT"), 10))
+            cdna = "".join(rng.choice(list("ACGT"), 60))
+            f1.write(f"@q{i}\n{wl[i % len(wl)]}{umi}TTTCTTATATGGG{cdna}\n"
+                     f"+\n{'F' * 99}\n")
+            f2.write(f"@q{i}\n{cdna}\n+\n{'F' * 60}\n")
+    res = detect_chemistry(r1p, wls,
+                           candidates=("SC3Pv2", "SC5P-R2", "SC5P-R1"),
+                           n_sample=400)
+    assert res["chemistry"] == "SC5P-R1"
+    res2 = detect_chemistry(r1p, wls,
+                            candidates=("SC3Pv2", "SC5P-R2", "SC5P-R1"),
+                            n_sample=400, r2_path=r2p)
+    assert res2["chemistry"] == "SC5P-R2"
