@@ -65,7 +65,7 @@ def _build_step(genome: bytes, txome, chem):
 
 
 def _make_batch(rng, genome_codes: np.ndarray, wl_seqs: np.ndarray,
-                batch: int, chem, pos=None):
+                batch: int, chem, pos=None, n_errors: int = 2):
     """Synthetic batch -> (packed uint32 input plane, host time/s for the
     barcode resolve+pack, which is part of the steady-state pipeline but
     overlaps the device step in production)."""
@@ -78,9 +78,10 @@ def _make_batch(rng, genome_codes: np.ndarray, wl_seqs: np.ndarray,
     if pos is None:
         pos = rng.integers(0, G - READ_LEN - 1, batch)
     rna = genome_codes[pos[:, None] + np.arange(READ_LEN)[None, :]].copy()
-    err_pos = rng.integers(0, READ_LEN, (batch, 2))
-    for j in range(2):
-        rna[np.arange(batch), err_pos[:, j]] ^= 1
+    if n_errors:
+        err_pos = rng.integers(0, READ_LEN, (batch, n_errors))
+        for j in range(n_errors):
+            rna[np.arange(batch), err_pos[:, j]] ^= 1
     # 97% exact whitelist hits, 3% one sequencing error (real v3 runs)
     bc_i = rng.integers(0, len(wl_seqs), batch)
     bcs = wl_seqs[bc_i].copy()
@@ -195,12 +196,71 @@ def bench_human_scale(chem, txome_of):
     print(f"bench[human]: index {built} ({t_index:.0f}s), compiling...",
           file=sys.stderr)
     dt, t_compile, m = _time_step(step, (buf,), HUMAN_TIMED_ITERS)
+    truth = _human_truth_probe(step, genome_codes, wl, txome, chem)
     return dict(reads_per_sec=round(BATCH / dt, 1),
                 step_ms=round(dt * 1e3, 2), compile_s=round(t_compile, 1),
                 index_s=round(t_index, 1), index=built,
                 genome_mb=HUMAN_GENOME_LEN / 1e6, whitelist=HUMAN_N_WL,
                 mapped_frac=round(m["n_mapped"] / BATCH, 4),
-                conf_frac=round(m["n_conf"] / BATCH, 4))
+                conf_frac=round(m["n_conf"] / BATCH, 4),
+                truth=truth)
+
+
+def _human_truth_probe(step, genome_codes, wl, txome, chem):
+    """Truth-check the minimizer+parity index at full scale (VERDICT r2
+    item 3): error-free reads drawn FROM '+'-strand transcript exons must
+    conf-map to the RIGHT gene at MAPQ 255 off-repeat, and land at MAPQ
+    <255 (multimapped, never falsely confident) inside the 4-copy repeat
+    region.  Raises AssertionError on a recall/precision regression."""
+    from cellranger_tpu.pipeline.count import unpack_step_out
+
+    rep_end = HUMAN_REPEAT_COPIES * HUMAN_REPEAT_LEN
+    spacing = HUMAN_GENOME_LEN // 2000
+    rng = np.random.default_rng(7)
+
+    def genic(p):  # read [p, p+READ_LEN) overlaps a gene's exon span?
+        off = p % spacing
+        return 1000 - READ_LEN < off < 3400
+
+    pos_list, gene_list, in_rep = [], [], []
+    half = BATCH // 2
+    while len(pos_list) < half:
+        # repeat probe: positions INTERGENIC at all 4 copies — promotion
+        # cannot apply, so an honest aligner must report MAPQ < 255
+        p = int(rng.integers(0, HUMAN_REPEAT_LEN - READ_LEN))
+        if any(genic(p + c * HUMAN_REPEAT_LEN)
+               for c in range(HUMAN_REPEAT_COPIES)):
+            continue
+        pos_list.append(p)
+        gene_list.append(-1)
+        in_rep.append(True)
+    while len(pos_list) < BATCH:
+        g = int(rng.integers(0, 2000)) & ~1   # '+'-strand genes only
+        start = g * spacing + 1000
+        if start + 600 <= rep_end or start + 600 > HUMAN_GENOME_LEN - 1000:
+            continue
+        pos_list.append(start + int(rng.integers(0, 600 - READ_LEN)))
+        gene_list.append(g)
+        in_rep.append(False)
+    pos = np.asarray(pos_list)
+    true_gene = np.asarray(gene_list)
+    in_rep = np.asarray(in_rep)
+    buf, _ = _make_batch(rng, genome_codes, wl, BATCH, chem, pos=pos,
+                         n_errors=0)
+    ho, _m = unpack_step_out(step(buf))
+    off = ~in_rep
+    gene_ok = (ho["gene"].astype(np.int64) == true_gene) & ho["conf_ok"]
+    off_recall = float((gene_ok & (ho["mapq"] == 255))[off].mean())
+    rep_lowmapq = float((ho["mapped"] & (ho["mapq"] < 255))[in_rep].mean())
+    rep_false_conf = float((ho["conf_ok"] & (ho["mapq"] == 255))[in_rep]
+                           .mean())
+    out = dict(off_repeat_correct_gene_mapq255=round(off_recall, 4),
+               repeat_low_mapq=round(rep_lowmapq, 4),
+               repeat_false_confident=round(rep_false_conf, 4))
+    assert off_recall >= 0.99, out
+    assert rep_lowmapq >= 0.90, out
+    assert rep_false_conf <= 0.01, out
+    return out
 
 
 def bench_e2e():
