@@ -344,6 +344,19 @@ def main():
             extra["human_scale"] = bench_human_scale(chem, txome_of)
         except Exception as e:  # record, don't lose the primary number
             extra["human_scale"] = {"error": str(e)[:300]}
+        try:
+            # SPMD scaling on the virtual CPU mesh (separate process so
+            # the TPU backend here is untouched); see tools/scaling_bench
+            import subprocess
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "scaling_bench.py")],
+                capture_output=True, timeout=540, text=True)
+            extra["scaling"] = json.loads(
+                r.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            extra["scaling"] = {"error": str(e)[:200]}
 
     result = {
         "metric": "reads_aligned_counted_per_sec_per_chip",
