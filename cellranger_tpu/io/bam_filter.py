@@ -41,24 +41,33 @@ def _find_cb(raw: bytes) -> str | None:
 
 def iter_raw_records(path: str):
     """Yield (refs, text) once, then each raw record's bytes (no block
-    size prefix) from a BAM file."""
-    data = gzip.decompress(open(path, "rb").read())
-    assert data[:4] == b"BAM\x01"
-    off = 4
-    l_text = struct.unpack_from("<i", data, off)[0]; off += 4
-    text = data[off:off + l_text].decode(); off += l_text
-    n_ref = struct.unpack_from("<i", data, off)[0]; off += 4
-    refs = []
-    for _ in range(n_ref):
-        ln = struct.unpack_from("<i", data, off)[0]; off += 4
-        name = data[off:off + ln - 1].decode(); off += ln
-        rlen = struct.unpack_from("<i", data, off)[0]; off += 4
-        refs.append((name, rlen))
-    yield refs, text
-    while off < len(data):
-        sz = struct.unpack_from("<i", data, off)[0]; off += 4
-        yield data[off:off + sz]
-        off += sz
+    size prefix) from a BAM file.  Streams BGZF blocks through a
+    sequential gzip reader (multi-member) — peak RAM is one record, not
+    the decompressed file."""
+    with gzip.open(path, "rb") as f:
+        def need(n: int) -> bytes:
+            b = f.read(n)
+            if len(b) != n:
+                raise EOFError("truncated BAM")
+            return b
+
+        assert need(4) == b"BAM\x01"
+        l_text = struct.unpack("<i", need(4))[0]
+        text = need(l_text).decode()
+        n_ref = struct.unpack("<i", need(4))[0]
+        refs = []
+        for _ in range(n_ref):
+            ln = struct.unpack("<i", need(4))[0]
+            name = need(ln)[:-1].decode()
+            rlen = struct.unpack("<i", need(4))[0]
+            refs.append((name, rlen))
+        yield refs, text
+        while True:
+            hd = f.read(4)
+            if len(hd) < 4:  # EOF (a BGZF EOF block yields b"")
+                return
+            sz = struct.unpack("<i", hd)[0]
+            yield need(sz)
 
 
 def filter_bam_by_cb(src: str, dst: str, barcodes: set[str],

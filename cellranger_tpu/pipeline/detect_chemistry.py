@@ -32,7 +32,16 @@ PROBE_BC_MIN_FRAC = 0.30   # R2 probe-barcode hit fraction marking MFRP
 # draws from the small per-well overhang set, so the top-4 2-mers cover
 # ~all whitelist-valid reads (16 would be uniform for a non-OH run)
 OH_TOP4_MIN_FRAC = 0.95
-OH_MIN_READS = 500
+OH_MIN_DISTINCT_BC = 500  # distinct barcodes, not reads (low-complexity guard)
+
+# base chemistry -> its overhang-multiplexed sibling (suffix order is not
+# uniform across the registry: SC5P-R2-v3's sibling is SC5P-R2-OH-v3)
+OH_SIBLING = {
+    "SC3Pv3": "SC3Pv3-OH",
+    "SC3Pv4": "SC3Pv4-OH",
+    "SC5P-R2": "SC5P-R2-OH",
+    "SC5P-R2-v3": "SC5P-R2-OH-v3",
+}
 
 # 10x template-switch oligo: 5' chemistries carry it on R1 right after the
 # barcode+UMI (cr_types chemistry geometry: SC5P rna starts at R1 offset
@@ -117,15 +126,24 @@ def probe_bc_frac(r2_seqs: list[bytes], chem_name: str,
 
 
 def overhang_top4_frac(r1_seqs: list[bytes], span_off: int = 7,
-                       span_len: int = 2) -> tuple[float, int]:
-    """(fraction of reads covered by the 4 most frequent overhang 2-mers,
-    read count) at the OH view R1[7:9] — the OH auto-detect signal
-    (detect_chemistry candidate matrix: *-OH defs share the base geometry,
-    so only the overhang-set restriction distinguishes them)."""
+                       span_len: int = 2,
+                       bc_len: int = 16) -> tuple[float, int]:
+    """(fraction of DISTINCT barcodes covered by the 4 most frequent
+    overhang 2-mers, distinct-barcode count) at the OH view R1[7:9] — the
+    OH auto-detect signal (detect_chemistry candidate matrix: *-OH defs
+    share the base geometry, so only the overhang-set restriction
+    distinguishes them).  Counting distinct barcodes, not reads, keeps a
+    low-complexity run (few cells dominating the read mass) from faking
+    the restricted per-well overhang set."""
     from collections import Counter
-    cnt = Counter()
+    cnt: Counter = Counter()
+    seen: set = set()
     for s in r1_seqs:
-        if len(s) >= span_off + span_len:
+        if len(s) >= max(span_off + span_len, bc_len):
+            bc = bytes(s[:bc_len])
+            if bc in seen:
+                continue
+            seen.add(bc)
             oh = s[span_off:span_off + span_len]
             if all(b in b"ACGT" for b in oh):
                 cnt[bytes(oh)] += 1
@@ -239,8 +257,8 @@ def detect_chemistry(r1_path: str, whitelists: dict[str, Whitelist],
     # OH (overhang-multiplexed) auto-detect: a *-OH sibling of the winner
     # exists and the overhang view shows the restricted per-well set
     oh_frac, oh_n = overhang_top4_frac(seqs)
-    oh_name = f"{best}-OH"
-    if (oh_name in CHEMISTRY_DEFS and oh_n >= OH_MIN_READS
+    oh_name = OH_SIBLING.get(best, "")
+    if (oh_name in CHEMISTRY_DEFS and oh_n >= OH_MIN_DISTINCT_BC
             and oh_frac >= OH_TOP4_MIN_FRAC):
         viable[oh_name] = viable[best]   # same geometry/whitelist as base
         best = oh_name

@@ -153,6 +153,11 @@ class BamSpool:
         # "wb": a retried run must not replay a prior attempt's bands
         self._files = [open(os.path.join(directory, f"band{b}.pkl"), "wb")
                        for b in range(n_bands + 1)]
+        # sidecar: lightweight per-band UMI_COUNT-candidate rows, so the
+        # representative pass never re-deserializes the full record bands
+        self._rep_files = [
+            open(os.path.join(directory, f"band{b}.rep.pkl"), "wb")
+            for b in range(n_bands + 1)]
 
     def add(self, band: np.ndarray, chunk: dict):
         """Route chunk rows (dict of per-row arrays / lists) into bands."""
@@ -179,11 +184,45 @@ class BamSpool:
                 except EOFError:
                     return
 
+    def add_rep(self, band: np.ndarray, sub: dict):
+        """Append UMI_COUNT-candidate sidecar rows (already filtered to
+        eligible reads): dict of per-row arrays {bc, gl, umi, txo} + a
+        'names' list, routed by band like add()."""
+        for b in np.unique(band):
+            sel = band == b
+            out = {k: (v[sel] if isinstance(v, np.ndarray)
+                       else [x for x, s in zip(v, sel) if s])
+                   for k, v in sub.items()}
+            pickle.dump(out, self._rep_files[int(b)],
+                        protocol=pickle.HIGHEST_PROTOCOL)
+
+    def iter_rep(self, b: int):
+        if not self._rep_files[b].closed:
+            self._rep_files[b].flush()
+        yield from self._iter_pkl(
+            os.path.join(self.dir, f"band{b}.rep.pkl"))
+
+    @staticmethod
+    def iter_dir_rep(directory: str, b: int):
+        yield from BamSpool._iter_pkl(
+            os.path.join(directory, f"band{b}.rep.pkl"))
+
+    @staticmethod
+    def _iter_pkl(path: str):
+        if not os.path.exists(path):
+            return
+        with open(path, "rb") as f:
+            while True:
+                try:
+                    yield pickle.load(f)
+                except EOFError:
+                    return
+
     def seal(self):
         """Close write handles WITHOUT removing files — the multihost
         worker handoff (host 0 reads every host's bands after the
         barrier)."""
-        for f in self._files:
+        for f in self._files + self._rep_files:
             if not f.closed:
                 f.close()
 
@@ -202,7 +241,7 @@ class BamSpool:
                     return
 
     def close(self, remove: bool = True):
-        for f in self._files:
+        for f in self._files + self._rep_files:
             if not f.closed:
                 f.close()
         if remove:

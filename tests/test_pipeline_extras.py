@@ -347,13 +347,13 @@ def test_detect_chemistry_oh_overhang(tmp_path):
     wl_oh = sorted({
         "".join(rng.choice(list("ACGT"), 7)) + oh_set[i % 4]
         + "".join(rng.choice(list("ACGT"), 7))
-        for i in range(400)})
+        for i in range(1200)})
     wl_plain = sorted({"".join(rng.choice(list("ACGT"), 16))
-                       for _ in range(400)})
+                       for _ in range(1200)})
 
-    def write_r1(path, wl):
+    def write_r1(path, wl, n=1500):
         with gzip.open(path, "wt") as f:
-            for i in range(600):
+            for i in range(n):
                 umi = "".join(rng.choice(list("ACGT"), 12))
                 f.write(f"@o{i}\n{wl[i % len(wl)]}{umi}\n+\n{'F' * 28}\n")
 
@@ -363,14 +363,27 @@ def test_detect_chemistry_oh_overhang(tmp_path):
     write_r1(p_pl, wl_plain)
     d_oh = detect_chemistry(
         p_oh, {"3M-february-2018": Whitelist.from_seqs(wl_oh)},
-        candidates=("SC3Pv3",), n_sample=600)
+        candidates=("SC3Pv3",), n_sample=1500)
     d_pl = detect_chemistry(
         p_pl, {"3M-february-2018": Whitelist.from_seqs(wl_plain)},
-        candidates=("SC3Pv3",), n_sample=600)
+        candidates=("SC3Pv3",), n_sample=1500)
     assert d_oh["chemistry"] == "SC3Pv3-OH"
     assert d_oh["overhang_top4_frac"] >= 0.95
     assert d_pl["chemistry"] == "SC3Pv3"
     assert d_pl["overhang_top4_frac"] < 0.8
+
+    # low-complexity guard: FEW distinct barcodes (many reads each) with a
+    # skewed overhang view must NOT be relabeled as the -OH chemistry
+    wl_low = sorted({
+        "".join(rng.choice(list("ACGT"), 7)) + oh_set[i % 4]
+        + "".join(rng.choice(list("ACGT"), 7))
+        for i in range(40)})
+    p_lo = str(tmp_path / "lo_S1_L001_R1_001.fastq.gz")
+    write_r1(p_lo, wl_low)
+    d_lo = detect_chemistry(
+        p_lo, {"3M-february-2018": Whitelist.from_seqs(wl_low)},
+        candidates=("SC3Pv3",), n_sample=1500)
+    assert d_lo["chemistry"] == "SC3Pv3"
 
 
 def test_detect_chemistry_mfrp_member_resolution(tmp_path):
@@ -433,3 +446,17 @@ def test_detect_chemistry_sc5p_r1(tmp_path):
                             candidates=("SC3Pv2", "SC5P-R2", "SC5P-R1"),
                             n_sample=400, r2_path=r2p)
     assert res2["chemistry"] == "SC5P-R2"
+
+
+def test_oh_sibling_map_covers_registry():
+    """Every registered *-OH chemistry is reachable from its base via
+    OH_SIBLING (ADVICE r3: f"{best}-OH" never matched SC5P-R2-OH-v3)."""
+    from cellranger_tpu.io.chemistry import CHEMISTRY_DEFS
+    from cellranger_tpu.pipeline.detect_chemistry import OH_SIBLING
+    for base, oh in OH_SIBLING.items():
+        assert base in CHEMISTRY_DEFS, base
+        assert oh in CHEMISTRY_DEFS, oh
+        assert CHEMISTRY_DEFS[oh].overhang is not None
+    registered_oh = {n for n, c in CHEMISTRY_DEFS.items()
+                     if c.overhang is not None and n != "MFRP"}
+    assert registered_oh == set(OH_SIBLING.values())
