@@ -263,43 +263,139 @@ def _human_truth_probe(step, genome_codes, wl, txome, chem):
     return out
 
 
-def bench_e2e():
-    """Wall-clock FASTQ -> filtered matrix via the public run_count."""
+E2E_READS = int(os.environ.get("CRTPU_BENCH_E2E_READS", 1_000_000))
+E2E_GENOME_LEN = 8_000_000
+E2E_GENES = 800
+E2E_CELLS = 2000
+E2E_DUP = 2
+
+
+def _gen_e2e_fixture(tmp: str, txome_of):
+    """Vectorized synthetic run: E2E_READS reads = molecules emitted
+    E2E_DUP times each, drawn from '+'-strand exons, 2% barcode errors.
+    Uncompressed FASTQ so generation never dominates (~1M reads/s)."""
+    from cellranger_tpu.io.gtf import write_fasta
+    from cellranger_tpu.io.reference import ReferencePackage
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome_codes = rng.integers(0, 4, E2E_GENOME_LEN).astype(np.uint8)
+    garr = bases[genome_codes]
+    write_fasta(os.path.join(tmp, "g.fa"), {"chr1": garr.tobytes()})
+    spacing = E2E_GENOME_LEN // E2E_GENES
+    with open(os.path.join(tmp, "g.gtf"), "w") as f:
+        for g in range(E2E_GENES):
+            st = g * spacing + 1000
+            s = "+" if g % 2 == 0 else "-"
+            f.write(f'chr1\tx\texon\t{st + 1}\t{st + 600}\t.\t{s}\t.\t'
+                    f'gene_id "G{g}"; transcript_id "T{g}"; '
+                    f'gene_name "G{g}";\n')
+            f.write(f'chr1\tx\texon\t{st + 1201}\t{st + 2400}\t.\t{s}\t.\t'
+                    f'gene_id "G{g}"; transcript_id "T{g}"; '
+                    f'gene_name "G{g}";\n')
+    ref_dir = os.path.join(tmp, "ref")
+    ReferencePackage.build(os.path.join(tmp, "g.fa"),
+                           os.path.join(tmp, "g.gtf"), ref_dir)
+    wl = sorted({"".join(np.random.default_rng(4).choice(
+        list("ACGT"), 16)) for _ in range(24_000)})[:20_000]
+    wl_path = os.path.join(tmp, "wl.txt")
+    with open(wl_path, "w") as f:
+        f.writelines(w + "\n" for w in wl)
+    wl_arr = np.asarray([list(w.encode()) for w in wl], np.uint8)
+
+    n_mol = E2E_READS // E2E_DUP
+    cell_idx = rng.integers(0, E2E_CELLS, n_mol)
+    bc = wl_arr[cell_idx]
+    umi = bases[rng.integers(0, 4, (n_mol, 12))]
+    gene = rng.integers(0, E2E_GENES // 2, n_mol) * 2   # '+' strand only
+    off = rng.integers(0, 600 - READ_LEN - 8, n_mol)
+    pos = gene * spacing + 1000 + off
+    cdna = garr[pos[:, None] + np.arange(READ_LEN)[None, :]]
+    # duplicate each molecule E2E_DUP times, shuffle read order
+    order = rng.permutation(n_mol * E2E_DUP)
+    rep = lambda a: np.repeat(a, E2E_DUP, axis=0)[order]
+    bc, umi, cdna = rep(bc), rep(umi), rep(cdna)
+    # 2% of reads carry one barcode base error (exercises correction)
+    n_err = len(bc) // 50
+    bc[np.arange(n_err), rng.integers(0, 16, n_err)] = bases[
+        rng.integers(0, 4, n_err)]
+
+    r1p = os.path.join(tmp, "e2e_S1_L001_R1_001.fastq")
+    r2p = os.path.join(tmp, "e2e_S1_L001_R2_001.fastq")
+
+    def block(seqmat):
+        n_, w_ = seqmat.shape
+        name = np.frombuffer(b"@readxxxxxxxxxx\n", np.uint8)
+        rows = np.empty((n_, len(name) + 2 * w_ + 4), np.uint8)
+        rows[:, :len(name)] = name
+        rows[:, len(name):len(name) + w_] = seqmat
+        o = len(name) + w_
+        rows[:, o] = ord("\n")
+        rows[:, o + 1] = ord("+")
+        rows[:, o + 2] = ord("\n")
+        rows[:, o + 3:o + 3 + w_] = ord("F")
+        rows[:, -1] = ord("\n")
+        return rows.tobytes()
+
+    with open(r1p, "wb") as f1, open(r2p, "wb") as f2:
+        C = 1 << 19
+        for i in range(0, len(bc), C):
+            f1.write(block(np.concatenate(
+                [bc[i:i + C], umi[i:i + C]], axis=1)))
+            f2.write(block(cdna[i:i + C]))
+    return dict(ref=ref_dir, wl=wl_path, fq1=r1p, fq2=r2p,
+                n_reads=len(bc), n_molecules=n_mol)
+
+
+def bench_e2e(txome_of):
+    """Wall-clock FASTQ -> filtered matrix via the public run_count.
+
+    Runs TWICE in-process: the cold run pays every jit compile (and
+    populates the persistent compile cache); the warm run is the
+    steady-state number (VERDICT r3 item 1 — report compile separately
+    from steady state).  1M reads so fixed costs don't dominate."""
     import tempfile
-    from cellranger_tpu.testing.fixtures import build_synthetic_run
     from cellranger_tpu.pipeline.count import CountConfig, run_count
 
     tmp = tempfile.mkdtemp(prefix="cr_tpu_bench_e2e_")
-    fx = build_synthetic_run(tmp, seed=11, genome_len=2_000_000,
-                             n_wl=20_000, n_cells=800, mols_per_cell=150,
-                             dup_reads=2)
-    cfg = CountConfig(
-        fastq_pairs=[(fx["fq1"], fx["fq2"])], reference_path=fx["ref"],
-        whitelist_path=fx["wl"], chemistry="SC3Pv3", read_len=READ_LEN,
-        batch_size=32768, secondary_analysis=False, checkpoint=False)
-    print(f"bench[e2e]: {fx['n_reads']} reads, running run_count...",
-          file=sys.stderr)
     t0 = time.time()
-    out_dir = os.path.join(tmp, "out")
-    summary = run_count(cfg, out_dir)
-    wall = time.time() - t0
-    res = dict(reads=fx["n_reads"], wall_s=round(wall, 2),
-               reads_per_sec=round(fx["n_reads"] / wall, 1),
-               conf_mapped_frac=round(summary["conf_mapped_frac"], 4),
-               total_molecules=summary["total_molecules"])
-    # phase breakdown (fresh-process compiles dominate tiny runs on
-    # remote-compile backends; the per-phase view keeps the number honest)
-    try:
-        with open(os.path.join(out_dir, "_perf.json")) as f:
-            phases = json.load(f)["phases"]
+    fx = _gen_e2e_fixture(tmp, txome_of)
+    t_fix = time.time() - t0
+    print(f"bench[e2e]: fixture {fx['n_reads']} reads ({t_fix:.0f}s); "
+          "cold run...", file=sys.stderr)
+
+    def one_run(out_dir):
+        cfg = CountConfig(
+            fastq_pairs=[(fx["fq1"], fx["fq2"])], reference_path=fx["ref"],
+            whitelist_path=fx["wl"], chemistry="SC3Pv3", read_len=READ_LEN,
+            batch_size=32768, secondary_analysis=False, checkpoint=False)
+        t0 = time.time()
+        summary = run_count(cfg, out_dir)
+        wall = time.time() - t0
         agg: dict = {}
-        for ph in phases:
-            agg[ph["name"]] = round(agg.get(ph["name"], 0)
-                                    + ph["wall_s"], 2)
-        res["phase_s"] = agg
-    except Exception:
-        pass
-    return res
+        try:
+            with open(os.path.join(out_dir, "_perf.json")) as f:
+                for ph in json.load(f)["phases"]:
+                    agg[ph["name"]] = round(
+                        agg.get(ph["name"], 0) + ph["wall_s"], 2)
+        except Exception:
+            pass
+        return wall, summary, agg
+
+    cold_wall, summary, cold_phases = one_run(os.path.join(tmp, "out_cold"))
+    print(f"bench[e2e]: cold {cold_wall:.1f}s; warm run...", file=sys.stderr)
+    warm_wall, summary, warm_phases = one_run(os.path.join(tmp, "out_warm"))
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dict(reads=fx["n_reads"], wall_s=round(warm_wall, 2),
+                reads_per_sec=round(fx["n_reads"] / warm_wall, 1),
+                cold_wall_s=round(cold_wall, 2),
+                cold_reads_per_sec=round(fx["n_reads"] / cold_wall, 1),
+                compile_overhead_s=round(cold_wall - warm_wall, 2),
+                fixture_gen_s=round(t_fix, 1),
+                conf_mapped_frac=round(summary["conf_mapped_frac"], 4),
+                total_molecules=summary["total_molecules"],
+                phase_s=warm_phases, cold_phase_s=cold_phases)
 
 
 def main():
@@ -337,9 +433,18 @@ def main():
         # index/whitelist tables resident in HBM, which slows everything
         # that follows (measured 85s vs 26s dedup under that pressure)
         try:
-            extra["e2e"] = bench_e2e()
+            extra["e2e"] = bench_e2e(txome_of)
         except Exception as e:
             extra["e2e"] = {"error": str(e)[:300]}
+        # big_run (>=20M reads, tools/big_run.py) is too slow for every
+        # driver round; include the last recorded result with provenance
+        try:
+            br_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BIG_RUN.json")
+            if os.path.exists(br_path):
+                extra["big_run"] = json.load(open(br_path))
+        except Exception:
+            pass
         try:
             extra["human_scale"] = bench_human_scale(chem, txome_of)
         except Exception as e:  # record, don't lose the primary number

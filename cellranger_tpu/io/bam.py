@@ -28,6 +28,7 @@ FLAG_REVERSE = 16
 FLAG_MATE_REVERSE = 32
 FLAG_FIRST_MATE = 64
 FLAG_SECOND_MATE = 128
+FLAG_SECONDARY = 256
 
 # xf bitmask — exact ExtraFlags values (cr_bam/src/bam_tags.rs:41-59).
 # A duplicate read is simply CONF_MAPPED without UMI_COUNT/LOW_SUPPORT.

@@ -102,11 +102,12 @@ class Executor:
         return make_sharded_step(step_fn, self.mesh, self.axis,
                                  n_batch_args=n_batch_args)
 
-    def dedup_partitions(self, parts, umi_len: int):
+    def dedup_partitions(self, parts, umi_len: int,
+                         chunk_limit: int = 1 << 26):
         """Dedup barcode-disjoint molecule partitions.
 
         parts: iterable of (bc, gene, umi) numpy row arrays; each partition
-        holds complete barcodes.  Yields one host-side dict per partition
+        holds complete barcodes.  Yields one host-side dict per device call
         with compacted molecule rows and raw-triple views:
           mol_bc/gene/umi/reads (valid molecules only),
           raw_bc/gene/umi/corr_umi/low (distinct raw triples only).
@@ -116,11 +117,29 @@ class Executor:
         """
         parts = list(parts)
         if self.mesh is None:
-            # one COMMON padded shape across partitions: dedup compiles
-            # once, not once per partition size (remote compiles are
-            # minutes; dedup output is pad-invariant)
-            N = _pow2(max((len(p[0]) for p in parts), default=1))
-            for bc, gene, umi in parts:
+            # COALESCE bc-disjoint partitions into as few device calls as
+            # possible (each call is 1+ round trips on tunneled backends;
+            # 16 partition calls cost seconds of pure latency), capped at
+            # chunk_limit rows of working set; one COMMON padded shape
+            # across groups so dedup compiles once
+            groups: list[list] = []
+            cur: list = []
+            cur_n = 0
+            for p in parts:
+                n = len(p[0])
+                if cur and cur_n + n > chunk_limit:
+                    groups.append(cur)
+                    cur, cur_n = [], 0
+                cur.append(p)
+                cur_n += n
+            if cur:
+                groups.append(cur)
+            N = _pow2(max((sum(len(p[0]) for p in g) for g in groups),
+                          default=1))
+            for g in groups:
+                bc = np.concatenate([p[0] for p in g])
+                gene = np.concatenate([p[1] for p in g])
+                umi = np.concatenate([p[2] for p in g])
                 yield self._dedup_host(bc, gene, umi, umi_len, N)
             return
         n = self.n_devices

@@ -22,8 +22,8 @@ import numpy as np
 from ..io.bam import (BAM_CMATCH, BAM_CREF_SKIP, BAM_CSOFT_CLIP,
                       FLAG_FIRST_MATE, FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED,
                       FLAG_PAIRED, FLAG_PROPER_PAIR, FLAG_REVERSE,
-                      FLAG_SECOND_MATE, FLAG_UNMAPPED, XF_CONF_FEATURE,
-                      XF_CONF_MAPPED, XF_GENE_DISCORDANT,
+                      FLAG_SECOND_MATE, FLAG_SECONDARY, FLAG_UNMAPPED,
+                      XF_CONF_FEATURE, XF_CONF_MAPPED, XF_GENE_DISCORDANT,
                       XF_LOW_SUPPORT_UMI, XF_UMI_COUNT)
 from ..io.bam_index import IndexingBamWriter as BamWriter
 from ..io.gtf import Transcriptome
@@ -81,6 +81,7 @@ class BamCollector:
         chunk.setdefault("mate_gpos", np.full(n, -1, np.int64))
         chunk.setdefault("tlen", np.zeros(n, np.int64))
         chunk.setdefault("umi_rep", np.ones(n, bool))
+        chunk.setdefault("secondary", np.zeros(n, bool))
         key, g = self._sort_keys(chunk["pos"], chunk["aln_len"],
                                  chunk["mapped"])
         chunk["sort_key"] = key
@@ -93,8 +94,84 @@ class BamCollector:
                           self.n_bands - 1)
         band = np.where(chunk["mapped"].astype(bool), band, self.n_bands)
         self.spool.add(band.astype(np.int64), chunk)
+        self._spool_rep_sidecar(band, chunk, n)
         self.n_reads += n
         return chunk
+
+    def _spool_secondary(self, prim_chunk, ho: dict, n: int):
+        """Secondary alignment records for multimapped reads: one flagged
+        (0x100) record per OTHER distinct best-score locus
+        (tx_annotation/src/read.rs:155,224-226).  Secondary records carry
+        CR/CY/UR/UY but no CB/UB/GX and no annotation tags (conf_ok and
+        bc_ok are cleared); a rescued/promoted read's secondaries are
+        demoted to MAPQ 0 (read.rs:152-156)."""
+        sp = ho.get("sec_pos")
+        if sp is None:
+            return
+        sok = np.asarray(ho["sec_ok"])[:n]
+        for j in range(sp.shape[1]):
+            idx = np.flatnonzero(sok[:, j])
+            if not len(idx):
+                continue
+            sub = {}
+            for k, v in prim_chunk.items():
+                if isinstance(v, np.ndarray):
+                    sub[k] = v[idx].copy()
+                elif isinstance(v, list):
+                    sub[k] = [v[i] for i in idx]
+                else:
+                    sub[k] = v
+            ns = len(idx)
+            sub.update(
+                pos=np.asarray(ho["sec_pos"])[:n, j][idx],
+                aln_len=np.asarray(ho["sec_len"])[:n, j][idx],
+                aln_start=np.asarray(ho["sec_start"])[:n, j][idx],
+                strand=np.asarray(ho["sec_strand"])[:n, j][idx],
+                mapq=np.where(sub["mm"].astype(bool), 0, sub["mapq"]),
+                mapped=np.ones(ns, bool),
+                conf_ok=np.zeros(ns, bool), bc_ok=np.zeros(ns, bool),
+                novel_sj=np.zeros(ns, np.int64),
+                sj_donor=np.zeros(ns, np.int64),
+                sj_acceptor=np.zeros(ns, np.int64),
+                sj_right_len=np.zeros(ns, np.int64),
+                mm=np.zeros(ns, np.int64),
+                gene_discordant=np.zeros(ns, np.int64),
+                gene_list=np.full((ns, 4), -1, np.int32),
+                anti_list=np.full((ns, 4), -1, np.int32),
+                umi_rep=np.zeros(ns, bool),
+                secondary=np.ones(ns, bool))
+            # drop keys _spool_chunk recomputes from pos/aln_len
+            for k in ("sort_key", "g_chrom", "g_gpos", "g_spliced",
+                      "g_intron_len", "g_donor_off"):
+                sub.pop(k, None)
+            self._spool_chunk(sub, ns)
+            self.n_reads -= ns  # _spool_chunk counted them; keep read count
+            self.n_secondary = getattr(self, "n_secondary", 0) + ns
+
+    @staticmethod
+    def _txomic(chunk):
+        """Txomic rank for UmiSelectKey (mark_dups.rs:137-146
+        is_conf_mapped_unique_txomic): conf-mapped + exonic.  Feature
+        chunks carry region==0, so conf-counted feature reads rank equal
+        (qname decides), as before."""
+        return (chunk["conf_ok"].astype(bool)
+                & (np.asarray(chunk["region"]) == 0))
+
+    def _spool_rep_sidecar(self, band, chunk, n):
+        """Sidecar of UMI_COUNT-candidate rows (conf-mapped, valid-UMI,
+        mate-1) so the representative pass reads ~30B/read instead of
+        re-deserializing the full record bands."""
+        el = (chunk["conf_ok"].astype(bool) & chunk["umi_valid"].astype(bool)
+              & chunk["umi_rep"].astype(bool))
+        if not el.any():
+            return
+        sub = dict(
+            bc=chunk["bc_idx"][el].astype(np.uint32),
+            gl=chunk["gene_lib"][el].astype(np.uint32),
+            umi=chunk["umi_packed"][el].astype(np.uint32),
+            txo=self._txomic(chunk)[el],
+            names=[chunk["names"][i] for i in np.flatnonzero(el)])
+        self.spool.add_rep(np.asarray(band)[el].astype(np.int64), sub)
 
     def add_batch(self, batch, ho: dict):
         """ho: host-side (numpy) step output dict for this batch.
@@ -132,6 +209,7 @@ class BamCollector:
         paired = "pos2" in ho and getattr(batch, "rna2", None) is not None
         if not paired:
             self._spool_chunk(chunk, n)
+            self._spool_secondary(chunk, ho, n)
             return
         # ---- paired-end: build the mate-2 chunk and cross-link mates ----
         mapped = chunk["mapped"].astype(bool)
@@ -151,8 +229,16 @@ class BamCollector:
                                     chunk2["aln_len"].astype(np.int64))
         c1, p1 = g1["chrom"][:n].astype(np.int64), g1["gpos"][:n]
         c2, p2 = g2["chrom"][:n].astype(np.int64), g2["gpos"][:n]
+        # reference span must match the written CIGAR: annotated-splice
+        # reads span aln_len + intron; novel-SJ reads (mate 1 only) span
+        # aln_len + discovered intron + right segment (see _write_rows)
+        ann_spliced1 = g1["spliced"][:n] & (g1["intron_len"][:n] > 0)
+        nsj1 = np.where(
+            chunk["novel_sj"].astype(bool) & ~ann_spliced1,
+            (chunk["sj_acceptor"] - chunk["sj_donor"])
+            + chunk["sj_right_len"], 0)
         e1 = p1 + chunk["aln_len"] + np.where(
-            g1["spliced"][:n], g1["intron_len"][:n], 0)
+            g1["spliced"][:n], g1["intron_len"][:n], 0) + nsj1
         e2 = p2 + chunk2["aln_len"] + np.where(
             g2["spliced"][:n], g2["intron_len"][:n], 0)
         span = np.maximum(e1, e2) - np.minimum(p1, p2)
@@ -223,7 +309,10 @@ class BamCollector:
         chunk["mate_gpos"] = np.full(n, -1, np.int64)
         chunk["tlen"] = np.zeros(n, np.int64)
         chunk["umi_rep"] = np.ones(n, bool)
-        self.spool.add(np.full(n, self.n_bands, np.int64), chunk)
+        chunk["secondary"] = np.zeros(n, bool)
+        band = np.full(n, self.n_bands, np.int64)
+        self.spool.add(band, chunk)
+        self._spool_rep_sidecar(band, chunk, n)
         self.n_reads += n
 
     def write(self, path: str, raw_views: dict, bc_len: int, umi_len: int,
@@ -275,23 +364,15 @@ class BamCollector:
             return cat, corr_umi, low_sup
 
         # ---- pass A: the UMI_COUNT representative of each molecule is the
-        # read with min (raw UMI, qname) among its conf-mapped reads
-        # (mark_dups.rs:147-151 min UmiSelectKey, :252-258 rekeyed to the
-        # min raw UMI correcting into the molecule; mate-1 records only) --
-        rep: dict = {}
-        for band in range(self.n_bands + 1):
-            r = load_band(band)
-            if r is None:
-                continue
-            cat, corr_umi, low_sup = r
-            el = (cat["conf_ok"].astype(bool) & cat["umi_valid"].astype(bool)
-                  & cat["umi_rep"].astype(bool) & ~low_sup)
-            gl = cat.get("gene_lib", cat["gene"])
-            for i in np.flatnonzero(el):
-                k = (int(cat["bc_idx"][i]), int(gl[i]), int(corr_umi[i]))
-                cand = (int(cat["umi_packed"][i]), cat["names"][i])
-                if k not in rep or cand < rep[k]:
-                    rep[k] = cand
+        # read with min (raw UMI, utype, qname) among its conf-mapped reads
+        # (mark_dups.rs:110-114 UmiSelectKey orders Txomic < NonTxomic
+        # before the qname tie-break; :252-265 rekeyed to the min raw UMI
+        # correcting into the molecule; mate-1 records only).  Reads the
+        # lightweight sidecar spool, not the full bands; per-band winner
+        # selection is one lexsort + group-first, merged across bands by a
+        # second lexsort (was: per-read Python dict loop over a second
+        # full-band deserialize).
+        rep = self._select_representatives(rb, rg, ru, rc, rl)
 
         for band in range(self.n_bands + 1):
             r = load_band(band)
@@ -303,6 +384,65 @@ class BamCollector:
                              gene_ids, gene_names, bc_len, umi_len, gem_group)
         w.close()
         self.spool.close()
+
+    @staticmethod
+    def _rep_key(bc: int, gl: int, cu: int) -> int:
+        return (bc << 64) | (gl << 32) | cu
+
+    def _select_representatives(self, rb, rg, ru, rc, rl) -> dict:
+        """Per-molecule UMI_COUNT winner: packed (bc,gene_lib,corr_umi) key
+        -> hash of the winning (raw_umi, not_txomic, qname) candidate."""
+        from .spill import BamSpool, lex3_join_np
+
+        winners: list[tuple] = []
+        for band in range(self.n_bands + 1):
+            chunks = list(self.spool.iter_rep(band))
+            for d in self.sibling_dirs:
+                chunks.extend(BamSpool.iter_dir_rep(d, band))
+            if not chunks:
+                continue
+            bc = np.concatenate([c["bc"] for c in chunks])
+            gl = np.concatenate([c["gl"] for c in chunks])
+            um = np.concatenate([c["umi"] for c in chunks])
+            txo = np.concatenate([c["txo"] for c in chunks])
+            names = [n_ for c in chunks for n_ in c["names"]]
+            if len(rb):
+                jidx, jfound = lex3_join_np(rb, rg, ru, bc, gl, um)
+                cu = np.where(jfound, rc[jidx], um)
+                keep = ~(jfound & rl[jidx])
+            else:
+                cu = um
+                keep = np.ones(len(um), bool)
+            if not keep.any():
+                continue
+            nm = np.asarray(names, dtype=bytes)[keep]
+            bc, gl, cu, um = bc[keep], gl[keep], cu[keep], um[keep]
+            ntxo = (~txo[keep].astype(bool)).astype(np.uint8)
+            order = np.lexsort((nm, ntxo, um, cu, gl, bc))
+            bc, gl, cu, um, ntxo, nm = (x[order]
+                                        for x in (bc, gl, cu, um, ntxo, nm))
+            first = np.ones(len(bc), bool)
+            first[1:] = ((bc[1:] != bc[:-1]) | (gl[1:] != gl[:-1])
+                         | (cu[1:] != cu[:-1]))
+            winners.append(tuple(x[first]
+                                 for x in (bc, gl, cu, um, ntxo, nm)))
+        if not winners:
+            return {}
+        width = max(w[5].dtype.itemsize for w in winners)
+        bc, gl, cu, um, ntxo = (np.concatenate([w[j] for w in winners])
+                                for j in range(5))
+        nm = np.concatenate([w[5].astype(f"S{width}") for w in winners])
+        order = np.lexsort((nm, ntxo, um, cu, gl, bc))
+        bc, gl, cu, um, ntxo, nm = (x[order]
+                                    for x in (bc, gl, cu, um, ntxo, nm))
+        first = np.ones(len(bc), bool)
+        first[1:] = ((bc[1:] != bc[:-1]) | (gl[1:] != gl[:-1])
+                     | (cu[1:] != cu[:-1]))
+        rep: dict = {}
+        for i in np.flatnonzero(first):
+            rep[self._rep_key(int(bc[i]), int(gl[i]), int(cu[i]))] = hash(
+                (int(um[i]), int(ntxo[i]), bytes(nm[i])))
+        return rep
 
     def _build_tx_tables(self):
         """Per-gene transcript projection tables: gene index -> list of
@@ -377,6 +517,9 @@ class BamCollector:
     def _write_rows(self, w, cat, order, corr_umi_arr, low_arr, rep,
                     gene_ids, gene_names, bc_len, umi_len, gem_group):
         mapped = cat["mapped"].astype(bool)
+        sec_col = cat.get("secondary")
+        secondary = (np.asarray(sec_col).astype(bool) if sec_col is not None
+                     else np.zeros(len(mapped), bool))
         for i in order:
             L = int(cat["rna_len"][i])
             st = int(cat["strand"][i])
@@ -423,10 +566,13 @@ class BamCollector:
                         if low_arr[i]:
                             xf |= XF_LOW_SUPPORT_UMI
                         else:
-                            mol_key = (int(cat["bc_idx"][i]),
-                                       int(cat["gene_lib"][i]), cu)
-                            if rep.get(mol_key) == (int(cat["umi_packed"][i]),
-                                                    cat["names"][i]):
+                            mol_key = self._rep_key(
+                                int(cat["bc_idx"][i]),
+                                int(cat["gene_lib"][i]), cu)
+                            ntxo = 0 if int(cat["region"][i]) == 0 else 1
+                            if rep.get(mol_key) == hash(
+                                    (int(cat["umi_packed"][i]), ntxo,
+                                     cat["names"][i])):
                                 xf |= XF_UMI_COUNT
                 # every record carries xf (unmapped non-feature: 0)
                 tags.append(("xf", "i", xf))
@@ -440,6 +586,23 @@ class BamCollector:
             gpos = int(cat["g_gpos"][i])
             alen = int(cat["aln_len"][i])
             astart = int(cat["aln_start"][i])
+            if secondary[i]:
+                # flagged secondary locus of a multimapped read: CIGAR +
+                # position only, no annotation/molecule tags, xf 0
+                # (read.rs:155,224-226)
+                cig = []
+                if astart:
+                    cig.append((astart, BAM_CSOFT_CLIP))
+                cig.append((alen, BAM_CMATCH))
+                rclip = L - astart - alen
+                if rclip > 0:
+                    cig.append((rclip, BAM_CSOFT_CLIP))
+                w.write_record(cat["names"][i], flag | FLAG_SECONDARY,
+                               chrom, gpos, int(cat["mapq"][i]), cig, seq,
+                               qual, tags + [("xf", "i", 0)],
+                               next_ref=mate_ref, next_pos=mate_pos,
+                               tlen=tlen)
+                continue
             cig = []
             if astart:
                 cig.append((astart, BAM_CSOFT_CLIP))
@@ -509,10 +672,12 @@ class BamCollector:
                 if low_arr[i]:
                     xf |= XF_LOW_SUPPORT_UMI
                 elif cat["umi_rep"][i]:
-                    mol_key = (int(cat["bc_idx"][i]),
-                               int(cat["gene_lib"][i]), cu)
-                    if rep.get(mol_key) == (int(cat["umi_packed"][i]),
-                                            cat["names"][i]):
+                    mol_key = self._rep_key(int(cat["bc_idx"][i]),
+                                            int(cat["gene_lib"][i]), cu)
+                    ntxo = 0 if int(cat["region"][i]) == 0 else 1
+                    if rep.get(mol_key) == hash(
+                            (int(cat["umi_packed"][i]), ntxo,
+                             cat["names"][i])):
                         xf |= XF_UMI_COUNT
                     # a duplicate is CONF_MAPPED without UMI_COUNT (no
                     # separate flag in the reference's ExtraFlags)
