@@ -29,7 +29,6 @@ def subsample_metrics(mol_bc: np.ndarray, mol_gene: np.ndarray,
                       rates=DEFAULT_RATES, seed: int = 0) -> dict:
     """-> {rate: {subsampled_reads, saturation, median_genes_per_cell,
     median_umis_per_cell}} plus flat key/value entries for the summary."""
-    rs = np.random.RandomState(seed)
     mol_bc = np.asarray(mol_bc, np.int64)
     mol_gene = np.asarray(mol_gene, np.int64)
     mol_reads = np.asarray(mol_reads, np.int64)
@@ -44,7 +43,14 @@ def subsample_metrics(mol_bc: np.ndarray, mol_gene: np.ndarray,
         if r >= 1.0:
             surv = mol_reads
         else:
-            surv = rs.binomial(mol_reads, r)
+            # REFERENCE-IDENTICAL sampling (subsample.py:592,614
+            # _run_subsample_task): each task reseeds MT19937(1) and draws
+            # one binomial per molecule in file order, so the survival
+            # vector — and every downstream metric — matches the
+            # reference bit-for-bit on the same molecule table
+            # (oracle-checked in tests/test_oracle_conformance.py)
+            rs = np.random.RandomState(1)
+            surv = rs.binomial(mol_reads, np.full(len(mol_reads), r))
         obs = surv > 0
         n_reads = int(surv.sum())
         n_mol = int(obs.sum())

@@ -153,11 +153,21 @@ class CountMatrix:
         return CountMatrix(m, barcodes, FeatureReference(defs))
 
     # ---------- MEX ----------
+    @staticmethod
+    def _gz_det(path: str, compresslevel: int = 9):
+        """Deterministic gzip writer: mtime pinned to 0 so identical
+        content yields identical bytes across runs (golden stability)."""
+        import io as _io
+        raw = open(path, "wb")
+        gz = gzip.GzipFile(filename="", mode="wb", fileobj=raw,
+                           compresslevel=compresslevel, mtime=0)
+        return _io.TextIOWrapper(_WrapClose(gz, raw))
+
     def save_mex(self, directory: str):
         os.makedirs(directory, exist_ok=True)
         coo = self.m.tocoo()
-        with gzip.open(os.path.join(directory, "matrix.mtx.gz"), "wt",
-                       compresslevel=1) as f:
+        with self._gz_det(os.path.join(directory, "matrix.mtx.gz"),
+                          compresslevel=1) as f:
             f.write("%%MatrixMarket matrix coordinate integer general\n")
             f.write('%metadata_json: {"software_version": "cellranger-tpu-0.1.0", '
                     '"format_version": 2}\n')
@@ -171,9 +181,41 @@ class CountMatrix:
             f.write("\n".join(rows.tolist()))
             if len(rows):
                 f.write("\n")
-        with gzip.open(os.path.join(directory, "features.tsv.gz"), "wt") as f:
+        with self._gz_det(os.path.join(directory, "features.tsv.gz")) as f:
             for d in self.features.feature_defs:
                 f.write(f"{d.id}\t{d.name}\t{d.feature_type}\n")
-        with gzip.open(os.path.join(directory, "barcodes.tsv.gz"), "wt") as f:
+        with self._gz_det(os.path.join(directory, "barcodes.tsv.gz")) as f:
             for b in self.barcodes:
                 f.write(b.decode() + "\n")
+
+
+class _WrapClose:
+    """File-object proxy that closes BOTH the gzip member and the
+    underlying raw file (GzipFile(fileobj=...) leaves the raw open)."""
+
+    def __init__(self, gz, raw):
+        self._gz = gz
+        self._raw = raw
+
+    def write(self, b):
+        return self._gz.write(b)
+
+    def writable(self):
+        return True
+
+    def readable(self):
+        return False
+
+    def seekable(self):
+        return False
+
+    def flush(self):
+        self._gz.flush()
+
+    def close(self):
+        self._gz.close()
+        self._raw.close()
+
+    @property
+    def closed(self):
+        return self._raw.closed

@@ -74,7 +74,17 @@ def save_molecule_info(
             "umi_type",
             data=(umi_type[order] if umi_type is not None
                   else np.full(n, UMI_TYPE_TXOMIC)).astype(np.uint32), **opts)
-        f.create_dataset("barcodes", data=strs(barcodes), **opts)
+        # the reference stores RAW barcode sequences (no gem-group suffix;
+        # molecule_counter.py:483 — format_barcode_seq appends "-<gg>" at
+        # use time).  Normalize so reference readers (run_subsampling,
+        # aggr) resolve cell membership correctly.
+        def unsuffix(b):
+            b = b if isinstance(b, bytes) else str(b).encode()
+            head, sep, tail = b.rpartition(b"-")
+            return head if sep and tail.isdigit() else b
+
+        f.create_dataset("barcodes", data=strs([unsuffix(b)
+                                                for b in barcodes]), **opts)
 
         fg = f.create_group("features")
         fds = features.feature_defs
@@ -88,7 +98,9 @@ def save_molecule_info(
         li = library_info or [
             {"library_type": "Gene Expression", "library_id": "0",
              "gem_group": gem_group}]
-        f.create_dataset("library_info", data=json.dumps(li))
+        # 1-element string ARRAY (not a scalar): the reference reader
+        # slices it (molecule_counter.py:720 read_hdf5_string_dataset[0])
+        f.create_dataset("library_info", data=strs([json.dumps(li)]))
 
         big = f.create_group("barcode_info")
         genomes = features.genomes() or [""]
@@ -112,7 +124,10 @@ def load_molecule_info(path: str) -> dict:
         out = {k: f[k][:] for k in ["gem_group", "barcode_idx", "feature_idx",
                                     "library_idx", "umi", "count", "umi_type",
                                     "barcodes"]}
-        out["library_info"] = json.loads(f["library_info"][()])
+        li = f["library_info"][()]
+        if isinstance(li, np.ndarray):   # 1-element string array form
+            li = li[0]
+        out["library_info"] = json.loads(li)
         out["metrics"] = json.loads(f["metrics_json"][()])
         out["pass_filter"] = f["barcode_info/pass_filter"][:]
         out["features_id"] = f["features/id"][:]

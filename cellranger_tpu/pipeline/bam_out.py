@@ -47,12 +47,12 @@ class BamCollector:
 
     def __init__(self, gi: GenomeIndex, txome: Transcriptome,
                  spool_dir: str, n_bands: int = 64,
-                 read_group: str = "sample"):
+                 read_group: str = "sample", fresh: bool = True):
         self.gi = gi
         self.txome = txome
         self.n_bands = n_bands
         self.read_group = read_group
-        self.spool = BamSpool(spool_dir, n_bands)
+        self.spool = BamSpool(spool_dir, n_bands, fresh=fresh)
         # multihost: other hosts' spool directories, merged at write time
         # (the per-chunk-BAM + samtools-cat structure of write_pos_bam.rs
         # :65-101, with position bands instead of chunk files)

@@ -886,10 +886,15 @@ def run_count(cfg: CountConfig, out_dir: str,
     if cfg.checkpoint and not multihost:
         from .checkpoint import CountCheckpoint, count_fingerprint
         ckpt = CountCheckpoint(out_dir, count_fingerprint(cfg))
-        # BAM needs per-read state only the FASTQ passes produce, so a
-        # BAM-requesting run never resumes from the molecule table
-        if not cfg.write_bam:
-            _resume = ckpt.load("molecules")
+        _resume = ckpt.load("molecules")
+        if _resume is not None and cfg.write_bam:
+            # a BAM run resumes only when its sealed band spool (the
+            # journal; VERDICT r3 item 7, mrp_args.rs:57-65 pipestance
+            # resume) AND the raw-triple views survive with the table
+            if not (_resume["__meta__"].get("bam_spool_sealed")
+                    and os.path.isdir(os.path.join(out_dir, "_bam_spool"))
+                    and "rv_raw_bc" in _resume):
+                _resume = None
     if _resume is not None:
         mbc = _resume["mbc"]; mgene = _resume["mgene"]
         mumi = _resume["mumi"]; mreads = _resume["mreads"]
@@ -902,6 +907,18 @@ def run_count(cfg: CountConfig, out_dir: str,
         metrics = CountMetrics(**_resume["__meta__"]["metrics"])
         bam_collector = None
         raw_views = None
+        if cfg.write_bam and gi is not None:
+            # reopen the sealed band spool read-only; the FASTQ passes are
+            # skipped and the run goes straight to band merge
+            from .bam_out import BamCollector
+            bam_collector = BamCollector(
+                gi, ref.transcriptome,
+                os.path.join(out_dir, "_bam_spool"),
+                read_group=cfg.sample_id, fresh=False)
+            bam_collector.n_reads = int(
+                _resume["__meta__"].get("bam_n_reads", 0))
+            raw_views = {k[3:]: _resume[k] for k in _resume
+                         if k.startswith("rv_")}
         perf.lap("resume_checkpoint")
     else:
         # accumulate mode (single-chip, no BAM): step outputs stay on
@@ -1385,8 +1402,17 @@ def run_count(cfg: CountConfig, out_dir: str,
                                            np.int64))
             if probe_set is not None:
                 save["probe_region_reads"] = probe_region_reads
-            ckpt.save("molecules", save,
-                      meta=dict(metrics=dict(metrics.__dict__)))
+            meta = dict(metrics=dict(metrics.__dict__))
+            if bam_collector is not None and not multihost:
+                # the band spool becomes the journal: seal it and persist
+                # the raw-triple views so a killed --bam run resumes
+                # straight to band merge (VERDICT r3 item 7)
+                bam_collector.spool.seal()
+                for k_, v_ in (raw_views or {}).items():
+                    save[f"rv_{k_}"] = v_
+                meta.update(bam_spool_sealed=True,
+                            bam_n_reads=bam_collector.n_reads)
+            ckpt.save("molecules", save, meta=meta)
 
     # ---- matrix assembly over the full whitelist barcode space ----
     # translated whitelists (whitelist.rs WithTranslation) emit the

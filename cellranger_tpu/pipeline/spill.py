@@ -146,18 +146,26 @@ class BamSpool:
     unmapped reads (emitted last, like pos-sorted BAMs place unmapped).
     """
 
-    def __init__(self, directory: str, n_bands: int = 64):
+    def __init__(self, directory: str, n_bands: int = 64,
+                 fresh: bool = True):
         self.dir = directory
         self.n_bands = n_bands
         os.makedirs(directory, exist_ok=True)
-        # "wb": a retried run must not replay a prior attempt's bands
-        self._files = [open(os.path.join(directory, f"band{b}.pkl"), "wb")
-                       for b in range(n_bands + 1)]
-        # sidecar: lightweight per-band UMI_COUNT-candidate rows, so the
-        # representative pass never re-deserializes the full record bands
-        self._rep_files = [
-            open(os.path.join(directory, f"band{b}.rep.pkl"), "wb")
-            for b in range(n_bands + 1)]
+        if fresh:
+            # "wb": a retried run must not replay a prior attempt's bands
+            self._files = [
+                open(os.path.join(directory, f"band{b}.pkl"), "wb")
+                for b in range(n_bands + 1)]
+            # sidecar: lightweight per-band UMI_COUNT-candidate rows, so
+            # the representative pass never re-deserializes the full bands
+            self._rep_files = [
+                open(os.path.join(directory, f"band{b}.rep.pkl"), "wb")
+                for b in range(n_bands + 1)]
+        else:
+            # read-only reopen of a SEALED spool (BAM-run resume: the
+            # band spool is the journal, VERDICT r3 item 7)
+            self._files = []
+            self._rep_files = []
 
     def add(self, band: np.ndarray, chunk: dict):
         """Route chunk rows (dict of per-row arrays / lists) into bands."""
@@ -175,14 +183,9 @@ class BamSpool:
                         protocol=pickle.HIGHEST_PROTOCOL)
 
     def iter_band(self, b: int):
-        if not self._files[b].closed:
+        if self._files and not self._files[b].closed:
             self._files[b].flush()
-        with open(os.path.join(self.dir, f"band{b}.pkl"), "rb") as f:
-            while True:
-                try:
-                    yield pickle.load(f)
-                except EOFError:
-                    return
+        yield from self._iter_pkl(os.path.join(self.dir, f"band{b}.pkl"))
 
     def add_rep(self, band: np.ndarray, sub: dict):
         """Append UMI_COUNT-candidate sidecar rows (already filtered to
@@ -197,7 +200,7 @@ class BamSpool:
                         protocol=pickle.HIGHEST_PROTOCOL)
 
     def iter_rep(self, b: int):
-        if not self._rep_files[b].closed:
+        if self._rep_files and not self._rep_files[b].closed:
             self._rep_files[b].flush()
         yield from self._iter_pkl(
             os.path.join(self.dir, f"band{b}.rep.pkl"))

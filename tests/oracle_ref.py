@@ -62,10 +62,81 @@ def _install_stubs() -> None:
 
     tb.File = _File
     sys.modules.setdefault("tables", tb)
+    # joblib (via sklearn) probes lz4 as a real compressor at import time;
+    # import it BEFORE the lz4 stub exists so it degrades gracefully
+    try:
+        import joblib  # noqa: F401
+    except Exception:
+        pass
     # fast_utils is PyO3 (unbuilt here); report is Cython (report.pyx)
     for name in ("cellranger.fast_utils", "cellranger.report",
                  "lz4", "lz4.frame", "martian"):
         sys.modules.setdefault(name, _AnyAttrModule(name))
+    # duck-typed substitute for the PyO3 FilteredBarcodes (fast_utils/src/
+    # filtered_barcodes.rs) — just enough for subsample.run_subsampling
+    sys.modules["cellranger.fast_utils"].FilteredBarcodes = \
+        _PyFilteredBarcodes
+    sys.modules["cellranger.fast_utils"].MatrixBarcodeIndex = \
+        _PyMatrixBarcodeIndex
+
+
+class _PyMatrixBarcodeIndex:
+    """Minimal stand-in for fast_utils::MatrixBarcodeIndex — enough for
+    CountMatrix construction (bc -> index lookups on fixed-width bytes)."""
+
+    def __init__(self, bcs):
+        self._index = {b: i for i, b in enumerate(bcs)}
+
+    @staticmethod
+    def from_raw_bytes(raw, itemsize):
+        bcs = [raw[i:i + itemsize].rstrip(b"\x00")
+               for i in range(0, len(raw), itemsize)]
+        return _PyMatrixBarcodeIndex(bcs)
+
+    def bc_to_int(self, bc):
+        return self._index[bc if isinstance(bc, bytes) else bc.encode()]
+
+
+class _PyFilteredBarcodes:
+    """Python stand-in for fast_utils::FilteredBarcodes
+    (filtered_barcodes.rs:19-152): sorted unique barcodes + per-barcode
+    genome sets from a filtered_barcodes.csv of (genome, barcode) rows."""
+
+    def __init__(self, csv_file):
+        rows = []
+        for ln in open(csv_file):
+            ln = ln.strip()
+            if ln:
+                genome, bc = ln.split(",")
+                rows.append((genome, bc.encode()))
+        rows.sort(key=lambda r: r[1])
+        self._genomes_of: dict = {}
+        for genome, bc in rows:
+            self._genomes_of.setdefault(bc, []).append(genome)
+        self._sorted = sorted(self._genomes_of)
+        self._index = {b: i for i, b in enumerate(self._sorted)}
+
+    def num_cells(self):
+        return len(self._sorted)
+
+    def _key(self, barcode):
+        return barcode if isinstance(barcode, bytes) else str(barcode).encode()
+
+    def contains(self, barcode, genome=None):
+        gs = self._genomes_of.get(self._key(barcode))
+        if gs is None:
+            return False
+        return genome in (None, "") or genome in gs
+
+    def index_of_barcode(self, barcode):
+        return self._index[self._key(barcode)]
+
+    def cells_per_gem_group(self):
+        out: dict = {}
+        for b in self._sorted:
+            gg = int(b.rsplit(b"-", 1)[1])
+            out[gg] = out.get(gg, 0) + 1
+        return out
 
 
 def load_oracle():

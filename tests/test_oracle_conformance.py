@@ -237,3 +237,138 @@ def test_molecule_info_opens_with_reference_reader(tmp_path):
     np.testing.assert_array_equal(np.asarray(mc_h5["feature_idx"]),
                                   [0, 1, 0, 1])
     mc_h5.close()
+
+
+# ---------------------------------------------------------------------------
+# matrix h5 round-trip: OUR writer -> the REFERENCE CountMatrix reader
+# (matrix.py:1168 load_h5_file) — VERDICT r3 item 5a
+# ---------------------------------------------------------------------------
+
+def test_matrix_h5_roundtrip_with_reference_reader(tmp_path):
+    import scipy.sparse as sp
+    from cellranger_tpu.io.matrix_io import (CountMatrix, FeatureDef,
+                                             FeatureReference)
+    import cellranger.matrix as ref_matrix
+
+    rng = np.random.RandomState(3)
+    F, C = 5, 40
+    dense = rng.poisson(1.5, (F, C)).astype(np.int32)
+    feats = FeatureReference([
+        FeatureDef(f"ENSG{i:05d}", f"Gene{i}", "Gene Expression", "GRCh38")
+        for i in range(F)])
+    bcs = [(b"ACGT" * 4) + b"-1" for _ in range(C)]
+    import itertools
+    alph = [("".join(p) * 4).encode() for p in
+            itertools.product("ACGT", repeat=3)]
+    bcs = [alph[i][:16] + b"-1" for i in range(C)]
+    m = CountMatrix(features=feats, barcodes=bcs,
+                    m=sp.csc_matrix(dense))
+    path = str(tmp_path / "raw.h5")
+    m.save_h5(path)
+
+    ref = ref_matrix.CountMatrix.load_h5_file(path)
+    assert ref.get_shape() == (F, C)
+    np.testing.assert_array_equal(
+        np.asarray(ref.m.todense()), dense)
+    np.testing.assert_array_equal(np.asarray(ref.bcs), np.asarray(bcs))
+    ref_ids = [f.id for f in ref.feature_ref.feature_defs]
+    assert ref_ids == [d.id.encode() if isinstance(d.id, str) else d.id
+                      for d in feats.feature_defs]
+    # genome tag survives (GENOME_FEATURE_TAG)
+    assert ref.feature_ref.feature_defs[0].tags.get("genome") == "GRCh38"
+
+
+# ---------------------------------------------------------------------------
+# depth subsampling: OUR subsample_metrics vs the REFERENCE run_subsampling
+# (subsample.py:430) on the SAME molecule_info.h5 — VERDICT r3 item 5b.
+# Sampling is reference-identical (MT19937(1) per task), so per-cell UMI
+# vectors and saturation must match EXACTLY.
+# ---------------------------------------------------------------------------
+
+def test_run_subsampling_parity(tmp_path):
+    import itertools
+    import cellranger.subsample as ref_ss
+    from cellranger_tpu.analysis.subsample import subsample_metrics
+    from cellranger_tpu.io.matrix_io import FeatureDef, FeatureReference
+    from cellranger_tpu.io.molecule_info import save_molecule_info
+
+    rng = np.random.RandomState(17)
+    n_bc, n_feat, n = 60, 4, 8000
+    alph = [("".join(p) * 6)[:16].encode()
+            for p in itertools.product("ACGT", repeat=3)]
+    barcodes = [alph[i] for i in range(n_bc)]         # no suffix in table
+    bc_idx = np.sort(rng.randint(0, n_bc, n)).astype(np.uint64)
+    feat = rng.randint(0, n_feat, n).astype(np.uint32)
+    umi = rng.randint(0, 1 << 20, n).astype(np.uint32)
+    cnt = (rng.poisson(2, n) + 1).astype(np.uint32)
+    features = FeatureReference([
+        FeatureDef(f"G{i}", f"G{i}", "Gene Expression", "GRCh38")
+        for i in range(n_feat)])
+    cells = np.arange(0, 30, dtype=np.uint64)
+    path = str(tmp_path / "molecule_info.h5")
+    save_molecule_info(
+        path, barcode_idx=bc_idx, feature_idx=feat, umi=umi, count=cnt,
+        library_idx=np.zeros(n, np.uint16),
+        barcodes=[b + b"-1" for b in barcodes], features=features,
+        gem_group=1, pass_filter_bc_idx=cells,
+        metrics={"total_reads": int(cnt.sum()),
+                 "usable_read_pairs": int(cnt.sum()),
+                 "chemistry": "SC3Pv3", "sample_id": "t"})
+    fb_csv = str(tmp_path / "filtered_barcodes.csv")
+    with open(fb_csv, "w") as f:
+        for c in cells:
+            f.write("GRCh38," + barcodes[int(c)].decode() + "-1\n")
+
+    rate = 0.4
+    subs = [{"library_type": "Gene Expression", "subsample_type": "raw_rpc",
+             "target_read_pairs_per_cell": 100,
+             "library_subsample_rates": [rate]}]
+    ref = ref_ss.run_subsampling(path, subs, fb_csv, None, 0, n)
+
+    ours = subsample_metrics(bc_idx, feat, cnt, cells, rates=[rate])
+
+    # NOTE: molecule file order == our input order (bc_idx pre-sorted), so
+    # the MT19937(1) survival draws line up 1:1
+    ref_umis = np.asarray(ref["umis_per_bc"])[0, 0]          # [cells]
+    ref_reads = np.asarray(ref["read_pairs"])[0, 0]
+    ref_umi_total = np.asarray(ref["umis"])[0, 0]
+    curve = ours["curves"][rate]
+    assert curve["subsampled_reads"] == int(ref_reads)
+    ref_sat = ref_ss.compute_dup_frac(int(ref_reads), int(ref_umi_total))
+    assert curve["saturation"] == pytest.approx(ref_sat, abs=1e-12)
+    assert curve["median_umis_per_cell"] == float(np.median(ref_umis))
+    ref_genes = np.asarray(ref["features_det_per_bc"])[0, 0]
+    assert curve["median_genes_per_cell"] == float(np.median(ref_genes))
+
+
+# ---------------------------------------------------------------------------
+# antibody presence calls: OUR call_features vs the REFERENCE GMM
+# (feature_assigner.py:213 call_presence_with_gmm_ab) — VERDICT r3 item 5c.
+# Decision-level parity on separated data (sklearn vs our own EM).
+# ---------------------------------------------------------------------------
+
+def test_antibody_gmm_presence_parity():
+    import cellranger.feature.feature_assigner as ref_fa
+    from cellranger_tpu.analysis.feature_assigner import call_features
+
+    rng = np.random.RandomState(8)
+    n_bg, n_pos = 400, 120
+    counts = np.concatenate([
+        rng.poisson(2, n_bg), rng.poisson(600, n_pos)]).astype(np.int64)
+    perm = rng.permutation(len(counts))
+    counts = counts[perm]
+
+    ref_calls = ref_fa.call_presence_with_gmm_ab(counts, umi_threshold=3)
+    our_calls = call_features(counts[None, :], min_umi=3)[0]
+    np.testing.assert_array_equal(our_calls, ref_calls)
+
+
+def test_antibody_gmm_degenerate_inputs_parity():
+    import cellranger.feature.feature_assigner as ref_fa
+    from cellranger_tpu.analysis.feature_assigner import call_features
+
+    # all-zero counts: nobody is positive
+    z = np.zeros(50, np.int64)
+    np.testing.assert_array_equal(
+        call_features(z[None, :])[0],
+        ref_fa.call_presence_with_gmm_ab(z))

@@ -1,14 +1,23 @@
 """Regenerate the golden snapshot of the e2e fixture outputs.
 
+The reference treats goldens as externally-produced truth
+(cr_lib/src/testing/correctness.rs:24); regenerating ours alongside a
+behavior change would gate nothing.  So regeneration REQUIRES a --reason,
+and every regen appends the reason + a file-level diff summary to
+tests/golden/e2e/CHANGELOG; tests/test_golden_changelog.py fails when
+goldens changed in a commit without a matching CHANGELOG entry.
+
 Run after an INTENTIONAL output change, review the diff, and commit:
-    python tools/make_golden.py
-The golden gate (tests/test_conformance.py) compares every future run
-against these files with the conformance comparators
-(cellranger_tpu/testing/correctness.py).
+    python tools/make_golden.py --reason "why the outputs changed and \
+which oracle/spec test pins the new behavior"
 """
 
+import argparse
+import datetime
+import hashlib
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 
@@ -36,18 +45,54 @@ FILES = [
 ]
 
 
+def _sha(path: str) -> str:
+    if not os.path.exists(path):
+        return "absent"
+    return hashlib.sha256(open(path, "rb").read()).hexdigest()[:12]
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reason", required=True,
+                    help="why the outputs changed + which invariant "
+                         "(oracle/spec test) pins the new behavior")
+    args = ap.parse_args()
+    if len(args.reason.strip()) < 20:
+        ap.error("--reason must actually explain the change (>=20 chars)")
+
     from e2e_drive import run
     res = run(tempfile.mkdtemp(prefix="cr_tpu_golden_"), dryrun=False)
     out = res["out_dir"]
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    changed = []
     for rel in FILES:
         src = os.path.join(out, rel)
         dst = os.path.join(GOLDEN_DIR, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
+        old = _sha(dst)
         shutil.copyfile(src, dst)
-        print("golden <-", rel)
+        new = _sha(dst)
+        if old != new:
+            changed.append(f"{rel}: {old} -> {new}")
+        print("golden <-", rel, "(changed)" if old != new else "(same)")
+    try:
+        head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=REPO).stdout.strip()
+    except Exception:
+        head = "unknown"
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+    with open(os.path.join(GOLDEN_DIR, "CHANGELOG"), "a") as f:
+        f.write(f"\n## {stamp} (parent {head})\n")
+        f.write(f"reason: {args.reason.strip()}\n")
+        if changed:
+            f.write("changed files:\n")
+            for c in changed:
+                f.write(f"  - {c}\n")
+        else:
+            f.write("changed files: none (byte-identical regen)\n")
     print("golden snapshot written to", GOLDEN_DIR)
+    print("CHANGELOG entry appended — commit it WITH the goldens")
 
 
 if __name__ == "__main__":
