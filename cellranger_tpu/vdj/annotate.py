@@ -75,6 +75,30 @@ class SegmentHit:
     score: int
     contig_start: int
     contig_end: int
+    seg_start: int = 0
+    seg_end: int = 0
+
+    def variants(self, contig: str) -> frozenset | None:
+        """Somatic-variant evidence: (germline position, read base) pairs
+        where the contig differs from the segment over the aligned span
+        (the shared-mutation signal of enclone's graded joins,
+        clonotype_assigner/src/assigner.rs:139 -> enclone_ranger).
+        Returns None when the ungapped walk looks structurally off
+        (likely an indel alignment) — then no evidence is claimed."""
+        s = self.segment.seq.decode()
+        n = min(self.contig_end - self.contig_start,
+                self.seg_end - self.seg_start)
+        if n <= 0:
+            return frozenset()
+        out = []
+        for i in range(n):
+            cb = contig[self.contig_start + i]
+            sb = s[self.seg_start + i]
+            if cb != sb:
+                out.append((self.seg_start + i, cb))
+        if len(out) > max(2, n // 10):
+            return None
+        return frozenset(out)
 
 
 @dataclass
@@ -99,7 +123,7 @@ def best_hit(contig: str, segments: list[Segment], min_score=40):
             continue
         score, cs, ce, ss, se = local_align(contig, s)
         if score >= min_score and (best is None or score > best.score):
-            best = SegmentHit(seg, score, cs, ce)
+            best = SegmentHit(seg, score, cs, ce, ss, se)
     return best
 
 
@@ -186,6 +210,47 @@ def _cluster_cdr3s(seqs: list[str], max_mm: int,
     return {s: find(s) for s in ss}
 
 
+def _variant_clusters(key, bcs, cell_vars) -> list[list[str]]:
+    """Split one chain-set group of cells by conflicting V-region somatic
+    variants (enclone graded joins, assigner.rs:139).  Two cells CONFLICT
+    when some shared chain carries different bases at the same germline
+    position AND no identical shared variant supports the join; cells
+    without informative evidence attach to the largest cluster."""
+    chain_ids = {(ch, v, j) for ch, v, j, _nt in key}
+    sig = {}
+    for bc in bcs:
+        d = cell_vars.get(bc, {})
+        m = {}
+        informative = False
+        for ck in chain_ids:
+            vs = d.get(ck)
+            if vs:                       # non-empty and not None
+                informative = True
+                for pos, base in vs:
+                    m[(ck, pos)] = base
+        sig[bc] = m if informative else None
+
+    def conflict(ma, mb):
+        common = ma.keys() & mb.keys()
+        shared = sum(1 for k in common if ma[k] == mb[k])
+        clash = sum(1 for k in common if ma[k] != mb[k])
+        return clash >= 1 and shared == 0
+
+    clusters: list[list[str]] = []
+    for bc in sorted(b for b in bcs if sig[b]):
+        for cl in clusters:
+            if not any(conflict(sig[bc], sig[m]) for m in cl):
+                cl.append(bc)
+                break
+        else:
+            clusters.append([bc])
+    if len(clusters) <= 1:
+        return [sorted(bcs)]
+    clusters.sort(key=lambda c: (-len(c), c[0]))
+    clusters[0].extend(b for b in bcs if not sig[b])
+    return [sorted(c) for c in clusters]
+
+
 def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
                      fuzzy: bool = True):
     """{barcode: [annotations]} -> clonotypes.
@@ -199,12 +264,29 @@ def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
     strict SUBSET of exactly one larger clonotype merges into it
     (single-chain dropout handling). fuzzy=False keeps exact-CDR3 keys."""
     per_cell = {}
+    # per-cell V-region somatic-variant evidence per chain identity
+    # (enclone graded joins: shared variants merge, conflicting split)
+    cell_vars: dict = {}
     for bc, anns in cells.items():
-        chains = {(a.chain or "",
-                   a.v.segment.gene_name if a.v else "",
-                   a.j.segment.gene_name if a.j else "",
-                   a.cdr3_nt)
-                  for a in anns if a.productive and a.cdr3_nt}
+        chains = set()
+        for a in anns:
+            if not (a.productive and a.cdr3_nt):
+                continue
+            ch = (a.chain or "",
+                  a.v.segment.gene_name if a.v else "",
+                  a.j.segment.gene_name if a.j else "",
+                  a.cdr3_nt)
+            chains.add(ch)
+            if a.v is not None:
+                ck = ch[:3]
+                vs = a.v.variants(a.contig_seq)
+                d = cell_vars.setdefault(bc, {})
+                if ck in d:
+                    prev = d[ck]
+                    d[ck] = (None if (prev is None or vs is None)
+                             else prev | vs)
+                else:
+                    d[ck] = vs
         if chains:
             per_cell[bc] = chains
     # pre-fuzzy EXACT chain sets define exact subclonotypes within a
@@ -272,8 +354,23 @@ def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
                  if not (len(k) == 1 and len(bcs) == 1
                          and k[0] in multi_chain_members)}
 
+    if fuzzy:
+        # graded-join split (assigner.rs:139 -> enclone_ranger shared-
+        # mutation evidence): cells in one chain-set group whose V-region
+        # variants CONFLICT (same germline position, different base, with
+        # no shared variant backing the join) become distinct clonotypes;
+        # cells without informative variants follow the dominant cluster
+        split_keyed = []
+        for key, bcs in keyed.items():
+            for cluster in _variant_clusters(key, bcs, cell_vars):
+                split_keyed.append((key, cluster))
+        items = split_keyed
+    else:
+        items = list(keyed.items())
+
     out = []
-    order = sorted(keyed.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    order = sorted(items, key=lambda kv: (-len(kv[1]), kv[0],
+                                          sorted(kv[1])))
     for key, bcs in order:
         # exact subclonotypes: members grouped by their pre-fuzzy chain
         # sets, largest first (enclone exact_subclonotype numbering)

@@ -370,3 +370,47 @@ def test_onesie_filter():
     all_bcs = {b for c in cl for b in c["barcodes"]}
     assert "n0" in all_bcs
     assert {"p0", "p1"} <= all_bcs
+
+
+def test_graded_join_conflicting_v_variants_split():
+    """Enclone graded joins (assigner.rs:139): two same-CDR3 cells whose
+    V regions carry CONFLICTING somatic variants (same germline position,
+    different base, no shared variant) split into distinct clonotypes;
+    cells SHARING a variant — or carrying no variants — stay merged."""
+    from cellranger_tpu.vdj.annotate import ContigAnnotation, SegmentHit, \
+        group_clonotypes
+    from cellranger_tpu.vdj.reference import Segment
+
+    germ = "ACGT" * 15                      # 60nt germline V
+    seg_v = Segment("TRBV1", "TRBV1", "V", "TRB", germ.encode())
+    seg_j = Segment("TRBJ1", "TRBJ1", "J", "TRB", b"A" * 60)
+    cdr3 = "TGTGCCAGCAGCTTGGACACC"
+
+    def ann(contig_v: str):
+        contig = contig_v + "T" * 40
+        return ContigAnnotation(
+            contig_seq=contig, chain="TRB",
+            v=SegmentHit(seg_v, 100, 0, 60, 0, 60),
+            j=SegmentHit(seg_j, 80, 60, 100, 0, 40),
+            cdr3_nt=cdr3, cdr3_aa="X", productive=True)
+
+    mutA = germ[:10] + "A" + germ[11:]      # pos 10: G->A? germ[10]='G'
+    mutC = germ[:10] + "C" + germ[11:]      # pos 10: ->C (conflicts with A)
+    cells = {
+        "bc_a1": [ann(mutA)], "bc_a2": [ann(mutA)],
+        "bc_c1": [ann(mutC)],
+        "bc_g1": [ann(germ)],               # germline: follows the majority
+    }
+    cl = group_clonotypes(cells)
+    groups = [set(c["barcodes"]) for c in cl]
+    assert {"bc_a1", "bc_a2", "bc_g1"} in groups
+    assert {"bc_c1"} in groups
+
+    # shared variant backs the join even when another position differs:
+    # x2 = mutA + an extra variant at pos 21 (germ 'C' -> 'G'); the shared
+    # (10, 'A') evidence merges them despite the difference
+    mutA2 = mutA[:21] + "G" + mutA[22:]
+    assert germ[21] == "C"
+    cells2 = {"x1": [ann(mutA)], "x2": [ann(mutA2)]}
+    cl2 = group_clonotypes(cells2)
+    assert len(cl2) == 1 and cl2[0]["frequency"] == 2

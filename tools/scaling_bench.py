@@ -9,6 +9,7 @@ Prints one JSON line: {"mesh": N, "t1_ms": .., "tN_ms": .., "efficiency": ..}
 Run standalone (it forces the CPU backend before any JAX touch).
 """
 
+import functools
 import json
 import os
 import sys
@@ -88,14 +89,95 @@ def main():
     mesh = make_mesh(N_DEV)
     sharded = make_sharded_step(step, mesh)
     tn = timeit(sharded)
+
+    # ---- weak-scaling curve (VERDICT r3 item 8): fixed PER-DEVICE batch
+    # over mesh sizes 1/2/4/8.  Ideal weak scaling = flat time.  CAVEAT:
+    # this host has N_CORES cores; virtual devices beyond that measure
+    # oversubscription, so the curve is annotated with the core count and
+    # efficiency is only meaningful up to it.
+    curve = {}
+    n_cores = os.cpu_count() or 1
+    for n in (1, 2, 4, 8):
+        if n > N_DEV and n > 1:
+            break
+        bn = PER_DEV * n
+        bufn = buf[:bn] if bn <= BATCH else np.tile(
+            buf, (-(-bn // BATCH), 1))[:bn]
+        if n == 1:
+            fn = step
+        else:
+            fn = make_sharded_step(step, make_mesh(n))
+
+        def tm(fn=fn, bufn=bufn):
+            jax.block_until_ready(fn(bufn)["i32"])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                for _ in range(4):
+                    out = fn(bufn)
+                jax.block_until_ready(out["i32"])
+                best = min(best, (time.time() - t0) / 4)
+            return best
+
+        curve[n] = round(tm() * 1e3, 1)
+    base = curve.get(1)
+    weak_eff = {n: round(base / t, 3) for n, t in curve.items() if base}
+    # the 1-device run already saturates every host core via XLA intra-op
+    # threading, so the per-mesh ideal on THIS host is min(1, cores/n);
+    # normalized >= 1.0 means the SPMD path adds no overhead beyond the
+    # hardware cap (the true >=0.85 target needs real multi-chip ICI)
+    weak_eff_norm = {
+        n: round(e / min(1.0, (os.cpu_count() or 1) / n), 3)
+        for n, e in weak_eff.items()}
+
+    # ---- per-batch collective overhead, measured alone: the step's psum
+    # (metric vector) and the dedup exchange's all_to_all, in microseconds
+    from jax.sharding import PartitionSpec as P
+    mvec = np.zeros((N_DEV, 16), np.int32)
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=P("data"),
+                       out_specs=P())
+    def just_psum(x):
+        return jax.lax.psum(x[0], "data")
+
+    rows = np.zeros((N_DEV * PER_DEV, 4), np.uint32)
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=P("data"),
+                       out_specs=P("data"))
+    def just_a2a(x):
+        y = x.reshape(N_DEV, -1, x.shape[-1])
+        return jax.lax.all_to_all(y, "data", 0, 0,
+                                  tiled=False).reshape(-1, x.shape[-1])
+
+    def utime(fn, arg):
+        jax.block_until_ready(fn(arg))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(20):
+                out = fn(arg)
+            jax.block_until_ready(out)
+            best = min(best, (time.time() - t0) / 20)
+        return best * 1e6
+
+    psum_us = round(utime(just_psum, mvec), 1)
+    a2a_us = round(utime(just_a2a, rows), 1)
+
     # CAVEAT: XLA's CPU backend already multi-threads the single-device
     # run across all host cores, so the fair per-mesh number here is the
     # SAME-TOTAL-WORK speedup (ideal 1.0 means sharding adds no overhead
     # over intra-op threading; >1 means the SPMD path parallelizes better)
-    print(json.dumps(dict(mesh=N_DEV, batch=BATCH,
-                          t1_ms=round(t1 * 1e3, 1),
-                          tN_ms=round(tn * 1e3, 1),
-                          same_total_work_speedup=round(t1 / tn, 3))))
+    print(json.dumps(dict(
+        mesh=N_DEV, batch=BATCH, n_cores=n_cores,
+        t1_ms=round(t1 * 1e3, 1), tN_ms=round(tn * 1e3, 1),
+        same_total_work_speedup=round(t1 / tn, 3),
+        weak_curve_ms=curve, weak_efficiency=weak_eff,
+        weak_efficiency_vs_host_ideal=weak_eff_norm,
+        psum_us=psum_us, all_to_all_us=a2a_us,
+        note=(f"host has {n_cores} cores; virtual-device counts beyond "
+              "that measure oversubscription, not scaling"))))
 
 
 if __name__ == "__main__":
