@@ -279,7 +279,9 @@ def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
             chains.add(ch)
             if a.v is not None:
                 ck = ch[:3]
-                vs = a.v.variants(a.contig_seq)
+                # duck-typed hits without coords claim no evidence
+                vs = (a.v.variants(a.contig_seq)
+                      if hasattr(a.v, "variants") else None)
                 d = cell_vars.setdefault(bc, {})
                 if ck in d:
                     prev = d[ck]
