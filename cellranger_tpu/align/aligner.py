@@ -61,6 +61,10 @@ SJ_MIN_SEG = 12        # min per-side anchor score for a split alignment
 SJ_MARGIN = 4          # spliced must beat the best unspliced by this
 SJ_NONCANON_PEN = 8    # penalty when no GT..AG / CT..AC motif is found
 
+# overlapped text rows cost ~0.9B/base of HBM next to the kmer table;
+# above this text size, windows fall back to the 2-row fetch
+OVERLAP_ROWS_MAX_TEXT = 1_500_000_000
+
 
 @register_dataclass
 @dataclass(frozen=True)
@@ -76,6 +80,9 @@ class DeviceIndex:
     kmer_table: BucketTable    # canonical kmer -> packed pos/strand rows
     chrom_starts: jnp.ndarray  # int64 [C+1]
     sj_rows: jnp.ndarray       # uint32 [J, 2]: (donor_abs, acceptor_abs)
+    # overlapped 128-base-stride rows (one gather serves any <=96-base
+    # window); None for texts too big to spend the extra ~0.9B/base HBM
+    text_rows_ov: jnp.ndarray | None = None
     genome_len: int = field(metadata=dict(static=True), default=0)
     text_len: int = field(metadata=dict(static=True), default=0)
     sj_overhang: int = field(metadata=dict(static=True), default=120)
@@ -93,12 +100,15 @@ class DeviceIndex:
         sj = np.stack([gi.sj_donor_end.astype(np.uint32),
                        gi.sj_acceptor_start.astype(np.uint32)], axis=1) \
             if gi.n_junctions else np.zeros((0, 2), np.uint32)
+        ov = (jnp.asarray(gi.packed_overlap_rows())
+              if len(gi.text) <= OVERLAP_ROWS_MAX_TEXT else None)
         return DeviceIndex(
             text_rows=jnp.asarray(gi.packed_rows()),
             kmer_table=BucketTable.build(gi.kmer_keys, gi.kmer_pos,
                                          entries=MAX_HITS_PER_SEED, fields=2),
             chrom_starts=jnp.asarray(gi.chrom_starts.astype(np.int64)),
             sj_rows=jnp.asarray(sj),
+            text_rows_ov=ov,
             genome_len=int(gi.genome_len),
             text_len=len(gi.text),
             sj_overhang=int(gi.sj_overhang),
@@ -153,41 +163,28 @@ def _minimizer_picks(mh: jnp.ndarray, w: int) -> jnp.ndarray:
     return mh == cover
 
 
+OV_RW = 14  # overlapped-row words: covers 128-stride + <=96-base windows
+
+
 def make_window_fetch(idx: "DeviceIndex", width: int):
     """Build fetch(idx, pos) -> (codes uint8 [..., width], valid bool).
 
-    Two 128-byte text-row gathers cover any <=128-base window; the window
-    is then cut out IN REGISTERS: a log-shift select picks the word run and
-    variable-shift word arithmetic lands the unpack exactly at pos. Row
-    fetches are the only HBM cost (~2 x 40ns per window)."""
+    Windows are cut out IN REGISTERS: a log-shift select picks the word
+    run and variable-shift word arithmetic lands the unpack exactly at
+    pos.  Row fetches are the only HBM cost: with the overlapped table
+    (text_rows_ov, 128-base stride) any <=96-base window is ONE gather;
+    wider windows (SW rescue band) fall back to two 256-base-row gathers.
+    """
     assert width <= 128
     n_words = (width + 15) // 16 + 1
     NR = int(idx.text_rows.shape[0])
     G = int(idx.text_len)
+    # max word offset within an overlapped row is 7, so the window's
+    # n_words must fit in the remaining OV_RW-7 words (width <= 96)
+    use_ov = idx.text_rows_ov is not None and n_words <= OV_RW - 7
+    R_ov = int(idx.text_rows_ov.shape[0]) if use_ov else 0
 
-    def fetch(idx, pos):
-        pos = pos.astype(jnp.uint32)       # full u32 coordinate space
-        extra = (1,) * pos.ndim
-        w0 = pos >> 4                      # first word index
-        r = (w0 >> 4).astype(jnp.int32)    # row = 16 words (< 2^24 rows)
-        rows_a = idx.text_rows[jnp.minimum(r, NR - 2)]       # [..., 32]
-        rows_b = idx.text_rows[jnp.minimum(r + 1, NR - 1)]
-        codes32 = jnp.concatenate([rows_a[..., :16], rows_b[..., :16]], -1)
-        valid32 = jnp.concatenate([rows_a[..., 16:], rows_b[..., 16:]], -1)
-
-        # select n_words starting at word offset s via log-shift (pure VPU)
-        s = w0 & 15
-
-        def shift_sel(arr):
-            for b in (8, 4, 2, 1):
-                cond = (s & b) > 0
-                shifted = jnp.concatenate([arr[..., b:], arr[..., -b:]], -1)
-                arr = jnp.where(cond[..., None], shifted, arr)
-            return arr[..., :n_words]
-
-        words = shift_sel(codes32)
-        vwords = shift_sel(valid32)
-
+    def realign(words, vwords, pos, extra):
         # variable-shift word realignment: aligned word j =
         # (w[j] << 2*(pos&15)) | (w[j+1] >> 32-2*(pos&15))
         off2 = (2 * (pos & 15)).astype(jnp.uint32)[..., None]
@@ -211,7 +208,45 @@ def make_window_fetch(idx: "DeviceIndex", width: int):
                      .reshape(*extra, -1)) < jnp.uint32(G)
         return win, wok & in_bounds
 
-    return fetch
+    def fetch_two_row(idx, pos):
+        pos = pos.astype(jnp.uint32)       # full u32 coordinate space
+        extra = (1,) * pos.ndim
+        w0 = pos >> 4                      # first word index
+        r = (w0 >> 4).astype(jnp.int32)    # row = 16 words (< 2^24 rows)
+        rows_a = idx.text_rows[jnp.minimum(r, NR - 2)]       # [..., 32]
+        rows_b = idx.text_rows[jnp.minimum(r + 1, NR - 1)]
+        codes32 = jnp.concatenate([rows_a[..., :16], rows_b[..., :16]], -1)
+        valid32 = jnp.concatenate([rows_a[..., 16:], rows_b[..., 16:]], -1)
+        s = w0 & 15
+
+        def shift_sel(arr):
+            for b in (8, 4, 2, 1):
+                cond = (s & b) > 0
+                shifted = jnp.concatenate([arr[..., b:], arr[..., -b:]], -1)
+                arr = jnp.where(cond[..., None], shifted, arr)
+            return arr[..., :n_words]
+
+        return realign(shift_sel(codes32), shift_sel(valid32), pos, extra)
+
+    def fetch_overlap(idx, pos):
+        pos = pos.astype(jnp.uint32)
+        extra = (1,) * pos.ndim
+        r = (pos >> 7).astype(jnp.int32)
+        row = idx.text_rows_ov[jnp.minimum(r, R_ov - 1)]     # [..., 2*RW]
+        codes = row[..., :OV_RW]
+        valid = row[..., OV_RW:]
+        s = (pos >> 4) & 7                 # word offset within the row
+
+        def shift_sel(arr):
+            for b in (4, 2, 1):
+                cond = (s & b) > 0
+                shifted = jnp.concatenate([arr[..., b:], arr[..., -b:]], -1)
+                arr = jnp.where(cond[..., None], shifted, arr)
+            return arr[..., :n_words]
+
+        return realign(shift_sel(codes), shift_sel(valid), pos, extra)
+
+    return fetch_overlap if use_ov else fetch_two_row
 
 
 def make_aligner(idx: DeviceIndex, read_len: int,
@@ -324,19 +359,21 @@ def make_aligner(idx: DeviceIndex, read_len: int,
             key = diag | (strand_h.astype(jnp.uint32) << 31)
         key = jnp.where(ok, key, BIGK)               # [B, S, H]
 
-        # ---- diagonal voting via sort + run-length scan ----
+        # ---- diagonal voting via pairwise equality counting ----
+        # O(M^2) fused elementwise reductions instead of a [B, M]
+        # comparator sort: the sort's O(M log^2 M) serialized passes were
+        # ~16% of the human-scale step (tools/step_ablate.py), while the
+        # equality count + first-occurrence dedup vectorize perfectly and
+        # XLA fuses them into the reduction (no [B, M, M] materializes)
         M = S * H
-        flat = jnp.sort(key.reshape(B, M), axis=1)
-        pos_i = jnp.arange(M, dtype=jnp.int32)[None, :]
-        new_run = jnp.concatenate(
-            [jnp.ones((B, 1), bool), flat[:, 1:] != flat[:, :-1]], axis=1)
-        run_start = jax.lax.cummax(jnp.where(new_run, pos_i, 0), axis=1)
-        run_end = -jax.lax.cummax(
-            jnp.where(jnp.concatenate(
-                [new_run[:, 1:], jnp.ones((B, 1), bool)], axis=1),
-                -pos_i, -(M - 1)), axis=1, reverse=True)
-        votes = jnp.where(new_run & (flat != BIGK),
-                          run_end - run_start + 1, 0)
+        flat = key.reshape(B, M)
+        kvalid = flat != BIGK
+        eq = flat[:, None, :] == flat[:, :, None]            # fused
+        votes_all = jnp.sum((eq & kvalid[:, None, :]).astype(jnp.int32),
+                            axis=2)
+        tri = jnp.tril(jnp.ones((M, M), bool), -1)           # j < i
+        earlier = jnp.any(eq & tri[None, :, :], axis=2)
+        votes = jnp.where(kvalid & ~earlier, votes_all, 0)
         top_votes, top_i = jax.lax.top_k(votes, D)           # [B, D]
         cand_key = jnp.take_along_axis(flat, top_i, axis=1)  # [B, D]
         cand_ok = top_votes > 0

@@ -105,6 +105,24 @@ class GenomeIndex:
             self._rows = rows
         return self._rows
 
+    def packed_overlap_rows(self, rw: int = 14):
+        """[R, 2*rw] u32 OVERLAPPED text rows: stride 128 bases, width
+        rw*16 bases — any window of <= rw*16-128 bases starting anywhere
+        lives entirely in row pos>>7, so a candidate window costs ONE row
+        gather instead of two (row fetches are the unit of HBM cost;
+        extension was ~8 row gathers/read at D=4).  Costs ~0.9 bytes/base
+        of extra HBM, so DeviceIndex builds it only for texts that leave
+        room next to the kmer table."""
+        rows = self.packed_rows()
+        tw = np.ascontiguousarray(rows[:, :16]).reshape(-1)
+        vw = np.ascontiguousarray(rows[:, 16:]).reshape(-1)
+        R = len(self.text) // 128 + 2
+        from numpy.lib.stride_tricks import sliding_window_view
+        tws = sliding_window_view(tw, rw)[::8][:R]
+        vws = sliding_window_view(vw, rw)[::8][:R]
+        R = min(len(tws), len(vws))
+        return np.concatenate([tws[:R], vws[:R]], axis=1)
+
     @property
     def n_junctions(self) -> int:
         return len(self.sj_contig_start)
