@@ -13,13 +13,14 @@ fetched regardless of row width, so every stage minimizes row count:
      XOR the query's flip bit;
   2. k-mer lookup via ops.bucket_table: one 64-byte row gather per seed
      surfaces up to E=8 candidate positions;
-  3. diagonal voting: per-read sort of (strand, diagonal) keys + scan-based
-     run-length counting, top-D candidates pooled ACROSS strands;
-  4. ungapped extension against genome windows fetched as two 128-byte
-     text rows, realigned in-register with log-shift selects and
-     variable-shift word arithmetic; scored with Kadane max-substring via
-     prefix scans — splice handling comes free from the index's junction
-     contigs;
+  3. diagonal voting: fused pairwise equality counting over the (strand,
+     diagonal) keys + first-occurrence dedup, top-D candidates pooled
+     ACROSS strands (no comparator sort);
+  4. ungapped extension against genome windows fetched as ONE overlapped
+     128-base-stride text row (two 256-base rows for wide windows),
+     realigned in-register with log-shift selects and variable-shift word
+     arithmetic; scored with Kadane max-substring via prefix scans —
+     splice handling comes free from the index's junction contigs;
   5. canonicalized tie counting -> STAR MAPQ semantics
      (unique=255, 2 loci=3, 3-4=1, >4=0; rna_read.rs:32 HIGH_CONF_MAPQ);
   6. banded Smith-Waterman rescue (Pallas kernel) runs only on the
@@ -48,7 +49,10 @@ from .index import GenomeIndex, MINIMIZER_HASH
 # Tunables (static); see align_and_count.rs:63 for the score floor.
 SEED_STRIDE = 10       # extract a seed every N bases of the read
 MAX_HITS_PER_SEED = 8  # bucket-row width = max hits surfaced per seed
-MAX_CANDIDATES = 4     # diagonals taken to extension, pooled across strands
+MAX_CANDIDATES = 3     # diagonals taken to extension, pooled across strands
+                       # (r4 sweep: D=4 -> 3 saved ~3ms/step with the
+                       # truth probe perfect; saturation clips n_best to
+                       # the STAR >4 bucket so MAPQ boundaries survive)
 RESCUE_CAP_FRAC = 4    # SW rescue capacity = B // RESCUE_CAP_FRAC
 RESCUE_MARGIN = 4      # rescue when ungapped score < valid_len - margin
 
@@ -274,7 +278,11 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         seed_offsets = np.arange(0, L - k + 1, SEED_STRIDE, dtype=np.int32)
         S = len(seed_offsets)
     H = MAX_HITS_PER_SEED * idx.kmer_table.probe_rows
-    D = MAX_CANDIDATES
+    # parity packing rounds vote diagonals to multiples of 4, so one
+    # locus's votes can SPLIT across two keys — parity mode keeps an
+    # extra candidate slot (D=3 measured a 98.2% off-repeat recall there
+    # vs >=99.5% at D=4; strand31 is unaffected)
+    D = MAX_CANDIDATES + (1 if PARITY else 0)
     BIGK = jnp.uint32(0xFFFFFFFF)
     BIG = jnp.int32(2**31 - 1)
     n_sj = int(idx.sj_rows.shape[0])
@@ -464,7 +472,11 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         n_exam = jnp.sum(
             jnp.where(distinct_any & (any_sorted != BIGK), 1, 0), axis=1)
         saturated = (n_diags > D) & (n_best >= n_exam) & (n_best >= 1)
-        n_best = jnp.where(saturated, D + 1, n_best)
+        # saturated n_best follows the vote-table diagonal count (clipped
+        # to the STAR >4-loci bucket) so the 3-4-loci vs >4 MAPQ boundary
+        # stays right even when D < 4 examined candidates
+        n_best = jnp.where(saturated,
+                           jnp.clip(n_diags, D + 1, 5), n_best)
 
         # deterministic pick among ties: smallest (canon, strand) — stable
         pick = jnp.argmin(ckey, axis=1)

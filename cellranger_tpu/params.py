@@ -27,12 +27,12 @@ DEFAULTS: dict = {
     "threeprime_lt_multiplexing": False,
     "min_major_probe_bc_frac": 0.7,
     # TPU-engine-specific site knobs
-    # x expected winnowing density; 1.0 = S=12 seeds at L=91/w=12.  The
-    # r4 TPU sweep (tools/step_tune.py) measured 1.5->1.0 as 78.6->66.7ms
-    # per 32k-read step with the truth probe unchanged (off-repeat recall
-    # 0.9995, zero false-confident in repeats); raise at sites that see
+    # x expected winnowing density; 0.85 = S=10 seeds at L=91/w=12.  The
+    # r4 TPU sweep (tools/step_tune.py) measured 1.5->0.85 as 78.6->52.4ms
+    # per 32k-read step with the truth probe PERFECT (off-repeat recall
+    # 1.0, zero false-confident in repeats); raise at sites that see
     # pick-rich reads losing seeds
-    "minimizer_seed_headroom": 1.0,
+    "minimizer_seed_headroom": 0.85,
     "umi_min_read_length": None,    # override chemistry UMI min length
     "batch_size": None,             # override CountConfig.batch_size
     "spill_partitions": None,       # override pipeline SPILL_PARTS

@@ -144,10 +144,10 @@ def main():
         return best, t_c
 
     results = {}
-    for name, headroom, d in (("base_S18_D4", 1.5, 4),
-                              ("S15_D4", 1.25, 4),
-                              ("S12_D4", 1.0, 4),
-                              ("S15_D3", 1.25, 3)):
+    for name, headroom, d in (("S12_D4", 1.0, 4),
+                              ("S12_D3", 1.0, 3),
+                              ("S10_D4", 0.85, 4),
+                              ("S10_D3", 0.85, 3)):
         params._cache = None
         params.DEFAULTS["minimizer_seed_headroom"] = headroom
         old_d = aligner_mod.MAX_CANDIDATES
