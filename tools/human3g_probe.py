@@ -93,7 +93,7 @@ def main():
     t0 = time.time()
     kt = BucketTable.build(gi.kmer_keys, gi.kmer_pos, entries=8, fields=2)
     t_table = time.time() - t0
-    text_rows_b = (len(gi.text) // 16 + 64) * 32 * 4   # [NR+2, 32] u32
+    text_rows_b = (len(gi.text) // 256 + 2) * 32 * 4   # [NR+2, 32] u32
     kt_b = int(np.prod(kt.rows.shape)) * 4
     ann_rows = 2 * len(txs) * EXONS_PER_GENE
     ann_b = ann_rows * 4 * 4                  # interval tables (approx)
