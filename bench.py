@@ -296,8 +296,9 @@ def _gen_e2e_fixture(tmp: str, txome_of):
     ref_dir = os.path.join(tmp, "ref")
     ReferencePackage.build(os.path.join(tmp, "g.fa"),
                            os.path.join(tmp, "g.gtf"), ref_dir)
-    wl = sorted({"".join(np.random.default_rng(4).choice(
-        list("ACGT"), 16)) for _ in range(24_000)})[:20_000]
+    wl_rng = np.random.default_rng(4)
+    wl = sorted({"".join(wl_rng.choice(list("ACGT"), 16))
+                 for _ in range(24_000)})[:20_000]
     wl_path = os.path.join(tmp, "wl.txt")
     with open(wl_path, "w") as f:
         f.writelines(w + "\n" for w in wl)

@@ -123,12 +123,11 @@ def main():
     base = curve.get(1)
     weak_eff = {n: round(base / t, 3) for n, t in curve.items() if base}
     # the 1-device run already saturates every host core via XLA intra-op
-    # threading, so the per-mesh ideal on THIS host is min(1, cores/n);
-    # normalized >= 1.0 means the SPMD path adds no overhead beyond the
-    # hardware cap (the true >=0.85 target needs real multi-chip ICI)
-    weak_eff_norm = {
-        n: round(e / min(1.0, (os.cpu_count() or 1) / n), 3)
-        for n, e in weak_eff.items()}
+    # threading, so n virtual devices run n x the work on the SAME cores:
+    # the host ideal is eff = 1/n, i.e. normalized = eff * n.  >= ~0.9
+    # means the SPMD path adds no overhead beyond the hardware cap (the
+    # true >=0.85 target needs real multi-chip ICI)
+    weak_eff_norm = {n: round(e * n, 3) for n, e in weak_eff.items()}
 
     # ---- per-batch collective overhead, measured alone: the step's psum
     # (metric vector) and the dedup exchange's all_to_all, in microseconds
