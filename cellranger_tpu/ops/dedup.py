@@ -99,26 +99,57 @@ def dedup_molecules(bc, gene, umi, valid, umi_len: int):
 
     # ---- phase 1: UMI correction per distinct triple ----
     # mutants: umi ^ (d << shift), d in 1..3 — same trick as barcodes.
+    # JOIN BY SORT, not by binary search: probing 3*umi_len mutants per
+    # row with a log(N) binary search was ~20 gather rounds of [M, N]
+    # random HBM reads (the 29s dedup wall of a 1M-read e2e run).  One
+    # sort of originals+mutants, a cummax fill-forward join, and a
+    # segment-max reduction are sequential-access passes instead; the
+    # only remaining random reads are one [K] gather of matched counts
+    # and the per-owner scatter-reduce.
     pos = jnp.arange(umi_len, dtype=jnp.uint32)
     shifts = (2 * (umi_len - 1 - pos)).astype(jnp.uint32)
     d = jnp.arange(1, 4, dtype=jnp.uint32)
     xor = (d[None, :] << shifts[:, None]).reshape(-1)        # [3*umi_len]
-    mut = umi_s[:, None] ^ xor[None, :]                      # [N, M]
-    M = mut.shape[1]
-    midx, mfound = lex3_search(bc_s, gene_s, umi_s,
-                               jnp.broadcast_to(bc_s[:, None], (N, M)),
-                               jnp.broadcast_to(gene_s[:, None], (N, M)), mut)
-    mcnt = jnp.where(mfound, reads_per_triple[tid[midx]], 0)
-    # move rule: strictly greater count, or equal count and lex-larger UMI
-    best_cnt = cnt
-    best_umi = umi_s
-    for m in range(M):
-        c_m = mcnt[:, m]
-        u_m = mut[:, m]
-        better = (c_m > best_cnt) | ((c_m == best_cnt) & (u_m > best_umi))
-        better = better & mfound[:, m]
-        best_cnt = jnp.where(better, c_m, best_cnt)
-        best_umi = jnp.where(better, u_m, best_umi)
+    mut = umi_s[None, :] ^ xor[:, None]                      # [M, N]
+    M = mut.shape[0]
+    K = (M + 1) * N
+    c_bc = jnp.concatenate([bc_s, jnp.tile(bc_s, M)])
+    c_gene = jnp.concatenate([gene_s, jnp.tile(gene_s, M)])
+    c_umi = jnp.concatenate([umi_s, mut.reshape(-1)])
+    # tag 0 = original (sorts before its mutants within an equal key)
+    c_tag = jnp.concatenate([jnp.zeros(N, jnp.uint32),
+                             jnp.ones(M * N, jnp.uint32)])
+    c_cnt = jnp.concatenate([reads_per_triple[tid].astype(jnp.uint32),
+                             jnp.zeros(M * N, jnp.uint32)])
+    c_pay = jnp.concatenate([jnp.zeros(N, jnp.uint32),
+                             jnp.arange(M * N, dtype=jnp.uint32)])
+    sb, sg, su, st, sc, spay = jax.lax.sort(
+        (c_bc, c_gene, c_umi, c_tag, c_cnt, c_pay), num_keys=4)
+    ar = jnp.arange(K, dtype=jnp.int32)
+    new_key = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (sb[1:] != sb[:-1]) | (sg[1:] != sg[:-1]) | (su[1:] != su[:-1])])
+    run_start = jax.lax.cummax(jnp.where(new_key, ar, 0))
+    pos_fill = jax.lax.cummax(jnp.where(st == 0, ar, -1))
+    # an original with the SAME key precedes iff the nearest preceding
+    # original is inside this row's key run
+    matched = (pos_fill >= run_start) & (st == 1)
+    mcnt_s = jnp.where(matched,
+                       sc[jnp.maximum(pos_fill, 0)].astype(jnp.int32), 0)
+    # move rule over {original} + found mutants: lexicographic max of
+    # (count, umi) — strictly greater count, or equal count and
+    # lex-larger UMI (mark_dups.rs:42-49)
+    owner = (spay % jnp.uint32(N)).astype(jnp.int32)
+    pk_hi = jnp.where(st == 1, mcnt_s, -1)                    # count major
+    pk_lo = jnp.where(st == 1, su, jnp.uint32(0))             # umi minor
+    best_hi = jax.ops.segment_max(pk_hi, owner, num_segments=N)
+    # umi tie-break among mutants at the max count: second reduction
+    at_max = (st == 1) & (pk_hi == best_hi[owner]) & matched
+    best_lo = jax.ops.segment_max(
+        jnp.where(at_max, pk_lo, jnp.uint32(0)), owner, num_segments=N)
+    ocnt = reads_per_triple[tid].astype(jnp.int32)
+    take_mut = (best_hi > ocnt) | ((best_hi == ocnt) & (best_lo > umi_s))
+    best_umi = jnp.where(take_mut, best_lo, umi_s)
     corr_umi = jnp.where(valid_s, best_umi, sent)             # per-row (via triple)
     is_corrected = corr_umi != umi_s
 
@@ -167,8 +198,32 @@ def dedup_molecules(bc, gene, umi, valid, umi_len: int):
     tb, tu, tg, tlow = jax.lax.sort((tb, tu, tg, low.astype(jnp.int32)), num_keys=3)
 
     # ---- phase 4: per original triple, is corrected key low-support? ----
-    jidx, jfound = lex3_search(tb, tu, tg, bc_s, corr_umi, gene_s)
-    low_support = jnp.where(valid_s, jfound & (tlow[jidx] > 0), False)
+    # sort-join (same pattern as phase 1: sequential passes, no binary-
+    # search gather rounds): table rows tag 0, query rows tag 1
+    K2 = E + N
+    jb = jnp.concatenate([tb, bc_s])
+    ju = jnp.concatenate([tu, corr_umi])
+    jg = jnp.concatenate([tg, gene_s])
+    jtag = jnp.concatenate([jnp.zeros(E, jnp.uint32),
+                            jnp.ones(N, jnp.uint32)])
+    jlow = jnp.concatenate([tlow.astype(jnp.uint32),
+                            jnp.zeros(N, jnp.uint32)])
+    jpay = jnp.concatenate([jnp.zeros(E, jnp.uint32),
+                            jnp.arange(N, dtype=jnp.uint32)])
+    jb2, ju2, jg2, jt2, jl2, jp2 = jax.lax.sort(
+        (jb, ju, jg, jtag, jlow, jpay), num_keys=4)
+    ar2 = jnp.arange(K2, dtype=jnp.int32)
+    new2 = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (jb2[1:] != jb2[:-1]) | (ju2[1:] != ju2[:-1])
+         | (jg2[1:] != jg2[:-1])])
+    run_start2 = jax.lax.cummax(jnp.where(new2, ar2, 0))
+    posf2 = jax.lax.cummax(jnp.where(jt2 == 0, ar2, -1))
+    got = (posf2 >= run_start2) & (jt2 == 1)
+    lowv = got & (jl2[jnp.maximum(posf2, 0)] > 0)
+    low_support = jnp.zeros(N, bool).at[jp2.astype(jnp.int32)].max(
+        jnp.where(jt2 == 1, lowv, False))
+    low_support = jnp.where(valid_s, low_support, False)
 
     # ---- phase 5: final molecule table by (bc, gene, corrected umi) ----
     fb, fg, fu, fcnt, flow = jax.lax.sort(

@@ -143,15 +143,22 @@ def main():
             best = min(best, (time.time() - t0) / 5)
         return best, t_c
 
+    import cellranger_tpu.pipeline.count as count_mod
+
     results = {}
-    for name, headroom, d in (("S12_D4", 1.0, 4),
-                              ("S12_D3", 1.0, 3),
-                              ("S10_D4", 0.85, 4),
-                              ("S10_D3", 0.85, 3)):
+    base_hr = params.DEFAULTS["minimizer_seed_headroom"]
+    for name, headroom, d, caps in (
+            ("default", base_hr, aligner_mod.MAX_CANDIDATES, 4),
+            ("caps8", base_hr, aligner_mod.MAX_CANDIDATES, 8),
+            ("caps16", base_hr, aligner_mod.MAX_CANDIDATES, 16)):
         params._cache = None
         params.DEFAULTS["minimizer_seed_headroom"] = headroom
         old_d = aligner_mod.MAX_CANDIDATES
+        old_r = aligner_mod.RESCUE_CAP_FRAC
+        old_s = count_mod.SECOND_CAP_FRAC
         aligner_mod.MAX_CANDIDATES = d
+        aligner_mod.RESCUE_CAP_FRAC = caps
+        count_mod.SECOND_CAP_FRAC = caps
         try:
             step = _make_step(didx, ann, chem, READ_LEN)
             dt, t_c = timestep(step)
@@ -162,7 +169,9 @@ def main():
             print(name, json.dumps(results[name]), flush=True)
         finally:
             aligner_mod.MAX_CANDIDATES = old_d
-    params.DEFAULTS["minimizer_seed_headroom"] = 1.5
+            aligner_mod.RESCUE_CAP_FRAC = old_r
+            count_mod.SECOND_CAP_FRAC = old_s
+    params.DEFAULTS["minimizer_seed_headroom"] = base_hr
     print(json.dumps(results))
 
 
