@@ -103,7 +103,7 @@ class Executor:
                                  n_batch_args=n_batch_args)
 
     def dedup_partitions(self, parts, umi_len: int,
-                         chunk_limit: int = 1 << 22):
+                         chunk_limit: int = 1 << 21):
         """Dedup barcode-disjoint molecule partitions.
 
         parts: iterable of (bc, gene, umi) numpy row arrays; each partition
