@@ -429,14 +429,32 @@ def main():
     primary = bench_primary(chem, txome_of)
 
     extra = {}
+
+    def emit():
+        # progressively-complete JSON lines: the driver takes the LAST
+        # line, so a timeout mid-section still leaves a valid result
+        result = {
+            "metric": "reads_aligned_counted_per_sec_per_chip",
+            "value": round(primary["reads_per_sec"], 1),
+            "unit": "reads/s",
+            "vs_baseline": round(primary["reads_per_sec"]
+                                 / BASELINE_READS_PER_SEC, 3),
+            "detail": {
+                "batch": BATCH, "read_len": READ_LEN,
+                "genome_mb": GENOME_LEN / 1e6,
+                "mapped_frac": round(primary["mapped_frac"], 4),
+                "step_ms": round(primary["step_ms"], 2),
+                "compile_s": round(primary["compile_s"], 1),
+                "host_index_build_s": round(primary["host_index_build_s"],
+                                            1),
+                "device": str(jax.devices()[0]),
+                **extra,
+            },
+        }
+        print(json.dumps(result), flush=True)
+
+    emit()
     if os.environ.get("CRTPU_BENCH_FAST") != "1":
-        # e2e runs BEFORE human_scale: the human config leaves multi-GB
-        # index/whitelist tables resident in HBM, which slows everything
-        # that follows (measured 85s vs 26s dedup under that pressure)
-        try:
-            extra["e2e"] = bench_e2e(txome_of)
-        except Exception as e:
-            extra["e2e"] = {"error": str(e)[:300]}
         # big_run (>=20M reads, tools/big_run.py) is too slow for every
         # driver round; include the last recorded result with provenance
         try:
@@ -446,10 +464,18 @@ def main():
                 extra["big_run"] = json.load(open(br_path))
         except Exception:
             pass
+        # human_scale runs BEFORE the (compile-heavy) e2e cold pass so a
+        # driver timeout still captures the headline step configs
         try:
             extra["human_scale"] = bench_human_scale(chem, txome_of)
         except Exception as e:  # record, don't lose the primary number
             extra["human_scale"] = {"error": str(e)[:300]}
+        emit()
+        try:
+            extra["e2e"] = bench_e2e(txome_of)
+        except Exception as e:
+            extra["e2e"] = {"error": str(e)[:300]}
+        emit()
         try:
             # SPMD scaling on the virtual CPU mesh (separate process so
             # the TPU backend here is untouched); see tools/scaling_bench
@@ -463,25 +489,7 @@ def main():
                 r.stdout.strip().splitlines()[-1])
         except Exception as e:
             extra["scaling"] = {"error": str(e)[:200]}
-
-    result = {
-        "metric": "reads_aligned_counted_per_sec_per_chip",
-        "value": round(primary["reads_per_sec"], 1),
-        "unit": "reads/s",
-        "vs_baseline": round(primary["reads_per_sec"]
-                             / BASELINE_READS_PER_SEC, 3),
-        "detail": {
-            "batch": BATCH, "read_len": READ_LEN,
-            "genome_mb": GENOME_LEN / 1e6,
-            "mapped_frac": round(primary["mapped_frac"], 4),
-            "step_ms": round(primary["step_ms"], 2),
-            "compile_s": round(primary["compile_s"], 1),
-            "host_index_build_s": round(primary["host_index_build_s"], 1),
-            "device": str(jax.devices()[0]),
-            **extra,
-        },
-    }
-    print(json.dumps(result))
+        emit()
 
 
 if __name__ == "__main__":
