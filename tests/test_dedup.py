@@ -84,3 +84,34 @@ def test_randomized_vs_spec():
 def test_all_invalid():
     got, spec, out = run_both([], 16)
     assert got == {} and int(out["n_molecules"]) == 0
+
+
+def test_executor_coalesced_dedup_matches_per_partition():
+    """Coalescing bc-disjoint partitions into one device call (r4: fewer
+    tunnel round trips) must produce the same molecule table as separate
+    per-partition calls."""
+    import numpy as np
+    from cellranger_tpu.parallel.executor import Executor
+
+    rng = np.random.default_rng(13)
+    parts = []
+    for p in range(6):
+        n = int(rng.integers(50, 400))
+        bc = (rng.integers(0, 100, n) * 6 + p).astype(np.uint32)  # disjoint
+        gene = rng.integers(0, 20, n).astype(np.uint32)
+        umi = rng.integers(0, 1 << 12, n).astype(np.uint32)
+        parts.append((bc, gene, umi))
+
+    ex = Executor(None)
+
+    def collect(chunk_limit):
+        rows = []
+        for dd in ex.dedup_partitions(parts, 12, chunk_limit=chunk_limit):
+            rows.append(np.stack([dd["mol_bc"], dd["mol_gene"],
+                                  dd["mol_umi"], dd["mol_reads"]], 1))
+        out = np.concatenate(rows)
+        return out[np.lexsort((out[:, 2], out[:, 1], out[:, 0]))]
+
+    one_call = collect(chunk_limit=1 << 20)    # everything coalesced
+    per_part = collect(chunk_limit=1)          # one call per partition
+    np.testing.assert_array_equal(one_call, per_part)
