@@ -1,0 +1,109 @@
+"""Step throughput at GRCh38 scale on the real chip: loads the cached
+3.1GB index (.bench_cache/human3g_idx.npz from tools/human3g_probe.py),
+uploads the ~10GB DeviceIndex, and times the fused step at batch 8192.
+Appends a "step" block to HUMAN3G.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+READ_LEN = 91
+BATCH = 8192
+N_GENES = 21_000
+EXONS_PER_GENE = 12
+
+
+def main():
+    import jax
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    from cellranger_tpu.align.index import GenomeIndex
+    from cellranger_tpu.align.aligner import DeviceIndex
+    from cellranger_tpu.align.annotate import AnnotationIndex
+    from cellranger_tpu.io.chemistry import get_chemistry
+    from cellranger_tpu.io.gtf import Gene, Transcript, Transcriptome
+    from cellranger_tpu.pipeline.count import _make_step, pack_step_input
+    from types import SimpleNamespace
+
+    t0 = time.time()
+    gi = GenomeIndex.load(os.path.join(repo, ".bench_cache",
+                                       "human3g_idx.npz"))
+    t_load = time.time() - t0
+    print(f"npz load {t_load:.0f}s text={len(gi.text)} "
+          f"pos_mode={gi.pos_mode}", file=sys.stderr, flush=True)
+
+    # same transcriptome as the probe (chrom-local exon layout)
+    clen = 3_100_000_000 // 24
+    spacing = clen // (N_GENES // 24 + 1)
+    genes, txs = [], []
+    gidx = 0
+    for c in range(24):
+        for g in range(N_GENES // 24):
+            start = g * spacing + 100_000
+            strand = "+" if gidx % 2 == 0 else "-"
+            exons = [(start + e * 3000, start + e * 3000 + 400)
+                     for e in range(EXONS_PER_GENE)]
+            genes.append(Gene(f"G{gidx}", f"G{gidx}", f"chr{c + 1}",
+                              strand, gidx))
+            txs.append(Transcript(f"T{gidx}", gidx, f"chr{c + 1}",
+                                  strand, exons))
+            gidx += 1
+    txome = Transcriptome(genes, txs)
+
+    t0 = time.time()
+    didx = DeviceIndex.from_host(gi)
+    ann = AnnotationIndex.build(txome, gi)
+    jax.block_until_ready(didx.kmer_table.rows)
+    t_up = time.time() - t0
+    print(f"device index ready {t_up:.0f}s", file=sys.stderr, flush=True)
+
+    chem = get_chemistry("SC3Pv3")
+    step = _make_step(didx, ann, chem, READ_LEN)
+    rng = np.random.default_rng(9)
+    pos = rng.integers(0, gi.genome_len - READ_LEN - 1, BATCH)
+    rna = gi.text[pos[:, None] + np.arange(READ_LEN)[None, :]] \
+        .astype(np.uint8)
+    shim = SimpleNamespace(
+        batch_size=BATCH,
+        umi_packed=rng.integers(0, 1 << 24, BATCH).astype(np.uint32),
+        slot_valid=np.ones(BATCH, bool), umi_valid=np.ones(BATCH, bool),
+        rna=rna, rna_nmask=np.ones((BATCH, READ_LEN), bool),
+        rna2=None, rna2_nmask=None)
+    buf = pack_step_input(chem, READ_LEN, shim,
+                          rng.integers(0, 1 << 20, BATCH).astype(np.int32))
+    t0 = time.time()
+    out = step(buf)
+    jax.block_until_ready(out["i32"])
+    t_compile = time.time() - t0
+    print(f"compile+first {t_compile:.0f}s", file=sys.stderr, flush=True)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(3):
+            out = step(buf)
+        jax.block_until_ready(out["i32"])
+        best = min(best, (time.time() - t0) / 3)
+    ho_i32 = np.asarray(out["flags"])
+    mapped_frac = float(ho_i32[:, 1].mean())
+    res = dict(npz_load_s=round(t_load, 1),
+               device_index_s=round(t_up, 1),
+               compile_s=round(t_compile, 1),
+               step_ms=round(best * 1e3, 2),
+               reads_per_sec=round(BATCH / best, 1), batch=BATCH,
+               mapped_frac=round(mapped_frac, 4))
+    path = os.path.join(repo, "HUMAN3G.json")
+    j = json.load(open(path))
+    j["step"] = res
+    json.dump(j, open(path, "w"), indent=1)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
