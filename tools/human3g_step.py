@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 READ_LEN = 91
-BATCH = 8192
+BATCH = int(os.environ.get("CRTPU_H3G_BATCH", 8192))
 N_GENES = 21_000
 EXONS_PER_GENE = 12
 
