@@ -35,17 +35,20 @@ def _pow2(n: int, minimum: int = 1024) -> int:
 
 # dedup output packing: one [N, 12] int32 plane = ONE device->host fetch
 # per partition instead of 12 (each fetch is a round trip on tunneled
-# backends; measured ~45s of a 5M-read run's dedup phase)
+# backends; measured ~45s of a 5M-read run's dedup phase).  Runs without
+# BAM/feature consumers fetch only the 5 molecule columns (raw-triple
+# views unused): the 48MB-per-million-rows readback drops ~58%.
 DD_FIELDS = ("mol_bc", "mol_gene", "mol_umi", "mol_reads", "mol_valid",
              "raw_bc", "raw_gene", "raw_umi", "raw_corr_umi", "raw_low",
              "raw_is_repr", "raw_reads")
+DD_FIELDS_MOL = DD_FIELDS[:5]
 DD_U32 = frozenset(("mol_bc", "mol_gene", "mol_umi", "raw_bc", "raw_gene",
                     "raw_umi", "raw_corr_umi"))
 
 
-def _pack_dd(dd: dict):
+def _pack_dd(dd: dict, fields):
     cols = []
-    for k in DD_FIELDS:
+    for k in fields:
         a = dd[k]
         if a.dtype == jnp.uint32:
             a = jax.lax.bitcast_convert_type(a, jnp.int32)
@@ -54,8 +57,9 @@ def _pack_dd(dd: dict):
 
 
 def _unpack_dd(plane: np.ndarray) -> dict:
+    fields = DD_FIELDS if plane.shape[1] == len(DD_FIELDS) else DD_FIELDS_MOL
     out = {}
-    for j, k in enumerate(DD_FIELDS):
+    for j, k in enumerate(fields):
         col = plane[:, j]
         out[k] = col.view(np.uint32) if k in DD_U32 else col
     return out
@@ -64,12 +68,13 @@ def _unpack_dd(plane: np.ndarray) -> dict:
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("umi_len",),
+@functools.partial(jax.jit, static_argnames=("umi_len", "keep_raw"),
                    donate_argnums=(0, 1, 2, 3))
-def _dedup_packed(bc, gene, umi, valid, umi_len: int):
+def _dedup_packed(bc, gene, umi, valid, umi_len: int,
+                  keep_raw: bool = True):
     dd = dedup_molecules(bc, gene, umi, valid, umi_len)
     dd.pop("n_molecules")
-    return _pack_dd(dd)
+    return _pack_dd(dd, DD_FIELDS if keep_raw else DD_FIELDS_MOL)
 
 
 class Executor:
@@ -103,7 +108,8 @@ class Executor:
                                  n_batch_args=n_batch_args)
 
     def dedup_partitions(self, parts, umi_len: int,
-                         chunk_limit: int = 1 << 21):
+                         chunk_limit: int = 1 << 21,
+                         keep_raw: bool = True):
         """Dedup barcode-disjoint molecule partitions.
 
         parts: iterable of (bc, gene, umi) numpy row arrays; each partition
@@ -140,7 +146,8 @@ class Executor:
                 bc = np.concatenate([p[0] for p in g])
                 gene = np.concatenate([p[1] for p in g])
                 umi = np.concatenate([p[2] for p in g])
-                yield self._dedup_host(bc, gene, umi, umi_len, N)
+                yield self._dedup_host(bc, gene, umi, umi_len, N,
+                                       keep_raw=keep_raw)
             return
         n = self.n_devices
         for i in range(0, len(parts), n):
@@ -169,7 +176,8 @@ class Executor:
             for d in range(real):
                 yield self._compact(_unpack_dd(host[d]))
 
-    def _dedup_host(self, bc, gene, umi, umi_len, N: int | None = None):
+    def _dedup_host(self, bc, gene, umi, umi_len, N: int | None = None,
+                    keep_raw: bool = True):
         N = N or _pow2(max(len(bc), 1))
         pad = N - len(bc)
         plane = _dedup_packed(
@@ -177,18 +185,21 @@ class Executor:
             jnp.asarray(np.pad(np.asarray(gene, np.uint32), (0, pad))),
             jnp.asarray(np.pad(np.asarray(umi, np.uint32), (0, pad))),
             jnp.asarray(np.pad(np.ones(len(bc), bool), (0, pad))),
-            umi_len)
+            umi_len, keep_raw)
         return self._compact(_unpack_dd(np.asarray(plane)))
 
     @staticmethod
     def _compact(dd: dict) -> dict:
         mv = dd["mol_valid"].astype(bool)
-        rr = dd["raw_is_repr"].astype(bool)
-        return dict(
+        out = dict(
             mol_bc=dd["mol_bc"][mv], mol_gene=dd["mol_gene"][mv],
-            mol_umi=dd["mol_umi"][mv], mol_reads=dd["mol_reads"][mv],
-            raw_bc=dd["raw_bc"][rr], raw_gene=dd["raw_gene"][rr],
-            raw_umi=dd["raw_umi"][rr], raw_corr_umi=dd["raw_corr_umi"][rr],
-            raw_low=dd["raw_low"][rr].astype(bool),
-            raw_reads=dd["raw_reads"][rr],
-        )
+            mol_umi=dd["mol_umi"][mv], mol_reads=dd["mol_reads"][mv])
+        if "raw_is_repr" in dd:
+            rr = dd["raw_is_repr"].astype(bool)
+            out.update(
+                raw_bc=dd["raw_bc"][rr], raw_gene=dd["raw_gene"][rr],
+                raw_umi=dd["raw_umi"][rr],
+                raw_corr_umi=dd["raw_corr_umi"][rr],
+                raw_low=dd["raw_low"][rr].astype(bool),
+                raw_reads=dd["raw_reads"][rr])
+        return out

@@ -89,10 +89,10 @@ def make_sharded_part_dedup(mesh: Mesh, umi_len: int, axis: str = "data"):
     from ..ops.dedup import dedup_molecules
 
     def f(bc, gene, umi, valid):
-        from .executor import _pack_dd
+        from .executor import DD_FIELDS, _pack_dd
         dd = dedup_molecules(bc, gene, umi, valid, umi_len)
         dd.pop("n_molecules")
-        return _pack_dd(dd)  # [N, 12] int32: one fetch per device slice
+        return _pack_dd(dd, DD_FIELDS)  # [N, 12] int32: one fetch per device slice
 
     return jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(P(axis),) * 4,
                                  out_specs=P(axis), check_vma=False))

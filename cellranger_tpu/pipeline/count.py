@@ -1366,7 +1366,8 @@ def run_count(cfg: CountConfig, out_dir: str,
         parts_out = []
         raw_parts = []
         keep_raw = bam_collector is not None or fb_ref is not None
-        for dd in executor.dedup_partitions(parts, chem.umi_length):
+        for dd in executor.dedup_partitions(parts, chem.umi_length,
+                                            keep_raw=keep_raw):
             parts_out.append((dd["mol_bc"], dd["mol_gene"], dd["mol_umi"],
                               dd["mol_reads"]))
             if keep_raw:
