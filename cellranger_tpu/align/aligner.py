@@ -415,9 +415,15 @@ def make_aligner(idx: DeviceIndex, read_len: int,
             net = (2 * jnp.sum(m5, -1, dtype=jnp.int32)
                    - jnp.sum(act5, -1, dtype=jnp.int32))
             best_off = jnp.argmax(net, axis=2).astype(jnp.int32)  # [B, D]
-            gidx = best_off[:, :, None] + jnp.arange(L, dtype=jnp.int32)
-            win = jnp.take_along_axis(win, gidx, axis=2)
-            wok = jnp.take_along_axis(wok, gidx, axis=2)
+            # N_OFF-way select of static slices, NOT take_along_axis: a
+            # dynamic gather along the minormost (lane) dim of [B, D, L]
+            # lowers catastrophically on TPU (measured 270ms of the 307ms
+            # extension stage at GRCh38 scale, tools/human3g_ablate2.py)
+            bo = jnp.broadcast_to(best_off[:, :, None], (B, D, L))
+            win = jax.lax.select_n(bo, *[win[..., o:o + L]
+                                         for o in range(N_OFF)])
+            wok = jax.lax.select_n(bo, *[wok[..., o:o + L]
+                                         for o in range(N_OFF)])
             cand_pos = cand_pos + best_off.astype(cand_pos.dtype)
         m = (win == codes_d) & wok & mask_d
         active = mask_d & wok

@@ -63,12 +63,51 @@ def _seg_ids(new_seg):
     return jnp.cumsum(new_seg.astype(jnp.int32)) - 1
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def exact_merge(rows, n):
+    """Merge identical (bc, gene, umi) triples of a device-resident
+    molecule buffer, summing read counts — the incremental pre-merge of
+    the accumulate-mode dedup (the UMI-correction rules operate on
+    distinct triples + counts, so exact merging is always safe).
+
+    rows: uint32 [C, 4] (bc, gene, umi, reads); only rows [0, n) are
+    live.  Returns (rows', n') with the merged triples sorted by
+    (bc, gene, umi) and compacted to the front; the tail is sentinel.
+    """
+    C = rows.shape[0]
+    live = jnp.arange(C, dtype=jnp.int32) < n
+    sent = U32_MAX
+    bc = jnp.where(live, rows[:, 0], sent)
+    gene = jnp.where(live, rows[:, 1], sent)
+    umi = jnp.where(live, rows[:, 2], sent)
+    w = jnp.where(live, rows[:, 3], 0)
+    bc_s, gene_s, umi_s, w_s = jax.lax.sort((bc, gene, umi, w), num_keys=3)
+    valid_s = bc_s != sent
+    new_t = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (bc_s[1:] != bc_s[:-1]) | (gene_s[1:] != gene_s[:-1])
+         | (umi_s[1:] != umi_s[:-1])])
+    tid = _seg_ids(new_t)
+    reads = jax.ops.segment_sum(
+        jnp.where(valid_s, w_s, 0).astype(jnp.uint32), tid, num_segments=C)
+    is_repr = new_t & valid_s
+    dst = jnp.where(is_repr, tid, C)      # C = drop
+    out = jnp.full((C, 4), sent, jnp.uint32)
+    vals = jnp.stack([bc_s, gene_s, umi_s, reads[tid]], axis=1)
+    out = out.at[dst].set(vals, mode="drop")
+    n_out = jnp.sum(is_repr.astype(jnp.int32))
+    return out, n_out
+
+
 @functools.partial(jax.jit, static_argnames=("umi_len",))
-def dedup_molecules(bc, gene, umi, valid, umi_len: int):
+def dedup_molecules(bc, gene, umi, valid, umi_len: int, reads=None):
     """Full UMI correction + low-support marking + molecule counting.
 
     Inputs (all [N]): bc uint32 (barcode index or packed seq), gene uint32,
-    umi uint32 (2-bit packed), valid bool (conf-mapped rows only).
+    umi uint32 (2-bit packed), valid bool (conf-mapped rows only), and
+    optionally reads (uint32 weight per row — pre-merged distinct triples
+    from the device-resident accumulator carry their read counts; None
+    means every row is one read).
 
     Returns dict of [N] arrays describing the deduplicated molecule table:
       mol_bc/mol_gene/mol_umi: corrected molecule keys (sorted by
@@ -83,9 +122,11 @@ def dedup_molecules(bc, gene, umi, valid, umi_len: int):
     bc = jnp.where(valid, bc, sent)
     gene = jnp.where(valid, gene, sent)
     umi = jnp.where(valid, umi, sent)
+    w = (jnp.ones(N, jnp.uint32) if reads is None
+         else jnp.asarray(reads, jnp.uint32))
 
     # ---- phase 0: sort triples, count reads per distinct (bc, gene, umi) ----
-    bc_s, gene_s, umi_s = jax.lax.sort((bc, gene, umi), num_keys=3)
+    bc_s, gene_s, umi_s, w_s = jax.lax.sort((bc, gene, umi, w), num_keys=3)
     valid_s = bc_s != sent
     new_triple = jnp.concatenate(
         [jnp.ones(1, bool),
@@ -93,63 +134,81 @@ def dedup_molecules(bc, gene, umi, valid, umi_len: int):
          | (umi_s[1:] != umi_s[:-1])])
     tid = _seg_ids(new_triple)
     reads_per_triple = jax.ops.segment_sum(
-        valid_s.astype(jnp.int32), tid, num_segments=N)
+        jnp.where(valid_s, w_s.astype(jnp.int32), 0), tid, num_segments=N)
     cnt = reads_per_triple[tid]              # [N] count of own triple
     is_repr = new_triple & valid_s
 
     # ---- phase 1: UMI correction per distinct triple ----
-    # mutants: umi ^ (d << shift), d in 1..3 — same trick as barcodes.
-    # JOIN BY SORT, not by binary search: probing 3*umi_len mutants per
-    # row with a log(N) binary search was ~20 gather rounds of [M, N]
-    # random HBM reads (the 29s dedup wall of a 1M-read e2e run).  One
-    # sort of originals+mutants, a cummax fill-forward join, and a
-    # segment-max reduction are sequential-access passes instead; the
-    # only remaining random reads are one [K] gather of matched counts
-    # and the per-owner scatter-reduce.
-    pos = jnp.arange(umi_len, dtype=jnp.uint32)
-    shifts = (2 * (umi_len - 1 - pos)).astype(jnp.uint32)
-    d = jnp.arange(1, 4, dtype=jnp.uint32)
-    xor = (d[None, :] << shifts[:, None]).reshape(-1)        # [3*umi_len]
-    mut = umi_s[None, :] ^ xor[:, None]                      # [M, N]
-    M = mut.shape[0]
-    K = (M + 1) * N
-    c_bc = jnp.concatenate([bc_s, jnp.tile(bc_s, M)])
-    c_gene = jnp.concatenate([gene_s, jnp.tile(gene_s, M)])
-    c_umi = jnp.concatenate([umi_s, mut.reshape(-1)])
-    # tag 0 = original (sorts before its mutants within an equal key)
-    c_tag = jnp.concatenate([jnp.zeros(N, jnp.uint32),
-                             jnp.ones(M * N, jnp.uint32)])
-    c_cnt = jnp.concatenate([reads_per_triple[tid].astype(jnp.uint32),
-                             jnp.zeros(M * N, jnp.uint32)])
-    c_pay = jnp.concatenate([jnp.zeros(N, jnp.uint32),
-                             jnp.arange(M * N, dtype=jnp.uint32)])
-    sb, sg, su, st, sc, spay = jax.lax.sort(
-        (c_bc, c_gene, c_umi, c_tag, c_cnt, c_pay), num_keys=4)
-    ar = jnp.arange(K, dtype=jnp.int32)
-    new_key = jnp.concatenate(
+    # WILDCARD sort-join (r5): instead of materializing all 3*umi_len
+    # point mutants per row (a (3L+1)*N-row 6-column sort — the 228s
+    # dedup wall of the r4 20M-read run), emit umi_len position-masked
+    # keys per row.  Two triples are 1-Hamming neighbors iff they share
+    # a masked key: within each sorted (bc-gene-segment, pos, masked-umi)
+    # run all members are mutual neighbors, so the reference's move rule
+    # (mark_dups.rs:42-49 — lex-max (count, umi) neighbor that beats
+    # self) is a segmented prefix/suffix lex-max EXCLUDING self.  umi_len
+    # * N rows with 5 u32 columns, ~5x less sort traffic, no tag/
+    # fill-forward machinery.
+    new_bg = jnp.concatenate(
         [jnp.ones(1, bool),
-         (sb[1:] != sb[:-1]) | (sg[1:] != sg[:-1]) | (su[1:] != su[:-1])])
-    run_start = jax.lax.cummax(jnp.where(new_key, ar, 0))
-    pos_fill = jax.lax.cummax(jnp.where(st == 0, ar, -1))
-    # an original with the SAME key precedes iff the nearest preceding
-    # original is inside this row's key run
-    matched = (pos_fill >= run_start) & (st == 1)
-    mcnt_s = jnp.where(matched,
-                       sc[jnp.maximum(pos_fill, 0)].astype(jnp.int32), 0)
-    # move rule over {original} + found mutants: lexicographic max of
-    # (count, umi) — strictly greater count, or equal count and
-    # lex-larger UMI (mark_dups.rs:42-49)
-    owner = (spay % jnp.uint32(N)).astype(jnp.int32)
-    pk_hi = jnp.where(st == 1, mcnt_s, -1)                    # count major
-    pk_lo = jnp.where(st == 1, su, jnp.uint32(0))             # umi minor
-    best_hi = jax.ops.segment_max(pk_hi, owner, num_segments=N)
-    # umi tie-break among mutants at the max count: second reduction
-    at_max = (st == 1) & (pk_hi == best_hi[owner]) & matched
-    best_lo = jax.ops.segment_max(
-        jnp.where(at_max, pk_lo, jnp.uint32(0)), owner, num_segments=N)
-    ocnt = reads_per_triple[tid].astype(jnp.int32)
-    take_mut = (best_hi > ocnt) | ((best_hi == ocnt) & (best_lo > umi_s))
-    best_umi = jnp.where(take_mut, best_lo, umi_s)
+         (bc_s[1:] != bc_s[:-1]) | (gene_s[1:] != gene_s[:-1])])
+    sid = _seg_ids(new_bg).astype(jnp.uint32)  # (bc, gene) segment id < N
+    posu = jnp.arange(umi_len, dtype=jnp.uint32)
+    shifts = (2 * (umi_len - 1 - posu)).astype(jnp.uint32)
+    maskv = ~(jnp.uint32(3) << shifts)                       # [L]
+    L = umi_len
+    # hi key: (sid, pos); lo key: masked umi.  Invalid rows get an
+    # all-ones hi key (sid of sentinel runs is harmless: their cnt is 0).
+    hi = (sid[None, :] * jnp.uint32(L) + posu[:, None]).reshape(-1)
+    hi = jnp.where(jnp.tile(valid_s, L), hi, U32_MAX)
+    lo = (umi_s[None, :] & maskv[:, None]).reshape(-1)       # [L*N]
+    c_cnt = jnp.tile(cnt.astype(jnp.uint32), L)
+    c_umi = jnp.tile(umi_s, L)
+    c_row = jnp.tile(jnp.arange(N, dtype=jnp.uint32), L)
+    shi, slo, scnt, sumi, srow = jax.lax.sort(
+        (hi, lo, c_cnt, c_umi, c_row), num_keys=2)
+    same_prev = jnp.concatenate(
+        [jnp.zeros(1, bool),
+         (shi[1:] == shi[:-1]) & (slo[1:] == slo[:-1]) & (shi[1:] != U32_MAX)])
+    # segmented prefix/suffix lex-max of (cnt, umi): combine is
+    # associative (segmented max), scanned forward and backward; the
+    # shifted reads exclude self.  cnt==0 acts as "no neighbor".
+    def comb(a, b):
+        ca, ua, oa = a
+        cb, ub, ob = b
+        # ob: segment-open flag of the RIGHT element — when the right
+        # block starts a new segment, the left max does not flow through
+        take_b = ~ob | (cb > ca) | ((cb == ca) & (ub > ua))
+        return (jnp.where(take_b, cb, ca), jnp.where(take_b, ub, ua),
+                oa & ob)
+
+    elems = (jnp.where(shi != U32_MAX, scnt, 0), sumi, same_prev)
+    pf_c, pf_u, _ = jax.lax.associative_scan(comb, elems)
+    same_next = jnp.concatenate([same_prev[1:], jnp.zeros(1, bool)])
+    elems_r = (jnp.where(shi != U32_MAX, scnt, 0), sumi, same_next)
+    sf_c, sf_u, _ = jax.lax.associative_scan(comb, elems_r, reverse=True)
+    z = jnp.uint32(0)
+    prev_c = jnp.concatenate([z[None], pf_c[:-1]])
+    prev_u = jnp.concatenate([z[None], pf_u[:-1]])
+    prev_c = jnp.where(same_prev, prev_c, 0)
+    prev_u = jnp.where(same_prev, prev_u, 0)
+    next_c = jnp.concatenate([sf_c[1:], z[None]])
+    next_u = jnp.concatenate([sf_u[1:], z[None]])
+    next_c = jnp.where(same_next, next_c, 0)
+    next_u = jnp.where(same_next, next_u, 0)
+    use_n = (next_c > prev_c) | ((next_c == prev_c) & (next_u > prev_u))
+    cand_c = jnp.where(use_n, next_c, prev_c)
+    cand_u = jnp.where(use_n, next_u, prev_u)
+    # fold the L per-position candidates back to their origin row:
+    # count major first, then umi among candidates at that count
+    owner = srow.astype(jnp.int32)
+    best_c = jnp.zeros(N, jnp.uint32).at[owner].max(cand_c)
+    at_max = cand_c == best_c[owner]
+    best_u = jnp.zeros(N, jnp.uint32).at[owner].max(
+        jnp.where(at_max, cand_u, z))
+    ocnt = cnt.astype(jnp.uint32)
+    take_mut = (best_c > ocnt) | ((best_c == ocnt) & (best_u > umi_s))
+    best_umi = jnp.where(take_mut, best_u, umi_s)
     corr_umi = jnp.where(valid_s, best_umi, sent)             # per-row (via triple)
     is_corrected = corr_umi != umi_s
 

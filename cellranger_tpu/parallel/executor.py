@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import make_sharded_step, make_sharded_part_dedup
-from ..ops.dedup import dedup_molecules
+from ..ops.dedup import dedup_molecules, exact_merge
 
 
 def _pow2(n: int, minimum: int = 1024) -> int:
@@ -71,10 +71,120 @@ import functools
 @functools.partial(jax.jit, static_argnames=("umi_len", "keep_raw"),
                    donate_argnums=(0, 1, 2, 3))
 def _dedup_packed(bc, gene, umi, valid, umi_len: int,
-                  keep_raw: bool = True):
-    dd = dedup_molecules(bc, gene, umi, valid, umi_len)
+                  keep_raw: bool = True, reads=None):
+    dd = dedup_molecules(bc, gene, umi, valid, umi_len, reads=reads)
     dd.pop("n_molecules")
     return _pack_dd(dd, DD_FIELDS if keep_raw else DD_FIELDS_MOL)
+
+
+# ---- device-resident molecule accumulator (count-only runs) ----
+# The accumulate-mode step already keeps its conf-mapped rows on device;
+# these two functions keep them there through dedup: absorb folds each
+# drained [mol_cap, 3] append buffer into a persistent [C, 4] state with
+# exact (bc, gene, umi) merging (safe pre-aggregation — UMI correction
+# operates on distinct triples + counts), and the final dedup runs on the
+# state in place.  The only host traffic of the whole dedup phase is the
+# final valid-molecule fetch (the reference's mark_dups runs inside the
+# alignment pass for the same reason: align_and_count.rs:292-333).
+
+@functools.partial(jax.jit, donate_argnums=(0, 2))
+def _absorb_merge(state_rows, state_n, mol, mol_n):
+    """Append a drained [B, 3] molecule buffer (live rows [0, mol_n)) to
+    the [C, 4] merged state (live [0, state_n)) and re-merge.  The caller
+    guarantees state_n + B <= C."""
+    B = mol.shape[0]
+    live = jnp.arange(B, dtype=jnp.int32) < mol_n
+    sent = jnp.uint32(0xFFFFFFFF)
+    new_rows = jnp.concatenate(
+        [jnp.where(live[:, None], mol, sent),
+         jnp.where(live, 1, 0).astype(jnp.uint32)[:, None]], axis=1)
+    rows = jax.lax.dynamic_update_slice(state_rows, new_rows,
+                                        (state_n, jnp.int32(0)))
+    return exact_merge(rows, state_n + mol_n)
+
+
+@functools.partial(jax.jit, static_argnames=("umi_len",),
+                   donate_argnums=(0,))
+def _dedup_state(rows, n, umi_len: int):
+    """Final dedup of the merged state: UMI correction + low-support over
+    the distinct triples (reads-weighted), valid molecules compacted to
+    the front.  Returns ([C, 4] int32 plane (bc, gene, umi, reads),
+    n_valid) — the host fetches plane[:next_pow2(n_valid)]."""
+    C = rows.shape[0]
+    live = jnp.arange(C, dtype=jnp.int32) < n
+    dd = dedup_molecules(rows[:, 0], rows[:, 1], rows[:, 2], live,
+                         umi_len, reads=rows[:, 3])
+    inval = (~dd["mol_valid"]).astype(jnp.uint32)
+    _, mb, mg, mu, mr = jax.lax.sort(
+        (inval, dd["mol_bc"], dd["mol_gene"], dd["mol_umi"],
+         dd["mol_reads"].astype(jnp.uint32)), num_keys=1)
+    plane = jax.lax.bitcast_convert_type(
+        jnp.stack([mb, mg, mu, mr], axis=1), jnp.int32)
+    return plane, jnp.sum(dd["mol_valid"].astype(jnp.int32))
+
+
+class MoleculeState:
+    """Host handle on the device-resident merged molecule table.
+
+    Capacity adapts geometrically (pow2 growth up to max_capacity, then
+    host flush) so tiny runs sort tiny buffers — every distinct shape is
+    one compile, and a run touches at most log2(max/min) of them."""
+
+    def __init__(self, max_capacity: int, umi_len: int,
+                 min_capacity: int = 1024):
+        self.max_cap = max_capacity
+        self.umi_len = umi_len
+        self.cap = min_capacity
+        self.rows = jnp.full((self.cap, 4), jnp.uint32(0xFFFFFFFF))
+        self._n_dev = jnp.int32(0)
+        self.n = 0          # host mirror (fetched after each absorb)
+        self.flushed: list = []  # host [k, 4] overflow arrays
+
+    def _grow(self, need: int) -> None:
+        cap = _pow2(need, minimum=self.cap)
+        if cap == self.cap:
+            return
+        self.rows = jnp.concatenate(
+            [self.rows,
+             jnp.full((cap - self.cap, 4), jnp.uint32(0xFFFFFFFF))], axis=0)
+        self.cap = cap
+
+    def absorb(self, mol, mol_n, upper: int) -> None:
+        """Fold a drained device [B, 3] buffer into the state (donating
+        the state); `upper` is the host-known bound on mol_n.  Fetches
+        only the new row-count scalar."""
+        P = _pow2(max(min(upper, int(mol.shape[0])), 1), minimum=1024)
+        if self.n + P > self.max_cap:
+            self.flush_to_host()
+        self._grow(self.n + P)
+        self.rows, self._n_dev = _absorb_merge(
+            self.rows, self._n_dev, mol[:P], mol_n)
+        self.n = int(self._n_dev)
+
+    def flush_to_host(self) -> None:
+        """Overflow path (runs whose distinct triples exceed capacity):
+        fetch the merged rows and reset.  The final dedup then runs over
+        host partitions (reads-weighted)."""
+        self.flushed.append(np.asarray(self.rows)[:self.n])
+        self.rows = jnp.full((self.cap, 4), jnp.uint32(0xFFFFFFFF))
+        self._n_dev = jnp.int32(0)
+        self.n = 0
+
+    def finalize(self):
+        """-> (bc, gene, umi, reads) uint32 host arrays of valid
+        molecules, deduped fully on device when nothing overflowed."""
+        if not self.flushed:
+            plane, n_valid = _dedup_state(self.rows, self._n_dev,
+                                          self.umi_len)
+            self.rows = None
+            nv = int(n_valid)
+            out = np.asarray(plane[:_pow2(max(nv, 1))])[:nv]
+            u = out.view(np.uint32)
+            return u[:, 0], u[:, 1], u[:, 2], out[:, 3].astype(np.uint32)
+        self.flush_to_host()
+        allr = np.concatenate(self.flushed, axis=0)
+        self.flushed = []
+        return allr[:, 0], allr[:, 1], allr[:, 2], allr[:, 3]
 
 
 class Executor:
@@ -146,8 +256,10 @@ class Executor:
                 bc = np.concatenate([p[0] for p in g])
                 gene = np.concatenate([p[1] for p in g])
                 umi = np.concatenate([p[2] for p in g])
+                reads = (np.concatenate([p[3] for p in g])
+                         if len(g[0]) >= 4 else None)
                 yield self._dedup_host(bc, gene, umi, umi_len, N,
-                                       keep_raw=keep_raw)
+                                       keep_raw=keep_raw, reads=reads)
             return
         n = self.n_devices
         for i in range(0, len(parts), n):
@@ -177,7 +289,7 @@ class Executor:
                 yield self._compact(_unpack_dd(host[d]))
 
     def _dedup_host(self, bc, gene, umi, umi_len, N: int | None = None,
-                    keep_raw: bool = True):
+                    keep_raw: bool = True, reads=None):
         N = N or _pow2(max(len(bc), 1))
         pad = N - len(bc)
         plane = _dedup_packed(
@@ -185,7 +297,9 @@ class Executor:
             jnp.asarray(np.pad(np.asarray(gene, np.uint32), (0, pad))),
             jnp.asarray(np.pad(np.asarray(umi, np.uint32), (0, pad))),
             jnp.asarray(np.pad(np.ones(len(bc), bool), (0, pad))),
-            umi_len, keep_raw)
+            umi_len, keep_raw,
+            None if reads is None else
+            jnp.asarray(np.pad(np.asarray(reads, np.uint32), (0, pad))))
         return self._compact(_unpack_dd(np.asarray(plane)))
 
     @staticmethod

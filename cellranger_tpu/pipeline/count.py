@@ -1068,6 +1068,19 @@ def run_count(cfg: CountConfig, out_dir: str,
         acc_sj_rows = 0
         sjh_total = None
         sj_capacity_overflow = 0
+        # device-resident dedup (count-only runs): drained molecule rows
+        # absorb into an exact-merged on-device table instead of spilling
+        # to host — dedup overlaps pass 2 and the only host traffic is
+        # the final valid-molecule fetch (mark_dups runs inside
+        # ALIGN_AND_COUNT's pass for the same reason,
+        # align_and_count.rs:292-333).  BAM/feature runs need raw-triple
+        # views and multihost runs exchange through the spill dir, so
+        # both keep the spill path.
+        keep_raw_run = cfg.write_bam or fb_ref is not None
+        mol_state = None
+        if accumulate and not multihost and not keep_raw_run:
+            from ..parallel.executor import MoleculeState
+            mol_state = MoleculeState(1 << 23, chem.umi_length)
 
         def drain_acc():
             """Fetch + reset the device accumulators: spill molecule rows,
@@ -1075,10 +1088,16 @@ def run_count(cfg: CountConfig, out_dir: str,
             once at the end of the pass."""
             nonlocal acc, acc_rows, acc_sj_rows, sjh_total, \
                 sj_capacity_overflow
-            a = jax.tree.map(np.asarray, acc)
-            nmol = int(a["mol_n"])
-            rows = a["mol"][:nmol]
-            spill.append(rows[:, 0], rows[:, 1], rows[:, 2])
+            if mol_state is not None:
+                mol_state.absorb(acc["mol"], acc["mol_n"], acc_rows)
+                a = {k: np.asarray(v) for k, v in acc.items()
+                     if k not in ("mol", "mol_n")}
+                a["mol_n"] = 0
+            else:
+                a = jax.tree.map(np.asarray, acc)
+                nmol = int(a["mol_n"])
+                rows = a["mol"][:nmol]
+                spill.append(rows[:, 0], rows[:, 1], rows[:, 2])
             nsj = int(a["sj_n"])
             if nsj:
                 u, c = np.unique(a["sj"][:nsj], axis=0, return_counts=True)
@@ -1348,34 +1367,50 @@ def run_count(cfg: CountConfig, out_dir: str,
         # each spill partition holds complete barcodes; oversized
         # partitions sub-split by a second barcode hash, so the device sort
         # working set stays <= DEDUP_CHUNK_LIMIT rows regardless of run size
-        parts = []
-        for p in range(n_parts):
-            if multihost:
-                b, g, u = MoleculeSpill.load_union(
-                    os.path.join(out_dir, "_spill"), n_parts, p)
-            else:
-                b, g, u = spill.load_part(p)
-            k = max(1, -(-len(b) // DEDUP_CHUNK_LIMIT))
-            if k == 1:
-                parts.append((b, g, u))
-            else:
-                sub = (b // np.uint32(n_parts)) % np.uint32(k)
+        keep_raw = bam_collector is not None or fb_ref is not None
+        if mol_state is not None and not mol_state.flushed:
+            # device-resident path: everything already merged on device;
+            # one dedup call + one valid-molecule fetch
+            mbc, mgene, mumi, mreads = mol_state.finalize()
+            parts_out, raw_parts = [], []
+        else:
+            parts = []
+            if mol_state is not None:
+                # overflow path: the merged state flushed to host; dedup
+                # its reads-weighted rows over bc-hash partitions
+                fb_, fg_, fu_, fr_ = mol_state.finalize()
+                k = max(1, -(-len(fb_) // DEDUP_CHUNK_LIMIT))
+                sub = (fb_ * np.uint32(0x9E3779B9)) % np.uint32(k)
                 for j in range(k):
                     msk = sub == j
-                    parts.append((b[msk], g[msk], u[msk]))
-        parts_out = []
-        raw_parts = []
-        keep_raw = bam_collector is not None or fb_ref is not None
-        for dd in executor.dedup_partitions(parts, chem.umi_length,
-                                            keep_raw=keep_raw):
-            parts_out.append((dd["mol_bc"], dd["mol_gene"], dd["mol_umi"],
-                              dd["mol_reads"]))
-            if keep_raw:
-                raw_parts.append(dd)
-        mbc = np.concatenate([x[0] for x in parts_out])
-        mgene = np.concatenate([x[1] for x in parts_out])
-        mumi = np.concatenate([x[2] for x in parts_out])
-        mreads = np.concatenate([x[3] for x in parts_out])
+                    parts.append((fb_[msk], fg_[msk], fu_[msk], fr_[msk]))
+            for p in range(n_parts):
+                if multihost:
+                    b, g, u = MoleculeSpill.load_union(
+                        os.path.join(out_dir, "_spill"), n_parts, p)
+                else:
+                    b, g, u = spill.load_part(p)
+                k = max(1, -(-len(b) // DEDUP_CHUNK_LIMIT))
+                if k == 1:
+                    if len(b):
+                        parts.append((b, g, u))
+                else:
+                    sub = (b // np.uint32(n_parts)) % np.uint32(k)
+                    for j in range(k):
+                        msk = sub == j
+                        parts.append((b[msk], g[msk], u[msk]))
+            parts_out = []
+            raw_parts = []
+            for dd in executor.dedup_partitions(parts, chem.umi_length,
+                                                keep_raw=keep_raw):
+                parts_out.append((dd["mol_bc"], dd["mol_gene"],
+                                  dd["mol_umi"], dd["mol_reads"]))
+                if keep_raw:
+                    raw_parts.append(dd)
+            mbc = np.concatenate([x[0] for x in parts_out])
+            mgene = np.concatenate([x[1] for x in parts_out])
+            mumi = np.concatenate([x[2] for x in parts_out])
+            mreads = np.concatenate([x[3] for x in parts_out])
         # strip the library tag out of the gene column (set at spill time
         # so dedup ran per-library, like the reference's per-library chunks)
         mlib = (mgene >> np.uint32(LIB_SHIFT)).astype(np.uint16)

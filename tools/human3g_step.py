@@ -90,6 +90,39 @@ def main():
             out = step(buf)
         jax.block_until_ready(out["i32"])
         best = min(best, (time.time() - t0) / 3)
+
+    res_ov = None
+    if os.environ.get("CRTPU_H3G_OV"):
+        # variant: overlapped text rows (ONE gather per candidate window
+        # instead of two) — +2.8GB HBM at GRCh38 scale
+        import dataclasses
+        import jax.numpy as jnp
+        t0 = time.time()
+        ov = gi.packed_overlap_rows()
+        t_build = time.time() - t0
+        t0 = time.time()
+        didx2 = dataclasses.replace(didx, text_rows_ov=jnp.asarray(ov))
+        jax.block_until_ready(didx2.text_rows_ov)
+        t_up2 = time.time() - t0
+        print(f"ov rows: build {t_build:.0f}s upload {t_up2:.0f}s "
+              f"({ov.nbytes/2**30:.2f} GiB)", file=sys.stderr, flush=True)
+        step2 = _make_step(didx2, ann, chem, READ_LEN)
+        t0 = time.time()
+        out2 = step2(buf)
+        jax.block_until_ready(out2["i32"])
+        t_c2 = time.time() - t0
+        best2 = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(3):
+                out2 = step2(buf)
+            jax.block_until_ready(out2["i32"])
+            best2 = min(best2, (time.time() - t0) / 3)
+        res_ov = dict(step_ms=round(best2 * 1e3, 2),
+                      reads_per_sec=round(BATCH / best2, 1),
+                      compile_s=round(t_c2, 1),
+                      ov_gb=round(ov.nbytes / 2**30, 2))
+        print(f"ov step {best2*1e3:.2f} ms", file=sys.stderr, flush=True)
     ho_i32 = np.asarray(out["flags"])
     mapped_frac = float(ho_i32[:, 1].mean())
     res = dict(npz_load_s=round(t_load, 1),
@@ -98,6 +131,8 @@ def main():
                step_ms=round(best * 1e3, 2),
                reads_per_sec=round(BATCH / best, 1), batch=BATCH,
                mapped_frac=round(mapped_frac, 4))
+    if res_ov is not None:
+        res["overlap_rows"] = res_ov
     path = os.path.join(repo, "HUMAN3G.json")
     j = json.load(open(path))
     j["step"] = res
