@@ -256,8 +256,14 @@ def make_window_fetch(idx: "DeviceIndex", width: int):
 def make_aligner(idx: DeviceIndex, read_len: int,
                  score_min: int = DEFAULT_ALIGN_SCORE_MIN,
                  sw_rescue: bool = True, bind: bool = True,
-                 novel_sj: bool = True):
-    """Build the jitted batch alignment function for a static read length."""
+                 novel_sj: bool = True, shard_axis: str | None = None):
+    """Build the jitted batch alignment function for a static read length.
+
+    shard_axis: when set, the function is being traced inside a shard_map
+    over that mesh axis and idx.kmer_table holds only this chip's bucket-
+    row shard — seed lookups route through the all_to_all query exchange
+    (parallel/index_shard.sharded_kmer_lookup, BASELINE config 4); all
+    other stages stay chip-local."""
     k = idx.k
     L = read_len
     MINI = idx.sampling == "minimizer"
@@ -347,7 +353,12 @@ def make_aligner(idx: DeviceIndex, read_len: int,
             flip = kmr < km
             canon = jnp.where(flip, kmr, km)
             off = seed_offsets[None, :, None]
-        hit, val = idx.kmer_table.lookup(canon)      # [B, S, H]
+        if shard_axis is not None:
+            from ..parallel.index_shard import sharded_kmer_lookup
+            hit, val, _ = sharded_kmer_lookup(idx.kmer_table, canon,
+                                              shard_axis)
+        else:
+            hit, val = idx.kmer_table.lookup(canon)  # [B, S, H]
         hit = hit & kv[:, :, None]
         if PARITY:
             pos_h = val & jnp.uint32(0xFFFFFFFE)     # strand in parity bit

@@ -63,7 +63,12 @@ def make_sharded_step(step_fn, mesh: Mesh, axis: str = "data",
                                out.pop(mkey))
         return out, metrics
 
-    in_spec = (P(None),) * len(bound) + (P(axis),) * n_batch_args
+    # bound args are replicated unless the step declares per-arg spec
+    # pytrees (the sharded-index path: didx.kmer_table.rows rides P(axis),
+    # parallel/index_shard.shard_device_index)
+    bound_specs = getattr(step_fn, "bound_specs", None) \
+        or (P(None),) * len(bound)
+    in_spec = tuple(bound_specs) + (P(axis),) * n_batch_args
     fn = jax.jit(jax.shard_map(
         spmd, mesh=mesh, in_specs=in_spec, out_specs=(P(axis), P()),
         check_vma=False))

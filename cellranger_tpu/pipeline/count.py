@@ -90,6 +90,12 @@ class CountConfig:
     # passes on rerun with unchanged inputs (BAM emission, which needs
     # per-read state, reruns only on a fresh pass)
     checkpoint: bool = True
+    # BASELINE config 4: shard the genome kmer table across the mesh
+    # (each chip owns a bucket-row range; seed queries exchange via
+    # all_to_all — parallel/index_shard.py).  Needs a mesh; results are
+    # identical to the replicated-index run.  Use when the index exceeds
+    # one chip's HBM (multi-species / custom references).
+    shard_index: bool = False
 
 
 @dataclass
@@ -300,7 +306,8 @@ SECOND_CAP_FRAC = 4    # 2nd-locus annotation capacity = batch // 4
 
 def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
                chem: Chemistry, read_len: int, accumulate: bool = False,
-               emit_secondary: bool = False):
+               emit_secondary: bool = False,
+               shard_axis: str | None = None):
     """Fused jit step: align + annotate one packed batch.
 
     emit_secondary (BAM runs): the step also outputs the OTHER distinct
@@ -321,7 +328,8 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
     SW rescue and novel-SJ discovery only low-score suspects — on real
     data all are small fractions, and every candidate probe is a whole HBM
     row fetch (the unit of cost, tools/row_bench.py)."""
-    align_impl = make_aligner(didx, read_len, bind=False)
+    align_impl = make_aligner(didx, read_len, bind=False,
+                              shard_axis=shard_axis)
     annotate_impl = make_annotator(ann_idx, didx.genome_len, didx.sj_overhang,
                                    chem.strandedness, bind=False)
     from ..ops.trim import make_trimmer
@@ -927,11 +935,26 @@ def run_count(cfg: CountConfig, out_dir: str,
         # path streams too (its outputs shard across devices).
         accumulate = (probe_set is None and not cfg.write_bam
                       and executor.mesh is None)
-        step = (None if probe_set is not None
-                else executor.wrap_step(
-                    _cached_step(didx, ann_idx, chem, cfg.read_len,
-                                 accumulate, cfg.write_bam),
-                    n_batch_args=1))
+        if (cfg.shard_index and executor.mesh is not None
+                and probe_set is None):
+            # sharded-index mode: kmer-table rows shard over the mesh,
+            # the aligner's seed lookup rides the all_to_all exchange
+            from jax.sharding import PartitionSpec as _P
+            from ..parallel.index_shard import shard_device_index
+            didx_sh, didx_spec = shard_device_index(
+                didx, executor.mesh, executor.axis)
+            base = _make_step(didx_sh, ann_idx, chem, cfg.read_len,
+                              accumulate=accumulate,
+                              emit_secondary=cfg.write_bam,
+                              shard_axis=executor.axis)
+            base.bound_specs = (didx_spec, _P())
+            step = executor.wrap_step(base, n_batch_args=1)
+        else:
+            step = (None if probe_set is not None
+                    else executor.wrap_step(
+                        _cached_step(didx, ann_idx, chem, cfg.read_len,
+                                     accumulate, cfg.write_bam),
+                        n_batch_args=1))
 
         # this host's share of the FASTQ work (all of it when single-host)
         # (pairs may be (r1, r2) or (r1, r2, i1) — I1 carries the barcode
