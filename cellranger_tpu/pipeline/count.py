@@ -1057,7 +1057,12 @@ def run_count(cfg: CountConfig, out_dir: str,
                           n_corrected=int(corrected.sum()),
                           n_valid_umi=int((batch.umi_valid
                                            & batch.slot_valid).sum()))
-                return li, batch, hi, buf
+                # device_put HERE, on the producer thread: the host->
+                # device transfer of the packed plane overlaps the
+                # previous batch's step instead of serializing with it
+                # (the transfer is most of pass 2's wall on tunneled
+                # backends)
+                return li, batch, hi, executor.put(buf)
             return li, batch, None, None
 
         bq: _queue.Queue = _queue.Queue(maxsize=3)
@@ -1234,7 +1239,7 @@ def run_count(cfg: CountConfig, out_dir: str,
                 if (acc_rows + batch.batch_size > mol_cap
                         or acc_sj_rows + sjb_per_batch > sj_cap):
                     drain_acc()
-                acc = step(executor.put(buf), acc,
+                acc = step(buf, acc,
                            lib_tag=np.uint32(li << LIB_SHIFT))
                 acc_rows += batch.batch_size
                 acc_sj_rows += sjb_per_batch
@@ -1244,7 +1249,7 @@ def run_count(cfg: CountConfig, out_dir: str,
                 metrics.corrected_barcode_reads += hi["n_corrected"]
                 metrics.valid_umi_reads += hi["n_valid_umi"]
             elif lib_type == "Gene Expression":
-                out = step(executor.put(buf))
+                out = step(buf)
                 if pending is not None:
                     process_gex(*pending)
                 pending = (li, batch, hi, out)
@@ -1707,6 +1712,7 @@ def run_count(cfg: CountConfig, out_dir: str,
         "sample_id": cfg.sample_id,
         "chemistry": cfg.chemistry,
     })
+    perf.lap("report_summary")
     # depth-subsampling curves (SUBSAMPLE_READS analog)
     if len(mbc):
         from ..analysis.subsample import subsample_metrics
@@ -1714,6 +1720,7 @@ def run_count(cfg: CountConfig, out_dir: str,
         extra.update({k: v for k, v in ss.items() if k != "curves"})
         extra["subsample_curves"] = {str(r): c
                                      for r, c in ss["curves"].items()}
+    perf.lap("report_subsample")
 
     # mergeable histogram metrics (metric crate SimpleHistogram analog)
     from ..metrics import SimpleHistogram
@@ -1748,6 +1755,7 @@ def run_count(cfg: CountConfig, out_dir: str,
                         f"{reads_per_bc[ci]},{int(umis_per_bc[ci])},"
                         f"{genes_per_bc_all[ci]}\n")
 
+    perf.lap("report_per_barcode")
     # filtered barcodes csv (reference: filtered_barcodes.csv)
     genome_name = ref.genome_name if ref is not None else \
         (probe_set.metadata.get("reference_genome", "probe")
@@ -1759,6 +1767,7 @@ def run_count(cfg: CountConfig, out_dir: str,
     # web summary (MULTI_REPORTER analog)
     from .websummary import build_web_summary
     build_web_summary(out_dir, cfg.sample_id)
+    perf.lap("report_websummary")
 
     # per-phase perf trace (pipestance _perf analog, perf.py)
     perf.lap("reporting")

@@ -43,6 +43,22 @@ def _install_stubs() -> None:
         np.string_ = np.bytes_
     if not hasattr(np, "float_"):
         np.float_ = np.float64
+    if not hasattr(np, "NINF"):
+        np.NINF = -np.inf
+    if not hasattr(np, "PINF"):
+        np.PINF = np.inf
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf
+    if not hasattr(np, "math"):
+        # np.math was the stdlib math module; pre-3.12 math.factorial
+        # accepted integral floats (combinatorics.py:20 passes float64s)
+        import math as _math
+        _m = types.ModuleType("np_math_compat")
+        for _n in dir(_math):
+            if not _n.startswith("_"):
+                setattr(_m, _n, getattr(_math, _n))
+        _m.factorial = lambda x: _math.factorial(int(round(float(x))))
+        np.math = _m
 
     ne = _AnyAttrModule("numexpr")
     ne.__version__ = "2.10.2"
@@ -72,6 +88,34 @@ def _install_stubs() -> None:
     for name in ("cellranger.fast_utils", "cellranger.report",
                  "lz4", "lz4.frame", "martian"):
         sys.modules.setdefault(name, _AnyAttrModule(name))
+
+    # statsmodels: jibes_py uses exactly one WLS fit (jibes_py.py:235);
+    # weighted least squares via the normal equations is the same math
+    if "statsmodels.api" not in sys.modules:
+        class _WLSResult:
+            def __init__(self, params, fittedvalues):
+                self.params = params
+                self.fittedvalues = fittedvalues
+
+        class _WLS:
+            def __init__(self, y, X, weights=1.0):
+                self._y = np.asarray(y, float)
+                self._X = np.asarray(X, float)
+                self._w = np.broadcast_to(
+                    np.asarray(weights, float), self._y.shape)
+
+            def fit(self):
+                sw = np.sqrt(self._w)
+                params, *_ = np.linalg.lstsq(
+                    self._X * sw[:, None], self._y * sw, rcond=None)
+                return _WLSResult(params, self._X @ params)
+
+        smod = types.ModuleType("statsmodels")
+        sapi = types.ModuleType("statsmodels.api")
+        sapi.WLS = _WLS
+        smod.api = sapi
+        sys.modules["statsmodels"] = smod
+        sys.modules["statsmodels.api"] = sapi
     # duck-typed substitute for the PyO3 FilteredBarcodes (fast_utils/src/
     # filtered_barcodes.rs) — just enough for subsample.run_subsampling
     sys.modules["cellranger.fast_utils"].FilteredBarcodes = \
@@ -158,7 +202,22 @@ def load_oracle():
         import cellranger.subsample as subsample
     except Exception:
         return None
+    # runnable analysis layers (best effort — tests skip on None)
+    diffexp = jibes_py = kmeans = None
+    try:
+        import cellranger.analysis.diffexp as diffexp
+    except Exception:
+        pass
+    try:
+        import cellranger.analysis.jibes_py as jibes_py
+    except Exception:
+        pass
+    try:
+        import cellranger.analysis.kmeans as kmeans
+    except Exception:
+        pass
     _cached = types.SimpleNamespace(
         cell_calling=cell_calling, helpers=helpers, sgt=sgt, stats=stats,
-        subsample=subsample, molecule_counter=molecule_counter)
+        subsample=subsample, molecule_counter=molecule_counter,
+        diffexp=diffexp, jibes_py=jibes_py, kmeans=kmeans)
     return _cached
