@@ -10,8 +10,10 @@ kmer spectra. This mirrors the reference's design intent (de Bruijn graph
 per barcode with UMI-supported strong paths) without per-read pointer
 chasing on the accelerator.
 
-k = 16 (packs in uint32; the reference uses k=20 — shorter k trades a
-little repeat resolution for native 32-bit device sorts)."""
+k = 20 like the reference (process.rs:610 hyperbase k=20): 40-bit kmers
+ride the device sorts as TWO u32 key words (hi = leading 4 bases, lo =
+trailing 16), recombined to uint64 on host — full repeat resolution in
+V-gene families with native 32-bit lane sorts."""
 
 from __future__ import annotations
 
@@ -21,57 +23,67 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-K = 16
+K = 20
+K_HI = K - 16          # leading bases in the hi key word
 MIN_KMER_COUNT = 2     # graph cleaning: drop singleton kmers (sequencing errors)
 MIN_CONTIG_LEN = 45
 MASK = np.uint64((1 << (2 * K)) - 1)
+
+
+def _rolling_kmers_2w(rna, nmask):
+    """Rolling K=20-mers as (hi, lo) u32 words + validity [B, L-K+1]."""
+    from ..align.aligner import _rolling_kmers, _window_valid
+    L = rna.shape[1]
+    nk = L - K + 1
+    hi = _rolling_kmers(rna, K_HI)[:, :nk]
+    lo = _rolling_kmers(rna, 16)[:, K_HI:K_HI + nk]
+    return hi, lo, _window_valid(nmask, K)
+
+
+def _join64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    return ((hi.astype(np.uint64) << np.uint64(32))
+            | lo.astype(np.uint64))
 
 
 def count_bc_kmers(bc: np.ndarray, rna: np.ndarray, nmask: np.ndarray,
                    chunk: int = 1 << 20):
     """Device: distinct (barcode, kmer) counts over all reads.
 
-    bc uint32 [N], rna uint8 [N, L]. Returns (bc, kmer, count) host arrays.
+    bc uint32 [N], rna uint8 [N, L]. Returns (bc, kmer uint64, count)
+    host arrays.
     """
-    from ..align.aligner import _rolling_kmers, _window_valid
-
     N, L = rna.shape
     nk = L - K + 1
 
-    @jax.jit
-    def kmers_of(rna, nmask):
-        km = _rolling_kmers(rna, K)
-        kv = _window_valid(nmask, K)
-        return km, kv
-
-    km, kv = kmers_of(jnp.asarray(rna), jnp.asarray(nmask))
-    km = np.asarray(km)
-    kv = np.asarray(kv)
-    bcs = np.repeat(bc, nk)
-    kms = km.reshape(-1)
-    ok = kv.reshape(-1)
-    bcs, kms = bcs[ok], kms[ok]
+    kh, kl, kv = jax.jit(_rolling_kmers_2w)(jnp.asarray(rna),
+                                            jnp.asarray(nmask))
+    ok = np.asarray(kv).reshape(-1)
+    bcs = np.repeat(bc, nk)[ok]
+    kms_h = np.asarray(kh).reshape(-1)[ok]
+    kms_l = np.asarray(kl).reshape(-1)[ok]
 
     @jax.jit
-    def count(b, k):
-        bs, ks = jax.lax.sort((b, k), num_keys=2)
+    def count(b, kh, kl):
+        bs, hs, ls = jax.lax.sort((b, kh, kl), num_keys=3)
         new = jnp.concatenate([jnp.ones(1, bool),
-                               (bs[1:] != bs[:-1]) | (ks[1:] != ks[:-1])])
+                               (bs[1:] != bs[:-1]) | (hs[1:] != hs[:-1])
+                               | (ls[1:] != ls[:-1])])
         sid = jnp.cumsum(new.astype(jnp.int32)) - 1
         cnt = jax.ops.segment_sum(jnp.ones_like(sid), sid,
                                   num_segments=b.shape[0])
-        return bs, ks, jnp.where(new, cnt[sid], 0), new
+        return bs, hs, ls, jnp.where(new, cnt[sid], 0), new
 
     out_b, out_k, out_c = [], [], []
     for s in range(0, len(bcs), chunk):
-        bs, ks, cnt, new = count(jnp.asarray(bcs[s:s + chunk]),
-                                 jnp.asarray(kms[s:s + chunk]))
+        bs, hs, ls, cnt, new = count(jnp.asarray(bcs[s:s + chunk]),
+                                     jnp.asarray(kms_h[s:s + chunk]),
+                                     jnp.asarray(kms_l[s:s + chunk]))
         m = np.asarray(new)
         out_b.append(np.asarray(bs)[m])
-        out_k.append(np.asarray(ks)[m])
+        out_k.append(_join64(np.asarray(hs)[m], np.asarray(ls)[m]))
         out_c.append(np.asarray(cnt)[m])
     b = np.concatenate(out_b) if out_b else np.zeros(0, np.uint32)
-    k = np.concatenate(out_k) if out_k else np.zeros(0, np.uint32)
+    k = np.concatenate(out_k) if out_k else np.zeros(0, np.uint64)
     c = np.concatenate(out_c) if out_c else np.zeros(0, np.int32)
     if len(out_b) > 1:
         # chunk boundaries may split a (bc, kmer) run: merge again on host
@@ -408,46 +420,44 @@ class BarcodeGraph:
 def count_bc_umi_kmers(bc: np.ndarray, umi: np.ndarray, rna: np.ndarray,
                        nmask: np.ndarray, chunk: int = 1 << 20):
     """Device: distinct (barcode, umi, kmer) read counts over all reads —
-    the same sort+segment machinery as count_bc_kmers with the UMI key."""
-    from ..align.aligner import _rolling_kmers, _window_valid
-
+    the same sort+segment machinery as count_bc_kmers with the UMI key
+    (kmer rides as two u32 words, uint64 on host)."""
     N, L = rna.shape
     nk = L - K + 1
 
-    @jax.jit
-    def kmers_of(rna, nmask):
-        return _rolling_kmers(rna, K), _window_valid(nmask, K)
-
-    km, kv = kmers_of(jnp.asarray(rna), jnp.asarray(nmask))
-    km = np.asarray(km).reshape(-1)
+    kh, kl, kv = jax.jit(_rolling_kmers_2w)(jnp.asarray(rna),
+                                            jnp.asarray(nmask))
     ok = np.asarray(kv).reshape(-1)
     bcs = np.repeat(bc, nk)[ok]
     ums = np.repeat(umi, nk)[ok]
-    kms = km[ok]
+    kms_h = np.asarray(kh).reshape(-1)[ok]
+    kms_l = np.asarray(kl).reshape(-1)[ok]
 
     @jax.jit
-    def count(b, u, k):
-        bs, us, ks = jax.lax.sort((b, u, k), num_keys=3)
+    def count(b, u, kh, kl):
+        bs, us, hs, ls = jax.lax.sort((b, u, kh, kl), num_keys=4)
         new = jnp.concatenate([jnp.ones(1, bool),
                                (bs[1:] != bs[:-1]) | (us[1:] != us[:-1])
-                               | (ks[1:] != ks[:-1])])
+                               | (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])])
         sid = jnp.cumsum(new.astype(jnp.int32)) - 1
         cnt = jax.ops.segment_sum(jnp.ones_like(sid), sid,
                                   num_segments=b.shape[0])
-        return bs, us, ks, jnp.where(new, cnt[sid], 0), new
+        return bs, us, hs, ls, jnp.where(new, cnt[sid], 0), new
 
     out = [[], [], [], []]
     for s in range(0, len(bcs), chunk):
-        bs, us, ks, cnt, new = count(jnp.asarray(bcs[s:s + chunk]),
-                                     jnp.asarray(ums[s:s + chunk]),
-                                     jnp.asarray(kms[s:s + chunk]))
+        bs, us, hs, ls, cnt, new = count(jnp.asarray(bcs[s:s + chunk]),
+                                         jnp.asarray(ums[s:s + chunk]),
+                                         jnp.asarray(kms_h[s:s + chunk]),
+                                         jnp.asarray(kms_l[s:s + chunk]))
         m = np.asarray(new)
         out[0].append(np.asarray(bs)[m])
         out[1].append(np.asarray(us)[m])
-        out[2].append(np.asarray(ks)[m])
+        out[2].append(_join64(np.asarray(hs)[m], np.asarray(ls)[m]))
         out[3].append(np.asarray(cnt)[m])
     if not out[0]:
-        return tuple(np.zeros(0, np.uint32) for _ in range(4))
+        return (np.zeros(0, np.uint32), np.zeros(0, np.uint32),
+                np.zeros(0, np.uint64), np.zeros(0, np.int32))
     b = np.concatenate(out[0]); u = np.concatenate(out[1])
     k = np.concatenate(out[2]); c = np.concatenate(out[3])
     order = np.lexsort((k, u, b))

@@ -414,3 +414,44 @@ def test_graded_join_conflicting_v_variants_split():
     cells2 = {"x1": [ann(mutA)], "x2": [ann(mutA2)]}
     cl2 = group_clonotypes(cells2)
     assert len(cl2) == 1 and cl2[0]["frequency"] == 2
+
+
+def test_k20_resolves_18bp_repeat():
+    """k=20 parity with the reference (process.rs:610): two transcripts
+    sharing an 18-base repeat must assemble into two separate contigs —
+    at k<=18 the shared segment collapses the de Bruijn walk into one
+    branch point and one of the flanks is lost."""
+    from cellranger_tpu.vdj.assembly import (K, assemble_barcode,
+                                             count_bc_kmers)
+    assert K == 20
+    rng = np.random.default_rng(123)
+    bases = "ACGT"
+    repeat = "".join(rng.choice(list(bases), 18))
+    left_a = "".join(rng.choice(list(bases), 60))
+    left_b = "".join(rng.choice(list(bases), 60))
+    right_a = "".join(rng.choice(list(bases), 60))
+    right_b = "".join(rng.choice(list(bases), 60))
+    tx_a = left_a + repeat + right_a
+    tx_b = left_b + repeat + right_b
+
+    reads = []
+    rl = 80
+    for tx in (tx_a, tx_b):
+        for start in range(0, len(tx) - rl + 1, 7):
+            reads.append(tx[start:start + rl])
+        reads.append(tx[len(tx) - rl:])
+    reads *= 3  # MIN_KMER_COUNT support
+    enc = {c: i for i, c in enumerate(bases)}
+    rna = np.array([[enc[c] for c in r] for r in reads], np.uint8)
+    nmask = np.ones(rna.shape, bool)
+    bc = np.zeros(len(reads), np.uint32)
+
+    b, k, c = count_bc_kmers(bc, rna, nmask)
+    contigs = assemble_barcode(dict(zip(k.tolist(), c.tolist())))
+    seqs = sorted(c.seq for c in contigs if len(c.seq) >= 100)
+    # both full transcripts (or their reverse walks) must be recovered
+    found_a = any(tx_a in s or s in tx_a for s in seqs)
+    found_b = any(tx_b in s or s in tx_b for s in seqs)
+    assert found_a and found_b, (
+        f"repeat not resolved: {[len(s) for s in seqs]} vs "
+        f"{len(tx_a)}/{len(tx_b)}")
