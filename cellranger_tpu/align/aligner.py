@@ -329,7 +329,11 @@ def make_aligner(idx: DeviceIndex, read_len: int,
         kvalid = _window_valid(nmask, k)
         if MINI:
             # winnowed seed picking: identical window-min rule to the
-            # genome build, compacted to S data-dependent offsets
+            # genome build, compacted to the earliest S picks via a
+            # ONE-HOT MATMUL on the MXU — top_k + take_along_axis on the
+            # minormost dim cost 7.3ms/32k-read step vs 0.6ms for the
+            # einsum (tools/seedpick_bench.py); values split into 16-bit
+            # halves stay exact under HIGHEST-precision f32 accumulation
             n = kms.shape[1]
             kmr_all = revcomp_packed(kms, k)
             flip_all = kmr_all < kms
@@ -337,14 +341,19 @@ def make_aligner(idx: DeviceIndex, read_len: int,
             mh = canon_all * jnp.uint32(MINIMIZER_HASH)
             mh = jnp.where(kvalid, mh, BIGK)
             picked = _minimizer_picks(mh, idx.minimizer_w) & kvalid
-            sc = jnp.where(picked,
-                           n - jnp.arange(n, dtype=jnp.int32)[None, :], 0)
-            top_s, _ = jax.lax.top_k(sc, S)          # earliest S picks
-            kv = top_s > 0
-            off_s = jnp.where(kv, n - top_s, 0)      # [B, S] seed offsets
-            take_s = lambda a: jnp.take_along_axis(a, off_s, axis=1)
-            canon = take_s(canon_all)
-            flip = take_s(flip_all)
+            rank = jnp.cumsum(picked.astype(jnp.int32), axis=1) - 1
+            T = (picked[:, :, None]
+                 & (rank[:, :, None] == jnp.arange(S)[None, None, :])
+                 ).astype(jnp.float32)               # [B, n, S] one-hot
+            hp = jax.lax.Precision.HIGHEST
+            sel = lambda x: jnp.einsum("bi,bis->bs", x, T, precision=hp)
+            c_hi = sel((canon_all >> 16).astype(jnp.float32))
+            c_lo = sel((canon_all & jnp.uint32(0xFFFF)).astype(jnp.float32))
+            canon = (c_hi.astype(jnp.uint32) << 16) | c_lo.astype(jnp.uint32)
+            flip = sel(flip_all.astype(jnp.float32)) > 0.5
+            kv = jnp.sum(T, axis=1) > 0
+            off_s = sel(jnp.arange(n, dtype=jnp.float32)[None, :]
+                        ).astype(jnp.int32)          # [B, S] seed offsets
             off = off_s[:, :, None]
         else:
             km = kms[:, seed_offsets]                # [B, S]
