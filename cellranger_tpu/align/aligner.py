@@ -99,6 +99,40 @@ class DeviceIndex:
     minimizer_w: int = field(metadata=dict(static=True), default=0)
 
     @staticmethod
+    def _kmer_table_cached(gi: GenomeIndex) -> BucketTable:
+        """Build (or sidecar-load) the kmer bucket table.  The placement
+        argsorts every entry (~13min host time for GRCh38's 492M kmers),
+        so indices loaded from disk cache the PLACED rows next to the
+        npz, keyed on the entry count."""
+        import os
+        sp = getattr(gi, "source_path", None)
+        side = f"{sp}.btrows.E{MAX_HITS_PER_SEED}.npz" if sp else None
+        if side and os.path.exists(side):
+            try:
+                z = np.load(side, allow_pickle=False)
+                if int(z["n_entries"]) == len(gi.kmer_keys):
+                    return BucketTable(rows=jnp.asarray(z["rows"]),
+                                       bits=int(z["bits"]),
+                                       entries=MAX_HITS_PER_SEED, fields=2,
+                                       probe_rows=1)
+            except Exception:
+                pass  # stale/corrupt sidecar: rebuild below
+        rows, bits = BucketTable.build_rows(gi.kmer_keys, gi.kmer_pos,
+                                            entries=MAX_HITS_PER_SEED,
+                                            fields=2)
+        if side:
+            try:
+                tmp = side + ".tmp.npz"
+                np.savez(tmp, rows=rows, bits=bits,
+                         n_entries=len(gi.kmer_keys))
+                os.replace(tmp, side)
+            except Exception:
+                pass  # cache write is best-effort
+        return BucketTable(rows=jnp.asarray(rows), bits=bits,
+                           entries=MAX_HITS_PER_SEED, fields=2,
+                           probe_rows=1)
+
+    @staticmethod
     def from_host(gi: GenomeIndex) -> "DeviceIndex":
         assert len(gi.text) < 2**32, "u32 position space: text must be <4Gb"
         sj = np.stack([gi.sj_donor_end.astype(np.uint32),
@@ -108,8 +142,7 @@ class DeviceIndex:
               if len(gi.text) <= OVERLAP_ROWS_MAX_TEXT else None)
         return DeviceIndex(
             text_rows=jnp.asarray(gi.packed_rows()),
-            kmer_table=BucketTable.build(gi.kmer_keys, gi.kmer_pos,
-                                         entries=MAX_HITS_PER_SEED, fields=2),
+            kmer_table=DeviceIndex._kmer_table_cached(gi),
             chrom_starts=jnp.asarray(gi.chrom_starts.astype(np.int64)),
             sj_rows=jnp.asarray(sj),
             text_rows_ov=ov,

@@ -107,11 +107,12 @@ class BucketTable:
         return rows, n_dropped
 
     @staticmethod
-    def build(keys: np.ndarray, vals: np.ndarray, entries: int = 8,
-              fields: int = 2, load: float = 0.5, probe_rows: int = 1,
-              min_bits: int = 8) -> "BucketTable":
-        """Best-effort build: bucket overflow beyond capacity is dropped
-        (degrades like the seed hit cap)."""
+    def build_rows(keys: np.ndarray, vals: np.ndarray, entries: int = 8,
+                   fields: int = 2, load: float = 0.5, probe_rows: int = 1,
+                   min_bits: int = 8):
+        """Host placement only: -> (rows numpy, bits).  Lets callers
+        sidecar-cache the placed rows (the placement argsorts every
+        entry — minutes of host time at GRCh38 scale)."""
         keys = np.asarray(keys, np.uint32)
         vals = np.asarray(vals, np.uint32)
         keep = keys != EMPTY
@@ -120,6 +121,16 @@ class BucketTable:
         bits = max(min_bits, int(np.ceil(np.log2(n / (entries * load)))))
         rows, _ = BucketTable._place(keys, vals, bits, entries, fields,
                                      probe_rows)
+        return rows, bits
+
+    @staticmethod
+    def build(keys: np.ndarray, vals: np.ndarray, entries: int = 8,
+              fields: int = 2, load: float = 0.5, probe_rows: int = 1,
+              min_bits: int = 8) -> "BucketTable":
+        """Best-effort build: bucket overflow beyond capacity is dropped
+        (degrades like the seed hit cap)."""
+        rows, bits = BucketTable.build_rows(keys, vals, entries, fields,
+                                            load, probe_rows, min_bits)
         return BucketTable(rows=jnp.asarray(rows), bits=bits, entries=entries,
                            fields=fields, probe_rows=probe_rows)
 

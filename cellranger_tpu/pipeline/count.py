@@ -959,9 +959,34 @@ def run_count(cfg: CountConfig, out_dir: str,
         # this host's share of the FASTQ work (all of it when single-host)
         # (pairs may be (r1, r2) or (r1, r2, i1) — I1 carries the barcode
         # for SC3Pv1)
+        # ---- multihost resume (SURVEY §5.4, mrp_args.rs:57-65 pipestance
+        # resume of any jobmode): a host whose per-host partial
+        # (_spill/host{pid}.json, written AFTER its spill flushed) carries
+        # the current input fingerprint skips both FASTQ passes — the
+        # spill files + partial are its durable pass-2 state.  Resume must
+        # be UNANIMOUS (otherwise the spill-clean below would delete
+        # completed hosts' files while another host restarts), so hosts
+        # vote through the allsum collective.  BAM/feature/RTL runs keep
+        # per-read state outside the spill and always rerun.
+        mh_fp = None
+        mh_resume = False
+        if (multihost and cfg.checkpoint and not cfg.write_bam
+                and probe_set is None and fb_ref is None):
+            from .checkpoint import count_fingerprint
+            mh_fp = count_fingerprint(cfg)
+            try:
+                with open(os.path.join(out_dir, "_spill",
+                                       f"host{pid}.json")) as f:
+                    mine_ok = json.load(f).get("fingerprint") == mh_fp
+            except Exception:
+                mine_ok = False
+            votes = dist.allsum_array(np.array([1 if mine_ok else 0]))
+            mh_resume = int(votes[0]) == nproc
         work = [(li, pair) for li, lib in enumerate(libraries)
                 for pair in lib.fastq_pairs]
         my_work = dist.host_shard(work) if multihost else work
+        if mh_resume:
+            my_work = []   # durable pass-2 state on disk: nothing to read
 
         # feature patterns declared on R1 need the R1-remainder view
         need_r1_rest = any(pat.read == "R1" for pat in fb_extractors)
@@ -1010,7 +1035,7 @@ def run_count(cfg: CountConfig, out_dir: str,
         n_parts = int(_param("spill_partitions") or
                       (SPILL_PARTS if executor.n_devices <= SPILL_PARTS
                        else executor.n_devices))
-        if multihost:
+        if multihost and not mh_resume:
             # clear STALE spill files from a prior failed run (a smaller
             # host set would otherwise leave old host*_part files that
             # load_union would silently merge)
@@ -1023,7 +1048,8 @@ def run_count(cfg: CountConfig, out_dir: str,
                                ignore_errors=True)
             dist.barrier("spill-clean")
         spill = MoleculeSpill(os.path.join(out_dir, "_spill"), n_parts,
-                              prefix=f"host{pid}_" if multihost else "")
+                              prefix=f"host{pid}_" if multihost else "",
+                              append=mh_resume)
         sj_counts: dict = {}   # (donor, acceptor, strand, annotated) -> reads
         bam_collector = None
         if cfg.write_bam and gi is not None:
@@ -1350,17 +1376,27 @@ def run_count(cfg: CountConfig, out_dir: str,
         # the shared filesystem; host 0 is the join)
         spill.flush()
         if multihost:
-            partial = dict(
-                metrics=dict(metrics.__dict__),
-                sj=[[list(k), v] for k, v in sorted(sj_counts.items())])
-            if probe_set is not None:
-                partial["probe_region_reads"] = probe_region_reads.tolist()
-            with open(os.path.join(out_dir, "_spill",
-                                   f"host{pid}.json"), "w") as f:
-                json.dump(partial, f)
+            if not mh_resume:
+                partial = dict(
+                    metrics=dict(metrics.__dict__),
+                    sj=[[list(k), v] for k, v in sorted(sj_counts.items())],
+                    fingerprint=mh_fp)
+                if probe_set is not None:
+                    partial["probe_region_reads"] = \
+                        probe_region_reads.tolist()
+                # atomic publish: the partial is the durable "my pass 2 is
+                # complete" marker for multihost resume
+                pj = os.path.join(out_dir, "_spill", f"host{pid}.json")
+                with open(pj + ".tmp", "w") as f:
+                    json.dump(partial, f)
+                os.replace(pj + ".tmp", pj)
             if bam_collector is not None:
                 bam_collector.spool.seal()
             dist.barrier("count-spill")
+            if os.environ.get("CRTPU_TEST_DIE_AFTER_PASS2"):
+                # test hook: simulated whole-job crash at the point where
+                # every host's pass-2 state is durable (resume coverage)
+                raise SystemExit(42)
             if pid != 0:
                 spill.close(remove=False)
                 return {"worker": pid, "total_reads": metrics.total_reads}

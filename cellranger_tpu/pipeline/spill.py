@@ -38,12 +38,16 @@ class MoleculeSpill:
     correct (all reads of a barcode share a partition).
     """
 
-    def __init__(self, directory: str, n_parts: int = 32, prefix: str = ""):
+    def __init__(self, directory: str, n_parts: int = 32, prefix: str = "",
+                 append: bool = False):
         self.dir = directory
         self.n_parts = n_parts
         self.prefix = prefix  # per-host prefix on shared filesystems
         os.makedirs(directory, exist_ok=True)
-        self._files = [open(self.part_path(p), "wb") for p in range(n_parts)]
+        # append mode preserves a prior run's completed spill (multihost
+        # resume reopens the directory without truncating)
+        mode = "ab" if append else "wb"
+        self._files = [open(self.part_path(p), mode) for p in range(n_parts)]
         self.n_rows = 0
 
     def append(self, bc: np.ndarray, gene: np.ndarray, umi: np.ndarray):
