@@ -74,3 +74,30 @@ def run(tmp: str | None = None, dryrun: bool = True) -> dict:
 
 if __name__ == "__main__":
     run()
+
+
+def run_rich(tmp: str | None = None) -> dict:
+    """Drive the RICH engineered fixture (fixtures.build_rich_run) through
+    run_count with BAM + dual libraries; golden-gated in
+    tests/test_conformance.py::test_e2e_rich_golden_gate."""
+    from cellranger_tpu.testing.fixtures import build_rich_run, READ_LEN
+    from cellranger_tpu.pipeline.count import (CountConfig, LibraryDef,
+                                               run_count)
+
+    tmp = tmp or tempfile.mkdtemp(prefix="cr_tpu_rich_")
+    fx = build_rich_run(tmp)
+    out_dir = os.path.join(tmp, "outs")
+    cfg = CountConfig(
+        fastq_pairs=[], reference_path=fx["ref"], whitelist_path=fx["wl"],
+        feature_ref_csv=fx["feature_ref"],
+        libraries=[LibraryDef([(fx["fq1"], fx["fq2"])], "Gene Expression"),
+                   LibraryDef([(fx["ab_fq1"], fx["ab_fq2"])],
+                              "Antibody Capture")],
+        chemistry="SC3Pv3", read_len=READ_LEN,
+        batch_size=4096, write_bam=True, checkpoint=False,
+        secondary_analysis=False)
+    summary = run_count(cfg, out_dir)
+    print("rich run:", json.dumps(
+        {k: summary[k] for k in ("total_reads", "total_molecules",
+                                 "estimated_cells")}))
+    return dict(out_dir=out_dir, summary=summary, fixture=fx)

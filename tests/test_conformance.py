@@ -128,3 +128,66 @@ def test_bam_comparator_catches_mutations(e2e_run, tmp_path):
     w.close()
     diffs = cc.check_bam(mut, bam)
     assert any("mapq" in d for d in diffs) or any("UB" in d for d in diffs)
+
+
+# ------------------------------------------------- the rich golden gate
+GOLDEN_RICH = os.path.join(os.path.dirname(__file__), "golden", "e2e_rich")
+
+
+@pytest.fixture(scope="module")
+def e2e_rich_run(tmp_path_factory):
+    import e2e_drive
+    return e2e_drive.run_rich(str(tmp_path_factory.mktemp("e2e_rich")))
+
+
+def test_e2e_rich_golden_gate(e2e_rich_run):
+    """Golden gate over the ENGINEERED fixture (VERDICT r4 item 10):
+    multimapper families + secondary records, an unannotated splice
+    junction, TSO/polyA edges, UMI 1-off shadows, and a dual
+    (GEX + Antibody) library run — the regression classes the tiny
+    fixture cannot reach."""
+    out = e2e_rich_run["out_dir"]
+    assert os.path.isdir(GOLDEN_RICH), \
+        "rich golden snapshot missing; run tools/make_golden.py"
+    cc.assert_metrics(os.path.join(out, "metrics_summary.json"),
+                      os.path.join(GOLDEN_RICH, "metrics_summary.json"))
+    cc.assert_mtx(os.path.join(out, "raw_feature_bc_matrix/matrix.mtx.gz"),
+                  os.path.join(GOLDEN_RICH,
+                               "raw_feature_bc_matrix/matrix.mtx.gz"))
+    for f in ("barcodes.tsv.gz", "features.tsv.gz"):
+        cc.assert_mtx(os.path.join(out, "raw_feature_bc_matrix", f),
+                      os.path.join(GOLDEN_RICH, "raw_feature_bc_matrix", f))
+    cc.assert_h5(os.path.join(out, "filtered_feature_bc_matrix.h5"),
+                 os.path.join(GOLDEN_RICH, "filtered_feature_bc_matrix.h5"))
+    cc.assert_molecule_info(os.path.join(out, "molecule_info.h5"),
+                            os.path.join(GOLDEN_RICH, "molecule_info.h5"))
+    cc.assert_bam(os.path.join(out, "possorted_genome_bam.bam"),
+                  os.path.join(GOLDEN_RICH, "possorted_genome_bam.bam"))
+    for f in ("filtered_barcodes.csv", "junctions.tsv"):
+        with open(os.path.join(out, f)) as fa, \
+                open(os.path.join(GOLDEN_RICH, f)) as fe:
+            assert fa.read() == fe.read(), f"{f} differs from golden"
+
+
+def test_rich_run_engineered_invariants(e2e_rich_run):
+    """Structural invariants of the rich run, independent of goldens:
+    novel junctions discovered, secondary records present, both feature
+    types counted."""
+    out = e2e_rich_run["out_dir"]
+    with open(os.path.join(out, "junctions.tsv")) as f:
+        rows = [ln.split("\t") for ln in f.read().strip().splitlines()[1:]]
+    novel = [r for r in rows if r[5] == "0"]   # annotated column
+    assert novel, "no novel junctions discovered"
+    # the engineered junction: intron 150101..151000 (1-based inclusive)
+    assert any(int(r[1]) == 150_101 and int(r[2]) == 151_000
+               for r in novel), novel[:5]
+    from cellranger_tpu.io.bam_read import read_bam
+    _, recs, _ = read_bam(os.path.join(out, "possorted_genome_bam.bam"))
+    assert any(r["flag"] & 256 for r in recs), "no secondary records"
+    assert any("N" in "".join(op for _, op in r["cigar"]) for r in recs), \
+        "no spliced CIGARs"
+    from cellranger_tpu.io.matrix_io import CountMatrix
+    raw = CountMatrix.load_h5(
+        os.path.join(out, "raw_feature_bc_matrix.h5"))
+    types = {d.feature_type for d in raw.features.feature_defs}
+    assert types == {"Gene Expression", "Antibody Capture"}

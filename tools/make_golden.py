@@ -60,39 +60,50 @@ def main():
     if len(args.reason.strip()) < 20:
         ap.error("--reason must actually explain the change (>=20 chars)")
 
-    from e2e_drive import run
-    res = run(tempfile.mkdtemp(prefix="cr_tpu_golden_"), dryrun=False)
-    out = res["out_dir"]
-    os.makedirs(GOLDEN_DIR, exist_ok=True)
-    changed = []
-    for rel in FILES:
-        src = os.path.join(out, rel)
-        dst = os.path.join(GOLDEN_DIR, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        old = _sha(dst)
-        shutil.copyfile(src, dst)
-        new = _sha(dst)
-        if old != new:
-            changed.append(f"{rel}: {old} -> {new}")
-        print("golden <-", rel, "(changed)" if old != new else "(same)")
+    import e2e_drive
+
+    runs = [
+        (GOLDEN_DIR,
+         lambda: e2e_drive.run(tempfile.mkdtemp(prefix="cr_tpu_golden_"),
+                               dryrun=False)),
+        (os.path.join(REPO, "tests", "golden", "e2e_rich"),
+         lambda: e2e_drive.run_rich(
+             tempfile.mkdtemp(prefix="cr_tpu_goldenrich_"))),
+    ]
     try:
         head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                               capture_output=True, text=True,
                               cwd=REPO).stdout.strip()
     except Exception:
         head = "unknown"
-    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
-    with open(os.path.join(GOLDEN_DIR, "CHANGELOG"), "a") as f:
-        f.write(f"\n## {stamp} (parent {head})\n")
-        f.write(f"reason: {args.reason.strip()}\n")
-        if changed:
-            f.write("changed files:\n")
-            for c in changed:
-                f.write(f"  - {c}\n")
-        else:
-            f.write("changed files: none (byte-identical regen)\n")
-    print("golden snapshot written to", GOLDEN_DIR)
-    print("CHANGELOG entry appended — commit it WITH the goldens")
+    for golden_dir, driver in runs:
+        res = driver()
+        out = res["out_dir"]
+        os.makedirs(golden_dir, exist_ok=True)
+        changed = []
+        for rel in FILES:
+            src = os.path.join(out, rel)
+            dst = os.path.join(golden_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            old = _sha(dst)
+            shutil.copyfile(src, dst)
+            new = _sha(dst)
+            if old != new:
+                changed.append(f"{rel}: {old} -> {new}")
+            print("golden <-", rel,
+                  "(changed)" if old != new else "(same)")
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+        with open(os.path.join(golden_dir, "CHANGELOG"), "a") as f:
+            f.write(f"\n## {stamp} (parent {head})\n")
+            f.write(f"reason: {args.reason.strip()}\n")
+            if changed:
+                f.write("changed files:\n")
+                for c in changed:
+                    f.write(f"  - {c}\n")
+            else:
+                f.write("changed files: none (byte-identical regen)\n")
+        print("golden snapshot written to", golden_dir)
+    print("CHANGELOG entries appended — commit them WITH the goldens")
 
 
 if __name__ == "__main__":
