@@ -66,8 +66,12 @@ SJ_MARGIN = 4          # spliced must beat the best unspliced by this
 SJ_NONCANON_PEN = 8    # penalty when no GT..AG / CT..AC motif is found
 
 # overlapped text rows cost ~0.9B/base of HBM next to the kmer table;
-# above this text size, windows fall back to the 2-row fetch
-OVERLAP_ROWS_MAX_TEXT = 1_500_000_000
+# above this text size, windows fall back to the 2-row fetch.  The limit
+# covers GRCh38 + junction contigs: at 3.1GB the ov table is 2.6GB and
+# total HBM ~12.9GB (fits 16GB v5e), and the step drops 93.3 -> 68.9ms
+# (HUMAN3G.json overlap_rows).  Sites with less HBM headroom can lower
+# it via params.
+OVERLAP_ROWS_MAX_TEXT = 3_400_000_000
 
 
 @register_dataclass
@@ -138,8 +142,11 @@ class DeviceIndex:
         sj = np.stack([gi.sj_donor_end.astype(np.uint32),
                        gi.sj_acceptor_start.astype(np.uint32)], axis=1) \
             if gi.n_junctions else np.zeros((0, 2), np.uint32)
+        from ..params import get as _param
+        ov_max = int(_param("overlap_rows_max_text")
+                     or OVERLAP_ROWS_MAX_TEXT)
         ov = (jnp.asarray(gi.packed_overlap_rows())
-              if len(gi.text) <= OVERLAP_ROWS_MAX_TEXT else None)
+              if len(gi.text) <= ov_max else None)
         return DeviceIndex(
             text_rows=jnp.asarray(gi.packed_rows()),
             kmer_table=DeviceIndex._kmer_table_cached(gi),

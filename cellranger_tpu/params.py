@@ -36,6 +36,10 @@ DEFAULTS: dict = {
     "umi_min_read_length": None,    # override chemistry UMI min length
     "batch_size": None,             # override CountConfig.batch_size
     "spill_partitions": None,       # override pipeline SPILL_PARTS
+    # max text length that still builds the overlapped window-row table
+    # (~0.9B/base extra HBM for one-gather candidate windows); lower it
+    # on chips without the headroom (align/aligner.OVERLAP_ROWS_MAX_TEXT)
+    "overlap_rows_max_text": None,
 }
 
 ENV_VAR = "CRTPU_PARAMETERS"

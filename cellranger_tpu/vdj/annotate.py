@@ -167,19 +167,76 @@ def annotate_contig(contig: str, ref: VdjReference) -> ContigAnnotation:
     return ann
 
 
+# ---- probabilistic shared-mutation join (the enclone_ranger model the
+# assigner stage shells out to, assigner.rs:139; the crate itself is not
+# vendored, so the criterion is implemented from the published method:
+# two candidate subclonotypes join when the probability that their SHARED
+# V-region somatic mutations arose independently is small, with every
+# CDR3 mismatch multiplying the probability) ----
+JOIN_V_EFF_LEN = 300          # effective comparable V-segment positions
+JOIN_CDR3_PENALTY = 80.0      # p multiplier per CDR3 nt mismatch
+JOIN_LOG10_P_MAX = -4.0       # join iff log10(p) <= this
+JOIN_MIN_MUTATIONS = 2        # below this SHM evidence, use the
+                              # frequency gate (naive cells / TCR)
+
+
+def _hyp_log10_sf(k: int, m1: int, m2: int, n: int) -> float:
+    """log10 P(X >= k) for X ~ Hypergeometric(n, m1, m2): the chance two
+    unrelated cells with m1 and m2 mutations over n positions share >= k
+    of them by coincidence."""
+    import math
+    if k <= 0:
+        return 0.0
+    lo, hi = min(m1, m2), max(m1, m2)
+    if k > lo:
+        return float("-inf")
+    lg = math.lgamma
+
+    def lchoose(a, b):
+        if b < 0 or b > a:
+            return float("-inf")
+        return lg(a + 1) - lg(b + 1) - lg(a - b + 1)
+
+    denom = lchoose(n, hi)
+    terms = [lchoose(lo, j) + lchoose(n - lo, hi - j) - denom
+             for j in range(k, lo + 1)]
+    m = max(terms)
+    if m == float("-inf"):
+        return float("-inf")
+    s = sum(math.exp(t - m) for t in terms)
+    return (m + math.log(s)) / math.log(10)
+
+
+def shared_mutation_join_log10p(ev_a: frozenset, ev_b: frozenset,
+                                cdr3_mm: int,
+                                n_eff: int = JOIN_V_EFF_LEN) -> float:
+    """log10 join probability for two subclonotypes' V-mutation evidence
+    sets ((position, base) pairs) at cdr3_mm CDR3 nt mismatches."""
+    import math
+    shared = len(ev_a & ev_b)
+    return (_hyp_log10_sf(shared, len(ev_a), len(ev_b), n_eff)
+            + cdr3_mm * math.log10(JOIN_CDR3_PENALTY))
+
+
 def _cluster_cdr3s(seqs: list[str], max_mm: int,
-                   counts: dict[str, int] | None = None) -> dict[str, str]:
+                   counts: dict[str, int] | None = None,
+                   evidence: dict[str, frozenset] | None = None
+                   ) -> dict[str, str]:
     """Union-find clustering of same-length CDR3 nt sequences within
     Hamming distance max_mm; returns seq -> representative (the
     lexicographically smallest member, so output is deterministic).
 
-    counts (cells per sequence) enables the PAIRING-REFINEMENT frequency
-    gate (the enclone join heuristic, clonotype_assigner/src/assigner.rs
-    driving enclone_ranger): a near-identical CDR3 only merges when one
-    side is a MINOR variant (<= 1/4 the cells of the other) — somatic
-    hypermutation / sequencing-error variants are rare relative to the
-    true clone, while two co-dominant variants are distinct germline
-    clones that a naive distance cluster would wrongly join."""
+    Join criterion per candidate pair of CLUSTERS (enclone semantics):
+      * with informative SHM evidence on both sides (>= JOIN_MIN_MUTATIONS
+        V-region mutations each), the probabilistic shared-mutation model
+        decides: join iff log10 P(shared | independent) + mismatch
+        penalty <= JOIN_LOG10_P_MAX — strong shared mutations join even
+        co-dominant clones, disjoint mutations refuse even minor ones;
+      * otherwise the PAIRING-REFINEMENT frequency gate: a near-identical
+        CDR3 only merges when one side is a MINOR variant (<= 1/4 the
+        cells of the other) — hypermutation / sequencing-error variants
+        are rare relative to the true clone, while two co-dominant
+        variants are distinct germline clones."""
     parent = {s: s for s in seqs}
 
     def find(s):
@@ -193,20 +250,33 @@ def _cluster_cdr3s(seqs: list[str], max_mm: int,
     # bridge two co-dominant clones (it attaches to whichever major it
     # meets first in deterministic sorted order)
     ccount = {s: (counts or {}).get(s, 1) for s in seqs}
+    cev = {s: (evidence or {}).get(s) for s in seqs}
     ss = sorted(set(seqs))
     for i, a in enumerate(ss):
         for b in ss[i + 1:]:
-            if sum(x != y for x, y in zip(a, b)) <= max_mm:
+            d = sum(x != y for x, y in zip(a, b))
+            if d <= max_mm:
                 ra, rb = find(a), find(b)
                 if ra == rb:
                     continue
-                if counts is not None:
+                ea, eb = cev[ra], cev[rb]
+                if (ea is not None and eb is not None
+                        and len(ea) >= JOIN_MIN_MUTATIONS
+                        and len(eb) >= JOIN_MIN_MUTATIONS):
+                    if (shared_mutation_join_log10p(ea, eb, d)
+                            > JOIN_LOG10_P_MAX):
+                        continue  # coincidence not excluded: refuse
+                elif counts is not None:
                     ca, cb = ccount[ra], ccount[rb]
                     if min(ca, cb) > max(1, max(ca, cb) // 4):
                         continue  # co-dominant clones: refuse the join
                 root, child = min(ra, rb), max(ra, rb)
                 parent[child] = root
                 ccount[root] = ccount[root] + ccount[child]
+                if cev[root] is not None and cev[child] is not None:
+                    cev[root] = cev[root] | cev[child]
+                else:
+                    cev[root] = cev[root] or cev[child]
     return {s: find(s) for s in ss}
 
 
@@ -267,6 +337,9 @@ def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
     # per-cell V-region somatic-variant evidence per chain identity
     # (enclone graded joins: shared variants merge, conflicting split)
     cell_vars: dict = {}
+    # per exact chain (incl. CDR3 nt): the union of V-mutation evidence
+    # across its cells — the input to the probabilistic join model
+    chain_ev: dict = {}
     for bc, anns in cells.items():
         chains = set()
         for a in anns:
@@ -282,6 +355,8 @@ def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
                 # duck-typed hits without coords claim no evidence
                 vs = (a.v.variants(a.contig_seq)
                       if hasattr(a.v, "variants") else None)
+                if vs is not None:
+                    chain_ev[ch] = chain_ev.get(ch, frozenset()) | vs
                 d = cell_vars.setdefault(bc, {})
                 if ck in d:
                     prev = d[ck]
@@ -311,8 +386,11 @@ def group_clonotypes(cells: dict[str, list[ContigAnnotation]],
         for (ch, v, j, ln), seqs in buckets.items():
             mm = max(1, ln // 10)
             cnt = {nt: variant_cells[(ch, v, j, nt)] for nt in seqs}
+            ev = {nt: chain_ev[(ch, v, j, nt)] for nt in seqs
+                  if (ch, v, j, nt) in chain_ev}
             for s, r in _cluster_cdr3s(sorted(seqs), mm,
-                                       counts=cnt).items():
+                                       counts=cnt,
+                                       evidence=ev).items():
                 rep[(ch, v, j, s)] = r
         per_cell = {bc: {(ch, v, j, rep[(ch, v, j, nt)])
                          for (ch, v, j, nt) in chains}

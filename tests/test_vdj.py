@@ -455,3 +455,68 @@ def test_k20_resolves_18bp_repeat():
     assert found_a and found_b, (
         f"repeat not resolved: {[len(s) for s in seqs]} vs "
         f"{len(tx_a)}/{len(tx_b)}")
+
+
+def test_probabilistic_shared_mutation_join():
+    """The enclone_ranger join model (assigner.rs:139 -> enclone; crate
+    not vendored, criterion from the published method): candidate CDR3
+    variants with SHM evidence join iff the probability that their shared
+    V mutations are coincidental (hypergeometric tail, CDR3-mismatch
+    penalized) is below threshold — in BOTH directions:
+      * many shared mutations join two CO-DOMINANT variants the
+        frequency gate alone would refuse;
+      * disjoint mutation sets refuse a MINOR variant the frequency
+        gate alone would absorb."""
+    from cellranger_tpu.vdj.annotate import (
+        ContigAnnotation, SegmentHit, group_clonotypes,
+        shared_mutation_join_log10p, JOIN_LOG10_P_MAX)
+    from cellranger_tpu.vdj.reference import Segment
+
+    # unit sanity of the model itself
+    ev6 = frozenset((10 * i, "A") for i in range(6))
+    evA = ev6 | {(7, "C"), (13, "G")}
+    evB = ev6 | {(27, "C"), (33, "G")}
+    assert shared_mutation_join_log10p(evA, evB, 1) <= JOIN_LOG10_P_MAX
+    dis1 = frozenset((10 * i, "A") for i in range(8))
+    dis2 = frozenset((10 * i + 5, "C") for i in range(8))
+    assert shared_mutation_join_log10p(dis1, dis2, 1) > JOIN_LOG10_P_MAX
+
+    rng = np.random.default_rng(77)
+    germ = "".join(rng.choice(list("ACGT"), 120))
+    seg_v = Segment("IGHV1", "IGHV1", "V", "IGH", germ.encode())
+    seg_j = Segment("IGHJ1", "IGHJ1", "J", "IGH", b"A" * 60)
+    cdr3_a = "TGTGCCAGCAGCTTGGACACC"
+    cdr3_b = cdr3_a[:-2] + "GC"   # 2 mismatches, within the 10% radius
+
+    def mutate(positions):
+        s = list(germ)
+        for p in positions:
+            s[p] = {"A": "G", "C": "T", "G": "A", "T": "C"}[s[p]]
+        return "".join(s)
+
+    def ann(contig_v, cdr3):
+        contig = contig_v + "T" * 40
+        return ContigAnnotation(
+            contig_seq=contig, chain="IGH",
+            v=SegmentHit(seg_v, 100, 0, 120, 0, 120),
+            j=SegmentHit(seg_j, 80, 120, 160, 0, 40),
+            cdr3_nt=cdr3, cdr3_aa="X", productive=True)
+
+    shared = [3, 17, 31, 45, 59, 73]
+    # co-dominant (3 cells each) but 6 shared mutations -> ONE clonotype
+    va = mutate(shared + [87])
+    vb = mutate(shared + [101])
+    cells = {f"a{i}": [ann(va, cdr3_a)] for i in range(3)}
+    cells.update({f"b{i}": [ann(vb, cdr3_b)] for i in range(3)})
+    cl = group_clonotypes(cells)
+    assert len(cl) == 1 and cl[0]["frequency"] == 6, \
+        [c["barcodes"] for c in cl]
+
+    # minor variant (1 cell vs 4) with DISJOINT mutations -> stays split
+    vc = mutate([3, 17, 31, 45, 59, 73])
+    vd = mutate([8, 22, 36, 50, 64, 78])
+    cells2 = {f"c{i}": [ann(vc, cdr3_a)] for i in range(4)}
+    cells2["d0"] = [ann(vd, cdr3_b)]
+    cl2 = group_clonotypes(cells2)
+    groups = sorted(len(c["barcodes"]) for c in cl2)
+    assert groups == [1, 4], [c["barcodes"] for c in cl2]
