@@ -167,38 +167,39 @@ def dedup_molecules(bc, gene, umi, valid, umi_len: int, reads=None):
     c_row = jnp.tile(jnp.arange(N, dtype=jnp.uint32), L)
     shi, slo, scnt, sumi, srow = jax.lax.sort(
         (hi, lo, c_cnt, c_umi, c_row), num_keys=2)
-    same_prev = jnp.concatenate(
-        [jnp.zeros(1, bool),
-         (shi[1:] == shi[:-1]) & (slo[1:] == slo[:-1]) & (shi[1:] != U32_MAX)])
-    # segmented prefix/suffix lex-max of (cnt, umi): combine is
-    # associative (segmented max), scanned forward and backward; the
-    # shifted reads exclude self.  cnt==0 acts as "no neighbor".
-    def comb(a, b):
-        ca, ua, oa = a
-        cb, ub, ob = b
-        # ob: segment-open flag of the RIGHT element — when the right
-        # block starts a new segment, the left max does not flow through
-        take_b = ~ob | (cb > ca) | ((cb == ca) & (ub > ua))
-        return (jnp.where(take_b, cb, ca), jnp.where(take_b, ub, ua),
-                oa & ob)
-
-    elems = (jnp.where(shi != U32_MAX, scnt, 0), sumi, same_prev)
-    pf_c, pf_u, _ = jax.lax.associative_scan(comb, elems)
-    same_next = jnp.concatenate([same_prev[1:], jnp.zeros(1, bool)])
-    elems_r = (jnp.where(shi != U32_MAX, scnt, 0), sumi, same_next)
-    sf_c, sf_u, _ = jax.lax.associative_scan(comb, elems_r, reverse=True)
+    new_run = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    K = L * N
+    rid = _seg_ids(new_run)                  # run id per sorted row
     z = jnp.uint32(0)
-    prev_c = jnp.concatenate([z[None], pf_c[:-1]])
-    prev_u = jnp.concatenate([z[None], pf_u[:-1]])
-    prev_c = jnp.where(same_prev, prev_c, 0)
-    prev_u = jnp.where(same_prev, prev_u, 0)
-    next_c = jnp.concatenate([sf_c[1:], z[None]])
-    next_u = jnp.concatenate([sf_u[1:], z[None]])
-    next_c = jnp.where(same_next, next_c, 0)
-    next_u = jnp.where(same_next, next_u, 0)
-    use_n = (next_c > prev_c) | ((next_c == prev_c) & (next_u > prev_u))
-    cand_c = jnp.where(use_n, next_c, prev_c)
-    cand_u = jnp.where(use_n, next_u, prev_u)
+    val = shi != U32_MAX
+    cnt_v = jnp.where(val, scnt, z)
+    # per-run lex TOP-2 of (cnt, umi) via segment reductions (NOT an
+    # associative scan: tuple-carry scans at 12N rows blow up the
+    # compiled graph — the remote compile helper OOM-SIGKILLs on them).
+    # Each member's best NEIGHBOR is the run max, or the second max when
+    # the member itself uniquely holds the max; exact-duplicate rows
+    # share (cnt, umi) so a duplicated max falls back to itself, which
+    # can never strictly beat itself — harmless.
+    m1c = jax.ops.segment_max(cnt_v, rid, num_segments=K)
+    at_m1c = cnt_v == m1c[rid]
+    m1u = jax.ops.segment_max(jnp.where(at_m1c, sumi, z), rid,
+                              num_segments=K)
+    is_m1 = at_m1c & (sumi == m1u[rid]) & val
+    n_m1 = jax.ops.segment_sum(is_m1.astype(jnp.int32), rid,
+                               num_segments=K)
+    # second-best: max over rows that are not THE max row
+    m2c = jax.ops.segment_max(jnp.where(is_m1, z, cnt_v), rid,
+                              num_segments=K)
+    at_m2c = (cnt_v == m2c[rid]) & ~is_m1
+    m2u = jax.ops.segment_max(jnp.where(at_m2c, sumi, z), rid,
+                              num_segments=K)
+    self_is_unique_max = is_m1 & (n_m1[rid] == 1)
+    cand_c = jnp.where(self_is_unique_max, m2c[rid], m1c[rid])
+    cand_u = jnp.where(self_is_unique_max, m2u[rid], m1u[rid])
+    cand_c = jnp.where(val, cand_c, z)
+    cand_u = jnp.where(val, cand_u, z)
     # fold the L per-position candidates back to their origin row:
     # count major first, then umi among candidates at that count
     owner = srow.astype(jnp.int32)
