@@ -137,7 +137,7 @@ class MoleculeState:
         self.cap = min_capacity
         self.rows = jnp.full((self.cap, 4), jnp.uint32(0xFFFFFFFF))
         self._n_dev = jnp.int32(0)
-        self.n = 0          # host mirror (fetched after each absorb)
+        self.n = 0          # host UPPER BOUND on live rows (see absorb)
         self.flushed: list = []  # host [k, 4] overflow arrays
 
     def _grow(self, need: int) -> None:
@@ -151,20 +151,28 @@ class MoleculeState:
 
     def absorb(self, mol, mol_n, upper: int) -> None:
         """Fold a drained device [B, 3] buffer into the state (donating
-        the state); `upper` is the host-known bound on mol_n.  Fetches
-        only the new row-count scalar."""
+        the state); `upper` is the host-known bound on mol_n.
+
+        NON-BLOCKING: the host tracks only the additive upper bound
+        (n_prev + upper >= merged n), so the absorb dispatch returns
+        without waiting for the device — a per-drain scalar fetch was a
+        full pipeline sync inside pass 2.  The exact count is fetched
+        (and the bound tightened) only when the bound nears capacity."""
         P = _pow2(max(min(upper, int(mol.shape[0])), 1), minimum=1024)
         if self.n + P > self.max_cap:
-            self.flush_to_host()
+            self.n = int(self._n_dev)    # tighten: merging may have room
+            if self.n + P > self.max_cap:
+                self.flush_to_host()
         self._grow(self.n + P)
         self.rows, self._n_dev = _absorb_merge(
             self.rows, self._n_dev, mol[:P], mol_n)
-        self.n = int(self._n_dev)
+        self.n = min(self.n + int(upper), self.cap)
 
     def flush_to_host(self) -> None:
         """Overflow path (runs whose distinct triples exceed capacity):
         fetch the merged rows and reset.  The final dedup then runs over
         host partitions (reads-weighted)."""
+        self.n = int(self._n_dev)   # exact count before the host slice
         self.flushed.append(np.asarray(self.rows)[:self.n])
         self.rows = jnp.full((self.cap, 4), jnp.uint32(0xFFFFFFFF))
         self._n_dev = jnp.int32(0)
@@ -174,7 +182,14 @@ class MoleculeState:
         """-> (bc, gene, umi, reads) uint32 host arrays of valid
         molecules, deduped fully on device when nothing overflowed."""
         if not self.flushed:
-            plane, n_valid = _dedup_state(self.rows, self._n_dev,
+            # shrink to the tightest pow2 over the live rows first: the
+            # growth ladder leaves append headroom the umi_len*N join
+            # would otherwise pay for (rows are merged + compacted, so
+            # live rows always fit the shrunk buffer)
+            self.n = int(self._n_dev)   # exact count (n was a bound)
+            C2 = _pow2(max(self.n, 1), minimum=1024)
+            rows = self.rows[:C2] if C2 < self.cap else self.rows
+            plane, n_valid = _dedup_state(rows, self._n_dev,
                                           self.umi_len)
             self.rows = None
             nv = int(n_valid)
