@@ -35,4 +35,19 @@ def _enable_compile_cache() -> None:
         pass  # never let cache config break the import
 
 
+def _default_aot_cache() -> None:
+    """AOT executable cache (aot.py) default location.
+
+    Unlike the XLA persistent cache above, the AOT path serializes whole
+    compiled executables keyed on lowered-HLO hashes, which also works on
+    remote-compile TPU backends whose compile keys are per-session.  It is
+    platform-gated inside aot.cache_dir() (TPU/GPU only; CPU AOT entries
+    embed compile-machine ISA features), so defaulting the directory on is
+    safe everywhere."""
+    if "CRTPU_AOT_CACHE" not in _os.environ:
+        _os.environ["CRTPU_AOT_CACHE"] = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "cellranger_tpu", "aot")
+
+
 _enable_compile_cache()
+_default_aot_cache()

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import make_sharded_step, make_sharded_part_dedup
+from ..aot import aot_jit
 from ..ops.dedup import dedup_molecules, exact_merge
 
 
@@ -68,7 +69,7 @@ def _unpack_dd(plane: np.ndarray) -> dict:
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("umi_len", "keep_raw"),
+@functools.partial(aot_jit, static_argnames=("umi_len", "keep_raw"),
                    donate_argnums=(0, 1, 2, 3))
 def _dedup_packed(bc, gene, umi, valid, umi_len: int,
                   keep_raw: bool = True, reads=None):
@@ -87,7 +88,7 @@ def _dedup_packed(bc, gene, umi, valid, umi_len: int,
 # final valid-molecule fetch (the reference's mark_dups runs inside the
 # alignment pass for the same reason: align_and_count.rs:292-333).
 
-@functools.partial(jax.jit, donate_argnums=(0, 2))
+@functools.partial(aot_jit, donate_argnums=(0, 2))
 def _absorb_merge(state_rows, state_n, mol, mol_n):
     """Append a drained [B, 3] molecule buffer (live rows [0, mol_n)) to
     the [C, 4] merged state (live [0, state_n)) and re-merge.  The caller
@@ -103,7 +104,7 @@ def _absorb_merge(state_rows, state_n, mol, mol_n):
     return exact_merge(rows, state_n + mol_n)
 
 
-@functools.partial(jax.jit, static_argnames=("umi_len",),
+@functools.partial(aot_jit, static_argnames=("umi_len",),
                    donate_argnums=(0,))
 def _dedup_state(rows, n, umi_len: int):
     """Final dedup of the merged state: UMI correction + low-support over

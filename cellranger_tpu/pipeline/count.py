@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..aot import aot_jit
 from ..align.aligner import DeviceIndex, make_aligner
 from ..align.annotate import AnnotationIndex, make_annotator, REGION_EXONIC, \
     REGION_INTRONIC, REGION_INTERGENIC, GENE_MULTI, GENE_NONE
@@ -576,7 +577,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
         return dict(i32=ints, flags=flags, mvec=mvec)
 
     if not accumulate:
-        @jax.jit
+        @aot_jit
         def step_impl(didx, ann_idx, buf):
             out = _body(didx, ann_idx, buf)
             return _pack_stream(out, out["metrics"])
@@ -601,7 +602,7 @@ def _make_step(didx: DeviceIndex, ann_idx: AnnotationIndex,
     glen_u = jnp.uint32(didx.genome_len)
     contig2 = jnp.uint32(2 * didx.sj_overhang)
 
-    @functools.partial(jax.jit, donate_argnums=(3,))
+    @functools.partial(aot_jit, donate_argnums=(3,))
     def step_acc_impl(didx, ann_idx, buf, acc, lib_tag):
         out = _body(didx, ann_idx, buf)
         m = out["metrics"]

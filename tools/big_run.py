@@ -94,25 +94,34 @@ def main():
     G = 20_000_000
     genome = np.frombuffer(b"ACGT", np.uint8)[
         rng.integers(0, 4, G)].tobytes()
-    write_fasta(os.path.join(tmp, "g.fa"), {"chr1": genome})
-    with open(os.path.join(tmp, "g.gtf"), "w") as f:
-        sp = G // 2000
-        for g in range(2000):
-            st = g * sp + 1000
-            s = "+" if g % 2 == 0 else "-"
-            f.write(f'chr1\tx\texon\t{st+1}\t{st+2400}\t.\t{s}\t.\t'
-                    f'gene_id "G{g}"; transcript_id "T{g}"; '
-                    f'gene_name "G{g}";\n')
-    print("building reference...", file=sys.stderr)
-    ReferencePackage.build(os.path.join(tmp, "g.fa"),
-                           os.path.join(tmp, "g.gtf"),
-                           os.path.join(tmp, "ref"))
+    ref_done = os.path.exists(os.path.join(tmp, "ref", "index.npz"))
+    if not ref_done:
+        write_fasta(os.path.join(tmp, "g.fa"), {"chr1": genome})
+        with open(os.path.join(tmp, "g.gtf"), "w") as f:
+            sp = G // 2000
+            for g in range(2000):
+                st = g * sp + 1000
+                s = "+" if g % 2 == 0 else "-"
+                f.write(f'chr1\tx\texon\t{st+1}\t{st+2400}\t.\t{s}\t.\t'
+                        f'gene_id "G{g}"; transcript_id "T{g}"; '
+                        f'gene_name "G{g}";\n')
+        print("building reference...", file=sys.stderr)
+        ReferencePackage.build(os.path.join(tmp, "g.fa"),
+                               os.path.join(tmp, "g.gtf"),
+                               os.path.join(tmp, "ref"))
     wl = sorted({"".join(rng.choice(list("ACGT"), BC_LEN))
                  for _ in range(120_000)})[:100_000]
-    with open(os.path.join(tmp, "wl.txt"), "w") as f:
-        f.writelines(w + "\n" for w in wl)
+    if not os.path.exists(os.path.join(tmp, "wl.txt")):
+        with open(os.path.join(tmp, "wl.txt"), "w") as f:
+            f.writelines(w + "\n" for w in wl)
 
-    r1p, r2p = gen_fastqs(tmp, n_reads, genome, wl)
+    r1p = os.path.join(tmp, "big_S1_L001_R1_001.fastq")
+    r2p = os.path.join(tmp, "big_S1_L001_R2_001.fastq")
+    expect_r2 = n_reads * (16 + READ_LEN * 2 + 4)
+    if not (os.path.exists(r2p) and os.path.getsize(r2p) == expect_r2):
+        r1p, r2p = gen_fastqs(tmp, n_reads, genome, wl)
+    else:
+        print("reusing existing fixture", file=sys.stderr)
 
     cfg = CountConfig(
         fastq_pairs=[(r1p, r2p)], reference_path=os.path.join(tmp, "ref"),
