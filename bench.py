@@ -351,10 +351,14 @@ def _gen_e2e_fixture(tmp: str, txome_of):
 def bench_e2e(txome_of):
     """Wall-clock FASTQ -> filtered matrix via the public run_count.
 
-    Runs TWICE in-process: the cold run pays every jit compile (and
-    populates the persistent compile cache); the warm run is the
-    steady-state number (VERDICT r3 item 1 — report compile separately
-    from steady state).  1M reads so fixed costs don't dominate."""
+    Runs TWICE in-process: the cold run is a fresh-process start — with a
+    populated AOT executable cache (cellranger_tpu/aot.py) it LOADS the
+    fused step + dedup executables instead of compiling, so "cold" now
+    measures trace+load+upload, not minutes of remote compiles; on a
+    never-seen machine it pays the compiles once and stores them.  The
+    warm run is the steady-state number (VERDICT r3 item 1 — report
+    compile separately from steady state).  1M reads so fixed costs
+    don't dominate."""
     import tempfile
     from cellranger_tpu.pipeline.count import CountConfig, run_count
 
@@ -388,11 +392,16 @@ def bench_e2e(txome_of):
     warm_wall, summary, warm_phases = one_run(os.path.join(tmp, "out_warm"))
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
+    from cellranger_tpu import aot
+    aot_dir = aot.cache_dir()
+    n_aot = (len([f for f in os.listdir(aot_dir) if f.endswith(".jaxexec")])
+             if aot_dir and os.path.isdir(aot_dir) else 0)
     return dict(reads=fx["n_reads"], wall_s=round(warm_wall, 2),
                 reads_per_sec=round(fx["n_reads"] / warm_wall, 1),
                 cold_wall_s=round(cold_wall, 2),
                 cold_reads_per_sec=round(fx["n_reads"] / cold_wall, 1),
                 compile_overhead_s=round(cold_wall - warm_wall, 2),
+                aot_cache_execs=n_aot,
                 fixture_gen_s=round(t_fix, 1),
                 conf_mapped_frac=round(summary["conf_mapped_frac"], 4),
                 total_molecules=summary["total_molecules"],
