@@ -89,10 +89,17 @@ def _dedup_packed(bc, gene, umi, valid, umi_len: int,
 # alignment pass for the same reason: align_and_count.rs:292-333).
 
 @functools.partial(aot_jit, donate_argnums=(0, 2))
-def _absorb_merge(state_rows, state_n, mol, mol_n):
+def _absorb_append(state_rows, state_n, mol, mol_n):
     """Append a drained [B, 3] molecule buffer (live rows [0, mol_n)) to
-    the [C, 4] merged state (live [0, state_n)) and re-merge.  The caller
-    guarantees state_n + B <= C."""
+    the [C, 4] state as weight-1 rows, WITHOUT merging.  Duplicate
+    (bc, gene, umi) triples are fine: dedup_molecules sums read weights
+    per distinct triple in its phase-0 sort, so merging is purely space
+    reclamation — deferred to capacity pressure (MoleculeState.absorb).
+    The r5 drain probe measured the old merge-every-drain as ~1-2s per
+    drain at multi-M-row states (a full 4-key device sort every 32
+    batches); appending is O(B).  The caller guarantees the write window
+    state_n + B <= C (dynamic_update_slice would clamp backwards over
+    live rows otherwise)."""
     B = mol.shape[0]
     live = jnp.arange(B, dtype=jnp.int32) < mol_n
     sent = jnp.uint32(0xFFFFFFFF)
@@ -101,7 +108,7 @@ def _absorb_merge(state_rows, state_n, mol, mol_n):
          jnp.where(live, 1, 0).astype(jnp.uint32)[:, None]], axis=1)
     rows = jax.lax.dynamic_update_slice(state_rows, new_rows,
                                         (state_n, jnp.int32(0)))
-    return exact_merge(rows, state_n + mol_n)
+    return rows, state_n + mol_n
 
 
 @functools.partial(aot_jit, static_argnames=("umi_len",),
@@ -151,28 +158,40 @@ class MoleculeState:
         self.cap = cap
 
     def absorb(self, mol, mol_n, upper: int) -> None:
-        """Fold a drained device [B, 3] buffer into the state (donating
+        """Append a drained device [B, 3] buffer into the state (donating
         the state); `upper` is the host-known bound on mol_n.
 
         NON-BLOCKING: the host tracks only the additive upper bound
-        (n_prev + upper >= merged n), so the absorb dispatch returns
+        (n_prev + upper >= appended n), so the absorb dispatch returns
         without waiting for the device — a per-drain scalar fetch was a
-        full pipeline sync inside pass 2.  The exact count is fetched
-        (and the bound tightened) only when the bound nears capacity."""
+        full pipeline sync inside pass 2.  Appends do NOT merge (the old
+        merge-every-drain re-sorted the whole multi-M-row state, ~1-2s
+        per drain on the tunneled v5e — tools drain probe, r5);
+        exact_merge runs only on capacity pressure to reclaim the space
+        duplicate triples waste, followed by one exact-count fetch to
+        tighten the bound."""
         P = _pow2(max(min(upper, int(mol.shape[0])), 1), minimum=1024)
         if self.n + P > self.max_cap:
-            self.n = int(self._n_dev)    # tighten: merging may have room
+            self.merge_now()             # compact + tighten the bound
             if self.n + P > self.max_cap:
                 self.flush_to_host()
         self._grow(self.n + P)
-        self.rows, self._n_dev = _absorb_merge(
+        self.rows, self._n_dev = _absorb_append(
             self.rows, self._n_dev, mol[:P], mol_n)
         self.n = min(self.n + int(upper), self.cap)
 
+    def merge_now(self) -> None:
+        """Space reclamation: exact-merge duplicate triples in place and
+        tighten the host bound to the exact merged count (one scalar
+        fetch — the only sync of the dedup-overlap path)."""
+        self.rows, self._n_dev = exact_merge(self.rows, self._n_dev)
+        self.n = int(self._n_dev)
+
     def flush_to_host(self) -> None:
         """Overflow path (runs whose distinct triples exceed capacity):
-        fetch the merged rows and reset.  The final dedup then runs over
-        host partitions (reads-weighted)."""
+        merge, fetch the rows, and reset.  The final dedup then runs
+        over host partitions (reads-weighted)."""
+        self.rows, self._n_dev = exact_merge(self.rows, self._n_dev)
         self.n = int(self._n_dev)   # exact count before the host slice
         self.flushed.append(np.asarray(self.rows)[:self.n])
         self.rows = jnp.full((self.cap, 4), jnp.uint32(0xFFFFFFFF))
@@ -185,8 +204,10 @@ class MoleculeState:
         if not self.flushed:
             # shrink to the tightest pow2 over the live rows first: the
             # growth ladder leaves append headroom the umi_len*N join
-            # would otherwise pay for (rows are merged + compacted, so
-            # live rows always fit the shrunk buffer)
+            # would otherwise pay for (live rows are contiguous in
+            # [0, _n_dev), so they always fit the shrunk buffer;
+            # duplicate triples from append-only drains are summed by
+            # dedup_molecules' reads-weighted phase 0)
             self.n = int(self._n_dev)   # exact count (n was a bound)
             C2 = _pow2(max(self.n, 1), minimum=1024)
             rows = self.rows[:C2] if C2 < self.cap else self.rows
