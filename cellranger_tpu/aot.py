@@ -87,13 +87,14 @@ def _package_source_hash() -> str:
 
 
 def _leaf_sig(x):
-    """Dynamic-leaf cache key: shape/dtype for arrays, type for scalars —
-    matching jit's cache semantics (a Python 3 and a Python 7 share one
-    executable; only shapes/dtypes distinguish)."""
+    """Dynamic-leaf cache key: shape/dtype/weak_type for arrays, type for
+    scalars — matching jit's cache semantics (a Python 3 and a Python 7
+    share one executable; shapes/dtypes/weakness distinguish)."""
     shape = getattr(x, "shape", None)
     if shape is None:
         return type(x).__name__
-    return (tuple(shape), str(getattr(x, "dtype", "?")))
+    return (tuple(shape), str(getattr(x, "dtype", "?")),
+            bool(getattr(x, "weak_type", False)))
 
 
 def _site_params_fingerprint() -> str:
