@@ -26,6 +26,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..aot import aot_jit
+
 U32_MAX = jnp.uint32(0xFFFFFFFF)
 
 
@@ -63,7 +65,7 @@ def _seg_ids(new_seg):
     return jnp.cumsum(new_seg.astype(jnp.int32)) - 1
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(aot_jit, donate_argnums=(0,))
 def exact_merge(rows, n):
     """Merge identical (bc, gene, umi) triples of a device-resident
     molecule buffer, summing read counts — the incremental pre-merge of

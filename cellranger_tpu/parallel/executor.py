@@ -202,17 +202,21 @@ class MoleculeState:
         """-> (bc, gene, umi, reads) uint32 host arrays of valid
         molecules, deduped fully on device when nothing overflowed."""
         if not self.flushed:
-            # shrink to the tightest pow2 over the live rows first: the
-            # growth ladder leaves append headroom the umi_len*N join
-            # would otherwise pay for (live rows are contiguous in
-            # [0, _n_dev), so they always fit the shrunk buffer;
-            # duplicate triples from append-only drains are summed by
-            # dedup_molecules' reads-weighted phase 0)
+            # shrink to the tightest pow2 over the live rows (they are
+            # contiguous in [0, _n_dev)), exact-merge the append-only
+            # duplicates ONCE (one sort), and re-shrink: the full dedup
+            # below is several sorts of its buffer, so when duplicates
+            # halve the row count (every read a duplicate of some
+            # molecule) the pre-merge pays for itself several times over
             self.n = int(self._n_dev)   # exact count (n was a bound)
             C2 = _pow2(max(self.n, 1), minimum=1024)
             rows = self.rows[:C2] if C2 < self.cap else self.rows
-            plane, n_valid = _dedup_state(rows, self._n_dev,
-                                          self.umi_len)
+            rows, n_dev = exact_merge(rows, self._n_dev)
+            self.n = int(n_dev)
+            C3 = _pow2(max(self.n, 1), minimum=1024)
+            if C3 < C2:
+                rows = rows[:C3]
+            plane, n_valid = _dedup_state(rows, n_dev, self.umi_len)
             self.rows = None
             nv = int(n_valid)
             out = np.asarray(plane[:_pow2(max(nv, 1))])[:nv]
